@@ -1,0 +1,147 @@
+"""Golden tests: fused device crop+resize+normalize vs a from-spec PIL pipeline.
+
+The golden below re-implements the reference preprocessing semantics directly from
+their specification (utils/embedder.py:164-251 + torchvision Resize/CenterCrop +
+CLIP Normalize) using PIL, and the device path must match it to within uint8
+rounding noise.
+"""
+import numpy as np
+import pytest
+from PIL import Image
+
+from clip_assisted_data_labeling_tpu.config import (
+    ALL_CROPS,
+    CLIP_MEAN,
+    CLIP_STD,
+)
+from clip_assisted_data_labeling_tpu.ops.crops import (
+    crop_boxes,
+    fused_crop_resize_normalize,
+    make_crop_params,
+)
+
+MEAN = np.array(CLIP_MEAN, np.float32)
+STD = np.array(CLIP_STD, np.float32)
+
+
+def ref_extract_crops(pil: Image.Image) -> list[Image.Image]:
+    """Reference crop geometry, from spec (utils/embedder.py:196-247)."""
+    W, H = pil.size
+    crops = []
+
+    m = min(W, H)
+    left, top = int(round((W - m) / 2.0)), int(round((H - m) / 2.0))
+    crops.append(pil.crop((left, top, left + m, top + m)))
+
+    S = max(W, H)
+    canvas = Image.new("RGB", (S, S), (0, 0, 0))
+    canvas.paste(pil, ((S - W) // 2, (S - H) // 2))
+    crops.append(canvas)
+
+    sizes = [int((W * H * f) ** 0.5) for f in (0.15, 0.1)]
+    if W >= H:
+        centers = [(W // 4, H // 2), (W // 4 * 3, H // 2)]
+    else:
+        centers = [(W // 2, H // 4), (W // 2, H // 4 * 3)]
+    for size, (cx, cy) in zip(sizes, centers):
+        l = max(0, cx - size // 2)
+        t = max(0, cy - size // 2)
+        crops.append(pil.crop((l, t, min(W, l + size), min(H, t + size))))
+    return crops
+
+
+def ref_preprocess(crop: Image.Image, R: int) -> np.ndarray:
+    """torchvision Resize(R, bicubic) + CenterCrop(R) + ToTensor + Normalize."""
+    w, h = crop.size
+    if w <= h:
+        new_w, new_h = R, int(R * h / w)
+    else:
+        new_h, new_w = R, int(R * w / h)
+    img = crop.resize((new_w, new_h), Image.BICUBIC)
+    left = int(round((new_w - R) / 2.0))
+    top = int(round((new_h - R) / 2.0))
+    img = img.crop((left, top, left + R, top + R))
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return (arr - MEAN) / STD
+
+
+def put_on_canvas(arr: np.ndarray, canvas_size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    out = np.zeros((canvas_size, canvas_size, 3), np.uint8)
+    oy, ox = (canvas_size - h) // 2, (canvas_size - w) // 2
+    out[oy : oy + h, ox : ox + w] = arr
+    return out
+
+
+def make_test_image(rng, w, h):
+    # mix of smooth gradient and noise so resampling errors show up
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [255 * xx / max(w - 1, 1), 255 * yy / max(h - 1, 1), 128 + 0 * xx], axis=-1
+    )
+    noise = rng.integers(0, 256, (h, w, 3))
+    return np.clip(0.6 * grad + 0.4 * noise, 0, 255).astype(np.uint8)
+
+
+SIZES = [(100, 80), (37, 53), (200, 200), (33, 199), (256, 96)]
+
+
+def test_crop_boxes_match_reference_geometry(rng):
+    for w, h in SIZES:
+        pil = Image.fromarray(make_test_image(rng, w, h))
+        ref = ref_extract_crops(pil)
+        boxes = crop_boxes(w, h)
+        for name, ref_crop in zip(ALL_CROPS, ref):
+            l, t, r, b = boxes[name]
+            assert (r - l, b - t) == ref_crop.size, (name, w, h)
+
+
+@pytest.mark.parametrize("w,h", SIZES)
+def test_fused_preprocess_matches_pil(rng, w, h):
+    R = 56
+    canvas_size = 256
+    img = make_test_image(rng, w, h)
+    pil = Image.fromarray(img)
+    golden = np.stack([ref_preprocess(c, R) for c in ref_extract_crops(pil)])
+
+    canvas = put_on_canvas(img, canvas_size)[None]
+    params = make_crop_params(w, h, canvas_size, R)[None]
+    out = np.asarray(
+        fused_crop_resize_normalize(canvas, params, out_size=R, parity=True)
+    )[0]
+
+    assert out.shape == golden.shape
+    # one uint8 LSB after normalization
+    lsb = 1.0 / 255.0 / STD.min()
+    diff = np.abs(out - golden)
+    # allow tiny fraction of 2-LSB mismatches from round-half tie-breaks
+    assert np.mean(diff) < 0.2 * lsb, f"mean diff {np.mean(diff)} vs lsb {lsb}"
+    assert np.quantile(diff, 0.999) <= 1.5 * lsb
+    assert diff.max() <= 4 * lsb
+
+
+def test_batched_matches_single(rng):
+    R, canvas_size = 56, 256
+    imgs = [make_test_image(rng, w, h) for w, h in SIZES[:3]]
+    canvases = np.stack([put_on_canvas(i, canvas_size) for i in imgs])
+    params = np.stack(
+        [make_crop_params(i.shape[1], i.shape[0], canvas_size, R) for i in imgs]
+    )
+    batched = np.asarray(fused_crop_resize_normalize(canvases, params, out_size=R))
+    for k in range(len(imgs)):
+        single = np.asarray(
+            fused_crop_resize_normalize(
+                canvases[k : k + 1], params[k : k + 1], out_size=R
+            )
+        )[0]
+        np.testing.assert_allclose(batched[k], single, atol=1e-5)
+
+
+def test_fast_mode_close_to_parity(rng):
+    R, canvas_size = 56, 256
+    img = make_test_image(rng, 100, 80)
+    canvas = put_on_canvas(img, canvas_size)[None]
+    params = make_crop_params(100, 80, canvas_size, R)[None]
+    exact = np.asarray(fused_crop_resize_normalize(canvas, params, out_size=R, parity=True))
+    fast = np.asarray(fused_crop_resize_normalize(canvas, params, out_size=R, parity=False))
+    assert np.mean(np.abs(exact - fast)) < 0.05
