@@ -1,0 +1,152 @@
+"""Torch-checkpoint → JAX parameter conversion for the CLIP ViT image tower.
+
+Supports the two checkpoint dialects a user of the reference toolkit will have on
+disk (the reference loads both via open_clip / HF hub in utils/embedder.py:58-100):
+
+  * Hugging Face ``CLIPVisionModelWithProjection`` state dicts
+    (keys ``vision_model.…`` + ``visual_projection.weight``), and
+  * open_clip / OpenAI ``visual.…`` state dicts (keys ``visual.conv1.weight``,
+    ``visual.transformer.resblocks.N.…``, ``visual.proj``).
+
+Also provides a native ``.npz`` format for saving/loading the JAX pytree so that
+converted weights round-trip without torch.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from clip_assisted_data_labeling_tpu.models.vit import VitConfig
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor (or array) → float32 numpy."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _conv_to_patch_kernel(weight) -> np.ndarray:
+    """Conv2d weight [width, 3, p, p] → [p*p*3, width] for patchify order
+    (row, col, channel) — see models.vit.patchify."""
+    w = _t(weight)
+    return w.transpose(2, 3, 1, 0).reshape(-1, w.shape[0])
+
+
+def convert_hf_clip_vision(state_dict: dict, cfg: VitConfig) -> dict:
+    """HF CLIPVisionModelWithProjection state dict → our pytree."""
+    sd = {k: v for k, v in state_dict.items()}
+    pre = "vision_model."
+
+    def get(k):
+        return _t(sd[pre + k])
+
+    L = cfg.layers
+    blocks: dict[str, list] = {k: [] for k in (
+        "ln1_scale", "ln1_bias", "qkv_kernel", "qkv_bias", "out_kernel",
+        "out_bias", "ln2_scale", "ln2_bias", "fc1_kernel", "fc1_bias",
+        "fc2_kernel", "fc2_bias")}
+    for i in range(L):
+        b = f"encoder.layers.{i}."
+        blocks["ln1_scale"].append(get(b + "layer_norm1.weight"))
+        blocks["ln1_bias"].append(get(b + "layer_norm1.bias"))
+        qw = np.concatenate(
+            [get(b + f"self_attn.{n}_proj.weight").T for n in ("q", "k", "v")], axis=1
+        )
+        qb = np.concatenate(
+            [get(b + f"self_attn.{n}_proj.bias") for n in ("q", "k", "v")], axis=0
+        )
+        blocks["qkv_kernel"].append(qw)
+        blocks["qkv_bias"].append(qb)
+        blocks["out_kernel"].append(get(b + "self_attn.out_proj.weight").T)
+        blocks["out_bias"].append(get(b + "self_attn.out_proj.bias"))
+        blocks["ln2_scale"].append(get(b + "layer_norm2.weight"))
+        blocks["ln2_bias"].append(get(b + "layer_norm2.bias"))
+        blocks["fc1_kernel"].append(get(b + "mlp.fc1.weight").T)
+        blocks["fc1_bias"].append(get(b + "mlp.fc1.bias"))
+        blocks["fc2_kernel"].append(get(b + "mlp.fc2.weight").T)
+        blocks["fc2_bias"].append(get(b + "mlp.fc2.bias"))
+
+    return {
+        "patch_kernel": _conv_to_patch_kernel(sd[pre + "embeddings.patch_embedding.weight"]),
+        "class_emb": get("embeddings.class_embedding"),
+        "pos_emb": get("embeddings.position_embedding.weight"),
+        "ln_pre_scale": get("pre_layrnorm.weight"),  # sic — HF's historical typo
+        "ln_pre_bias": get("pre_layrnorm.bias"),
+        "blocks": {k: np.stack(v) for k, v in blocks.items()},
+        "ln_post_scale": get("post_layernorm.weight"),
+        "ln_post_bias": get("post_layernorm.bias"),
+        "proj": _t(sd["visual_projection.weight"]).T,
+    }
+
+
+def convert_open_clip_visual(state_dict: dict, cfg: VitConfig) -> dict:
+    """open_clip / OpenAI 'visual.*' state dict → our pytree."""
+    sd = {k[len("visual."):]: v for k, v in state_dict.items() if k.startswith("visual.")}
+    if not sd:  # maybe already stripped
+        sd = dict(state_dict)
+
+    L = cfg.layers
+    blocks: dict[str, list] = {k: [] for k in (
+        "ln1_scale", "ln1_bias", "qkv_kernel", "qkv_bias", "out_kernel",
+        "out_bias", "ln2_scale", "ln2_bias", "fc1_kernel", "fc1_bias",
+        "fc2_kernel", "fc2_bias")}
+    for i in range(L):
+        b = f"transformer.resblocks.{i}."
+        blocks["ln1_scale"].append(_t(sd[b + "ln_1.weight"]))
+        blocks["ln1_bias"].append(_t(sd[b + "ln_1.bias"]))
+        blocks["qkv_kernel"].append(_t(sd[b + "attn.in_proj_weight"]).T)
+        blocks["qkv_bias"].append(_t(sd[b + "attn.in_proj_bias"]))
+        blocks["out_kernel"].append(_t(sd[b + "attn.out_proj.weight"]).T)
+        blocks["out_bias"].append(_t(sd[b + "attn.out_proj.bias"]))
+        blocks["ln2_scale"].append(_t(sd[b + "ln_2.weight"]))
+        blocks["ln2_bias"].append(_t(sd[b + "ln_2.bias"]))
+        blocks["fc1_kernel"].append(_t(sd[b + "mlp.c_fc.weight"]).T)
+        blocks["fc1_bias"].append(_t(sd[b + "mlp.c_fc.bias"]))
+        blocks["fc2_kernel"].append(_t(sd[b + "mlp.c_proj.weight"]).T)
+        blocks["fc2_bias"].append(_t(sd[b + "mlp.c_proj.bias"]))
+
+    return {
+        "patch_kernel": _conv_to_patch_kernel(sd["conv1.weight"]),
+        "class_emb": _t(sd["class_embedding"]),
+        "pos_emb": _t(sd["positional_embedding"]),
+        "ln_pre_scale": _t(sd["ln_pre.weight"]),
+        "ln_pre_bias": _t(sd["ln_pre.bias"]),
+        "blocks": {k: np.stack(v) for k, v in blocks.items()},
+        "ln_post_scale": _t(sd["ln_post.weight"]),
+        "ln_post_bias": _t(sd["ln_post.bias"]),
+        "proj": _t(sd["proj"]),
+    }
+
+
+def convert_torch_state_dict(state_dict: dict, cfg: VitConfig) -> dict:
+    keys = list(state_dict.keys())
+    if any(k.startswith("vision_model.") for k in keys):
+        return convert_hf_clip_vision(state_dict, cfg)
+    if any("resblocks" in k for k in keys):
+        return convert_open_clip_visual(state_dict, cfg)
+    raise ValueError("Unrecognized CLIP checkpoint layout; expected HF or open_clip keys")
+
+
+def save_params_npz(path: str, params: dict) -> None:
+    flat = {}
+    for k, v in params.items():
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                flat[f"{k}/{k2}"] = np.asarray(v2)
+        else:
+            flat[k] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> dict:
+    data = np.load(path)
+    params: dict = {}
+    for k in data.files:
+        if "/" in k:
+            k1, k2 = k.split("/", 1)
+            params.setdefault(k1, {})[k2] = jnp.asarray(data[k])
+        else:
+            params[k] = jnp.asarray(data[k])
+    return params

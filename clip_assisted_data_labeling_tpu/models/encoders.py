@@ -1,0 +1,147 @@
+"""Encoder registry: the TPU-native analog of the reference's CLIP_Encoder /
+PE_Encoder dispatch (utils/embedder.py:58-150, selected at _1_embed_with_CLIP.py:69-75).
+
+A ``CLIPImageEncoder`` owns the ViT config + params and exposes:
+
+  * ``img_resolution`` — drives the fused preprocess output size,
+  * ``encode(preprocessed)`` — jitted bf16 ViT forward, L2-normalized embeddings,
+  * ``embed_crops(canvas, crop_params)`` — the fully-fused single-dispatch path:
+    uint8 canvases → 4-crop preprocess → ViT → [B, n_crops, D] embeddings, all in
+    one XLA program (the reference's per-crop PIL pipeline + torch forward,
+    collapsed into one device computation).
+
+Weight resolution order (no network egress — the reference downloads from the HF
+hub, we only read local files):
+  1. explicit ``params`` argument,
+  2. ``<model_path>/<model-name-with-slashes-as-dashes>.npz`` (our native format),
+  3. ``<model_path>/*.{pt,pth,bin,safetensors}`` torch checkpoints (converted),
+  4. deterministic random init (seeded by model name) with a loud warning —
+     useful for benchmarks and tests; embeddings are still deterministic.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_assisted_data_labeling_tpu.models import clip_weights
+from clip_assisted_data_labeling_tpu.models.vit import (
+    VitConfig,
+    init_vit_params,
+    resolve_config,
+    vit_encode_image,
+)
+from clip_assisted_data_labeling_tpu.ops.crops import fused_crop_resize_normalize
+
+log = logging.getLogger(__name__)
+
+
+def _stable_seed(name: str) -> int:
+    return int.from_bytes(name.encode()[:4].ljust(4, b"\0"), "little") % (2**31)
+
+
+class CLIPImageEncoder:
+    def __init__(
+        self,
+        model_name: str,
+        model_path: str | None = None,
+        params: dict | None = None,
+        compute_dtype=jnp.bfloat16,
+        parity_preprocess: bool = True,
+    ):
+        self.model_name = model_name
+        self.cfg: VitConfig = resolve_config(model_name)
+        self.compute_dtype = compute_dtype
+        self.parity_preprocess = parity_preprocess
+        self.params = params if params is not None else self._load_params(model_path)
+
+    @property
+    def img_resolution(self) -> int:
+        return self.cfg.image_size
+
+    @property
+    def embed_dim(self) -> int:
+        return self.cfg.embed_dim
+
+    def _load_params(self, model_path: str | None) -> dict:
+        if model_path:
+            safe = self.model_name.replace("/", "-")
+            npz = os.path.join(model_path, f"{safe}.npz")
+            if os.path.exists(npz):
+                log.info("Loading %s weights from %s", self.model_name, npz)
+                return clip_weights.load_params_npz(npz)
+            for fname in sorted(os.listdir(model_path)):
+                if safe in fname and fname.endswith((".pt", ".pth", ".bin", ".safetensors")):
+                    full = os.path.join(model_path, fname)
+                    log.info("Converting torch checkpoint %s", full)
+                    return self._convert_torch_file(full)
+        log.warning(
+            "No local weights found for %s — using deterministic random init "
+            "(fine for benchmarks/tests; NOT a trained encoder).",
+            self.model_name,
+        )
+        return init_vit_params(self.cfg, jax.random.key(_stable_seed(self.model_name)))
+
+    def _convert_torch_file(self, path: str) -> dict:
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            sd = load_file(path)
+        else:
+            import torch
+
+            obj = torch.load(path, map_location="cpu", weights_only=True)
+            sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+        return clip_weights.convert_torch_state_dict(sd, self.cfg)
+
+    def save_npz(self, path: str) -> None:
+        clip_weights.save_params_npz(path, self.params)
+
+    def encode(self, preprocessed: jnp.ndarray) -> jnp.ndarray:
+        """[..., R, R, 3] CLIP-normalized images → [..., embed_dim] unit vectors."""
+        lead = preprocessed.shape[:-3]
+        flat = preprocessed.reshape((-1,) + preprocessed.shape[-3:])
+        emb = vit_encode_image(self.params, flat, self.cfg, compute_dtype=self.compute_dtype)
+        return emb.reshape(lead + (self.cfg.embed_dim,))
+
+    def embed_crops(self, canvas_u8: jnp.ndarray, crop_params: jnp.ndarray) -> jnp.ndarray:
+        """[B, C, C, 3] uint8 + [B, n_crops, 2, 4] → [B, n_crops, D]; one jit."""
+        return _embed_crops_jit(
+            self.params,
+            canvas_u8,
+            crop_params,
+            self.cfg,
+            self.compute_dtype,
+            self.parity_preprocess,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype", "parity_preprocess")
+)
+def _embed_crops_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity_preprocess):
+    crops = fused_crop_resize_normalize(
+        canvas_u8,
+        crop_params,
+        out_size=cfg.image_size,
+        parity=parity_preprocess,
+        dtype=compute_dtype,
+    )
+    b, n = crops.shape[:2]
+    emb = vit_encode_image(
+        params,
+        crops.reshape((b * n,) + crops.shape[2:]),
+        cfg,
+        compute_dtype=compute_dtype,
+    )
+    return emb.reshape(b, n, -1)
+
+
+def create_encoder(model_name: str, model_path: str | None = None, **kw) -> CLIPImageEncoder:
+    """Reference-compatible dispatch: 'PE-…' and 'Arch/pretrained' both resolve to
+    the same TPU image tower; PE names select the PE config family."""
+    return CLIPImageEncoder(model_name, model_path=model_path, **kw)

@@ -1,0 +1,212 @@
+"""SimpleFC label regressor — jitted JAX train/eval replacing utils/nn_model.py.
+
+The reference model (utils/nn_model.py:6-41) is a Linear stack with LeakyReLU +
+Dropout between layers and a final Sigmoid (labels normalized to [0,1]), saved as a
+*whole-module torch pickle* that self-describes its feature recipe via attributes
+(clip_models, crop_names, use_img_stat_features, data_min/max — consumed at
+_5_predict_labels.py:107-111 and utils/embedder.py:290-296).
+
+Here the network is a pure function over a param pytree; the self-describing
+checkpoint becomes an explicit ``RegressorMeta`` JSON stored alongside the params
+in one ``.npz`` (no pickled code). For interop, ``load_torch_pickle`` can ingest
+the reference's own ``.pth`` module pickles (including the shipped
+``single_crop_regression_9.4k_imgs_80_epochs.pth``) by shimming the
+``utils.nn_model`` module path and harvesting the Linear weights + metadata.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LEAKY_SLOPE = 0.01  # torch nn.LeakyReLU default
+
+
+@dataclasses.dataclass
+class RegressorMeta:
+    clip_models: tuple
+    crop_names: tuple
+    input_size: int
+    hidden_sizes: tuple
+    output_size: int = 1
+    use_img_stat_features: bool = False
+    dropout_prob: float = 0.0
+    data_min: float | None = None
+    data_max: float | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "RegressorMeta":
+        d = json.loads(s)
+        d["clip_models"] = tuple(d["clip_models"])
+        d["crop_names"] = tuple(d["crop_names"])
+        d["hidden_sizes"] = tuple(d["hidden_sizes"])
+        return cls(**d)
+
+
+def init_regressor_params(
+    key: jax.Array, input_size: int, hidden_sizes: Sequence[int], output_size: int = 1
+) -> list[dict]:
+    """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    sizes = [input_size, *hidden_sizes, output_size]
+    params = []
+    for i in range(len(sizes) - 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        bound = 1.0 / np.sqrt(sizes[i])
+        params.append(
+            {
+                "kernel": jax.random.uniform(
+                    k1, (sizes[i], sizes[i + 1]), minval=-bound, maxval=bound
+                ),
+                "bias": jax.random.uniform(
+                    k2, (sizes[i + 1],), minval=-bound, maxval=bound
+                ),
+            }
+        )
+    return params
+
+
+def regressor_apply(
+    params: list[dict],
+    x: jnp.ndarray,
+    *,
+    dropout_prob: float = 0.0,
+    dropout_key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Forward pass → sigmoid outputs in [0,1]. Dropout only when a key is given.
+
+    Matmuls run at full f32 precision: the network is tiny and score parity with
+    the reference matters more than speed (XLA CPU's oneDNN and TPU's default
+    precision would otherwise use a reduced-precision fast path).
+    """
+    n = len(params)
+    for i, layer in enumerate(params):
+        x = jnp.matmul(x, layer["kernel"], precision=jax.lax.Precision.HIGHEST)
+        x = x + layer["bias"]
+        if i < n - 1:
+            x = jnp.where(x >= 0, x, LEAKY_SLOPE * x)
+            if dropout_key is not None and dropout_prob > 0.0:
+                dropout_key, sub = jax.random.split(dropout_key)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout_prob, x.shape)
+                x = jnp.where(keep, x / (1.0 - dropout_prob), 0.0)
+    return jax.nn.sigmoid(x)
+
+
+class SimpleFCRegressor:
+    """Param pytree + metadata bundle with save/load and batched predict."""
+
+    def __init__(self, params: list[dict], meta: RegressorMeta):
+        self.params = params
+        self.meta = meta
+
+    @classmethod
+    def create(cls, key: jax.Array, meta: RegressorMeta) -> "SimpleFCRegressor":
+        return cls(
+            init_regressor_params(key, meta.input_size, meta.hidden_sizes, meta.output_size),
+            meta,
+        )
+
+    # --- prediction -----------------------------------------------------------
+    def predict(self, features: np.ndarray, batch_size: int = 8192) -> np.ndarray:
+        outs = []
+        for i in range(0, len(features), batch_size):
+            x = jnp.asarray(features[i : i + batch_size], dtype=jnp.float32)
+            outs.append(np.asarray(_predict_jit(_as_tuple(self.params), x)))
+        return np.concatenate(outs, axis=0).reshape(len(features), -1)[:, 0]
+
+    # --- native checkpoint format ---------------------------------------------
+    def save(self, path: str) -> None:
+        flat = {"__meta__": np.array(self.meta.to_json())}
+        for i, layer in enumerate(self.params):
+            flat[f"layer{i}/kernel"] = np.asarray(layer["kernel"], np.float32)
+            flat[f"layer{i}/bias"] = np.asarray(layer["bias"], np.float32)
+        np.savez(path, **flat)
+
+    @classmethod
+    def load(cls, path: str) -> "SimpleFCRegressor":
+        data = np.load(path, allow_pickle=False)
+        meta = RegressorMeta.from_json(str(data["__meta__"]))
+        params = []
+        i = 0
+        while f"layer{i}/kernel" in data.files:
+            params.append(
+                {
+                    "kernel": jnp.asarray(data[f"layer{i}/kernel"]),
+                    "bias": jnp.asarray(data[f"layer{i}/bias"]),
+                }
+            )
+            i += 1
+        return cls(params, meta)
+
+    # --- reference torch-pickle interop ----------------------------------------
+    @classmethod
+    def load_torch_pickle(cls, path: str) -> "SimpleFCRegressor":
+        """Load a reference whole-module pickle (_4_train_model.py:237). The pickle
+        references the class path ``utils.nn_model.SimpleFC``; we install a shim
+        module so unpickling succeeds, then harvest Linear weights + metadata."""
+        import sys
+        import types
+
+        import torch
+
+        if "utils.nn_model" not in sys.modules:
+            shim_pkg = sys.modules.setdefault("utils", types.ModuleType("utils"))
+            shim = types.ModuleType("utils.nn_model")
+
+            class SimpleFC(torch.nn.Module):  # populated by unpickling
+                pass
+
+            class SimpleconvFC(torch.nn.Module):
+                pass
+
+            shim.SimpleFC = SimpleFC
+            shim.SimpleconvFC = SimpleconvFC
+            shim.device = torch.device("cpu")
+            sys.modules["utils.nn_model"] = shim
+            shim_pkg.nn_model = shim
+
+        module = torch.load(path, map_location="cpu", weights_only=False)
+        linears = [m for m in module.layers if isinstance(m, torch.nn.Linear)]
+        params = [
+            {
+                "kernel": jnp.asarray(l.weight.detach().numpy().T),
+                "bias": jnp.asarray(l.bias.detach().numpy()),
+            }
+            for l in linears
+        ]
+        meta = RegressorMeta(
+            clip_models=tuple(getattr(module, "clip_models", ())),
+            crop_names=tuple(getattr(module, "crop_names", ())),
+            input_size=int(linears[0].weight.shape[1]),
+            hidden_sizes=tuple(int(l.weight.shape[0]) for l in linears[:-1]),
+            output_size=int(linears[-1].weight.shape[0]),
+            use_img_stat_features=bool(getattr(module, "use_img_stat_features", False)),
+            data_min=_maybe_float(getattr(module, "data_min", None)),
+            data_max=_maybe_float(getattr(module, "data_max", None)),
+        )
+        return cls(params, meta)
+
+
+def _maybe_float(x):
+    if x is None:
+        return None
+    try:
+        return float(x)
+    except (TypeError, ValueError):
+        return None
+
+
+def _as_tuple(params: list[dict]):
+    return tuple((l["kernel"], l["bias"]) for l in params)
+
+
+@jax.jit
+def _predict_jit(param_tuple, x):
+    params = [{"kernel": k, "bias": b} for k, b in param_tuple]
+    return regressor_apply(params, x)

@@ -1,0 +1,220 @@
+"""CLIP ViT image tower, TPU-native.
+
+Replaces the reference's open_clip dependency (utils/embedder.py:58-100 loads
+``open_clip.create_model_and_transforms`` and calls ``model.encode_image``) with a
+functional JAX implementation designed for XLA:
+
+  * patch embedding as reshape+matmul (a Conv2d with stride=kernel is exactly a
+    patchify-matmul; XLA maps it straight onto the MXU),
+  * one ``lax.scan`` over stacked transformer-block parameters — compile time is
+    O(1) in depth and the stacked leading axis gives a natural home for pipeline/
+    tensor sharding annotations,
+  * bf16 compute / f32 params by default with layernorm and softmax kept in f32,
+  * no Python control flow inside jit, static shapes throughout.
+
+Parameter pytree layout (see ``init_vit_params``): a flat dict of arrays plus a
+``blocks`` sub-dict whose leaves are stacked along axis 0 with length = depth.
+
+Weight conversion from torch checkpoints (HF ``CLIPVisionModelWithProjection``
+and open_clip ``visual.*`` state dicts) lives in models/clip_weights.py; parity
+against the torch implementation is validated in tests/test_vit_parity.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class VitConfig:
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    patch_size: int = 14
+    image_size: int = 224
+    embed_dim: int = 768  # output CLIP embedding dim
+    mlp_ratio: int = 4
+    act: str = "quick_gelu"  # OpenAI checkpoints; open-data checkpoints use "gelu"
+    ln_eps: float = 1e-5
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+
+# Model-name registry mirroring the reference's "Arch/pretrained" and "PE-" naming
+# (reference _1_embed_with_CLIP.py:69-75 dispatches on these strings).
+_OPENAI = dict(act="quick_gelu")
+_OPEN = dict(act="gelu")
+_ARCHS = {
+    "ViT-B-32": dict(width=768, layers=12, heads=12, patch_size=32, image_size=224, embed_dim=512),
+    "ViT-B-16": dict(width=768, layers=12, heads=12, patch_size=16, image_size=224, embed_dim=512),
+    "ViT-L-14": dict(width=1024, layers=24, heads=16, patch_size=14, image_size=224, embed_dim=768),
+    "ViT-L-14-336": dict(width=1024, layers=24, heads=16, patch_size=14, image_size=336, embed_dim=768),
+    "ViT-H-14": dict(width=1280, layers=32, heads=16, patch_size=14, image_size=224, embed_dim=1024),
+    "ViT-g-14": dict(width=1408, layers=40, heads=16, patch_size=14, image_size=224, embed_dim=1024),
+    # Meta Perception Encoder cores (reference PE_Encoder, utils/embedder.py:103-150).
+    "PE-Core-B16-224": dict(width=768, layers=12, heads=12, patch_size=16, image_size=224, embed_dim=1024),
+    "PE-Core-L14-336": dict(width=1024, layers=24, heads=16, patch_size=14, image_size=336, embed_dim=1024),
+    "PE-Core-G14-448": dict(width=1536, layers=50, heads=16, patch_size=14, image_size=448, embed_dim=1280),
+}
+MODEL_REGISTRY: dict[str, VitConfig] = {}
+for _arch, _kw in _ARCHS.items():
+    if _arch.startswith("PE-"):
+        MODEL_REGISTRY[_arch] = VitConfig(**_kw, **_OPEN)
+    else:
+        MODEL_REGISTRY[f"{_arch}/openai"] = VitConfig(**_kw, **_OPENAI)
+        for tag in ("laion2b_s32b_b82k", "laion2b_s34b_b79k", "laion400m_e32", "datacomp_xl_s13b_b90k"):
+            MODEL_REGISTRY[f"{_arch}/{tag}"] = VitConfig(**_kw, **_OPEN)
+
+
+def resolve_config(model_name: str) -> VitConfig:
+    """Resolve 'Arch/pretrained' or 'PE-…' names (reference naming convention)."""
+    if model_name in MODEL_REGISTRY:
+        return MODEL_REGISTRY[model_name]
+    arch = model_name.split("/", 1)[0]
+    if arch in _ARCHS:
+        act = "quick_gelu" if model_name.endswith("/openai") else "gelu"
+        return VitConfig(**_ARCHS[arch], act=act)
+    raise ValueError(
+        f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
+        f"with Arch in {sorted(_ARCHS)}."
+    )
+
+
+def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random-init parameter pytree (open_clip-style scaled normal init)."""
+    ks = jax.random.split(key, 12)
+    w, L, e = cfg.width, cfg.layers, cfg.embed_dim
+    mlp = cfg.mlp_ratio * w
+    scale = w ** -0.5
+
+    def nrm(k, shape, std):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    def zeros(shape):
+        return jnp.zeros(shape, dtype)
+
+    def ones(shape):
+        return jnp.ones(shape, dtype)
+
+    return {
+        "patch_kernel": nrm(ks[0], (cfg.patch_size * cfg.patch_size * 3, w), scale),
+        "class_emb": nrm(ks[1], (w,), scale),
+        "pos_emb": nrm(ks[2], (cfg.seq_len, w), scale),
+        "ln_pre_scale": ones((w,)),
+        "ln_pre_bias": zeros((w,)),
+        "blocks": {
+            "ln1_scale": ones((L, w)),
+            "ln1_bias": zeros((L, w)),
+            "qkv_kernel": nrm(ks[3], (L, w, 3 * w), scale),
+            "qkv_bias": zeros((L, 3 * w)),
+            "out_kernel": nrm(ks[4], (L, w, w), scale),
+            "out_bias": zeros((L, w)),
+            "ln2_scale": ones((L, w)),
+            "ln2_bias": zeros((L, w)),
+            "fc1_kernel": nrm(ks[5], (L, w, mlp), (2 * w) ** -0.5),
+            "fc1_bias": zeros((L, mlp)),
+            "fc2_kernel": nrm(ks[6], (L, mlp, w), scale),
+            "fc2_bias": zeros((L, w)),
+        },
+        "ln_post_scale": ones((w,)),
+        "ln_post_bias": zeros((w,)),
+        "proj": nrm(ks[7], (w, e), scale),
+    }
+
+
+def _layernorm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _act(x, kind: str):
+    if kind == "quick_gelu":  # OpenAI CLIP's x * sigmoid(1.702 x)
+        return x * jax.nn.sigmoid(1.702 * x)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _block(x, p, cfg: VitConfig):
+    """One pre-LN transformer block. x: [B, S, w]."""
+    B, S, w = x.shape
+    h, d = cfg.heads, cfg.head_dim
+
+    y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
+    qkv = y @ p["qkv_kernel"].astype(y.dtype) + p["qkv_bias"].astype(y.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * (d ** -0.5), axis=-1).astype(v.dtype)
+    attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, w)
+    x = x + attn @ p["out_kernel"].astype(x.dtype) + p["out_bias"].astype(x.dtype)
+
+    y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
+    y = _act(y @ p["fc1_kernel"].astype(y.dtype) + p["fc1_bias"].astype(y.dtype), cfg.act)
+    x = x + y @ p["fc2_kernel"].astype(y.dtype) + p["fc2_bias"].astype(y.dtype)
+    return x
+
+
+def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[B, H, W, 3] → [B, N, p*p*3]; flatten order (row, col, channel) matches the
+    torch Conv2d weight conversion in clip_weights.py."""
+    B, H, W, C = images.shape
+    gh, gw = H // patch_size, W // patch_size
+    x = images.reshape(B, gh, patch_size, gw, patch_size, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, gh * gw, patch_size * patch_size * C)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "normalize"))
+def vit_encode_image(
+    params: dict,
+    images: jnp.ndarray,  # [B, R, R, 3] preprocessed (CLIP-normalized) NHWC
+    cfg: VitConfig,
+    compute_dtype=jnp.bfloat16,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Full image-tower forward → [B, embed_dim] (L2-normalized like the
+    reference's encode_image, utils/embedder.py:98-99)."""
+    x = patchify(images.astype(compute_dtype), cfg.patch_size)
+    x = x @ params["patch_kernel"].astype(compute_dtype)
+    cls = jnp.broadcast_to(
+        params["class_emb"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_emb"].astype(compute_dtype)
+    x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
+
+    def body(carry, block_params):
+        return _block(carry, block_params, cfg), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+
+    cls_tok = _layernorm(
+        x[:, 0], params["ln_post_scale"], params["ln_post_bias"], cfg.ln_eps
+    )
+    emb = (cls_tok @ params["proj"].astype(compute_dtype)).astype(jnp.float32)
+    if normalize:
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb
+
+
+def count_params(params: dict) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))

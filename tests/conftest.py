@@ -6,16 +6,22 @@ only used by bench.py.
 """
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere in the test process. Hard-set (not
+# setdefault): the interactive session may point JAX at the axon TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
 import numpy as np
 import pytest
+
+# XLA CPU's oneDNN fast path trades f32 matmul precision for speed; golden parity
+# tests need deterministic full-precision accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture(scope="session")

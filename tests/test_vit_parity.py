@@ -1,0 +1,162 @@
+"""Encoder parity: our JAX ViT with converted weights vs torch CLIP implementations.
+
+BASELINE.md requires ≤1e-3 cosine error vs the reference encoder. We validate the
+architecture + weight conversion against a locally-instantiated (random-weight)
+``transformers`` CLIPVisionModelWithProjection — the exact module the reference's
+open_clip 'openai' checkpoints were converted from — in f32, where agreement must
+be far tighter than 1e-3.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from clip_assisted_data_labeling_tpu.models.clip_weights import (
+    convert_open_clip_visual,
+    convert_torch_state_dict,
+    load_params_npz,
+    save_params_npz,
+)
+from clip_assisted_data_labeling_tpu.models.vit import (
+    VitConfig,
+    resolve_config,
+    vit_encode_image,
+)
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+SMALL = dict(
+    hidden_size=64,
+    intermediate_size=256,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    patch_size=8,
+    image_size=32,
+    projection_dim=16,
+)
+
+
+def make_hf_model(act: str):
+    cfg = transformers.CLIPVisionConfig(hidden_act=act, **SMALL)
+    torch.manual_seed(0)
+    return transformers.CLIPVisionModelWithProjection(cfg).eval()
+
+
+def our_config(act: str) -> VitConfig:
+    return VitConfig(
+        width=SMALL["hidden_size"],
+        layers=SMALL["num_hidden_layers"],
+        heads=SMALL["num_attention_heads"],
+        patch_size=SMALL["patch_size"],
+        image_size=SMALL["image_size"],
+        embed_dim=SMALL["projection_dim"],
+        act=act,
+    )
+
+
+@pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
+def test_vit_matches_hf_clip(rng, act):
+    model = make_hf_model(act)
+    cfg = our_config(act)
+    params = convert_torch_state_dict(model.state_dict(), cfg)
+
+    x = rng.normal(0, 1, (3, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.tensor(x).permute(0, 3, 1, 2)).image_embeds
+    ref = ref.numpy()
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+
+    out = np.asarray(
+        vit_encode_image(params, jnp.asarray(x), cfg, compute_dtype=jnp.float32)
+    )
+    cos = np.sum(out * ref, axis=-1)
+    assert np.all(1.0 - cos < 1e-5), f"cosine error {1 - cos}"
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_bf16_within_parity_budget(rng):
+    """bf16 compute must stay within the 1e-3 cosine budget of the f32 path."""
+    model = make_hf_model("quick_gelu")
+    cfg = our_config("quick_gelu")
+    params = convert_torch_state_dict(model.state_dict(), cfg)
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    f32 = np.asarray(vit_encode_image(params, x, cfg, compute_dtype=jnp.float32))
+    bf16 = np.asarray(vit_encode_image(params, x, cfg, compute_dtype=jnp.bfloat16))
+    cos = np.sum(f32 * bf16, axis=-1)
+    assert np.all(1.0 - cos < 1e-3), f"bf16 cosine error {1 - cos}"
+
+
+def test_open_clip_layout_roundtrip(rng):
+    """HF → open_clip key relabeling → converter gives identical params."""
+    model = make_hf_model("quick_gelu")
+    cfg = our_config("quick_gelu")
+    hf = convert_torch_state_dict(model.state_dict(), cfg)
+
+    sd = model.state_dict()
+    oc = {}
+    oc["visual.conv1.weight"] = sd["vision_model.embeddings.patch_embedding.weight"]
+    oc["visual.class_embedding"] = sd["vision_model.embeddings.class_embedding"]
+    oc["visual.positional_embedding"] = sd["vision_model.embeddings.position_embedding.weight"]
+    oc["visual.ln_pre.weight"] = sd["vision_model.pre_layrnorm.weight"]
+    oc["visual.ln_pre.bias"] = sd["vision_model.pre_layrnorm.bias"]
+    for i in range(cfg.layers):
+        s, d = f"vision_model.encoder.layers.{i}.", f"visual.transformer.resblocks.{i}."
+        oc[d + "ln_1.weight"] = sd[s + "layer_norm1.weight"]
+        oc[d + "ln_1.bias"] = sd[s + "layer_norm1.bias"]
+        oc[d + "attn.in_proj_weight"] = torch.cat(
+            [sd[s + f"self_attn.{n}_proj.weight"] for n in ("q", "k", "v")], dim=0
+        )
+        oc[d + "attn.in_proj_bias"] = torch.cat(
+            [sd[s + f"self_attn.{n}_proj.bias"] for n in ("q", "k", "v")], dim=0
+        )
+        oc[d + "attn.out_proj.weight"] = sd[s + "self_attn.out_proj.weight"]
+        oc[d + "attn.out_proj.bias"] = sd[s + "self_attn.out_proj.bias"]
+        oc[d + "ln_2.weight"] = sd[s + "layer_norm2.weight"]
+        oc[d + "ln_2.bias"] = sd[s + "layer_norm2.bias"]
+        oc[d + "mlp.c_fc.weight"] = sd[s + "mlp.fc1.weight"]
+        oc[d + "mlp.c_fc.bias"] = sd[s + "mlp.fc1.bias"]
+        oc[d + "mlp.c_proj.weight"] = sd[s + "mlp.fc2.weight"]
+        oc[d + "mlp.c_proj.bias"] = sd[s + "mlp.fc2.bias"]
+    oc["visual.ln_post.weight"] = sd["vision_model.post_layernorm.weight"]
+    oc["visual.ln_post.bias"] = sd["vision_model.post_layernorm.bias"]
+    oc["visual.proj"] = sd["visual_projection.weight"].T.contiguous()
+
+    got = convert_open_clip_visual(oc, cfg)
+    for (k1, v1), (k2, v2) in zip(
+        sorted(_flatten(hf).items()), sorted(_flatten(got).items())
+    ):
+        assert k1 == k2
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6, err_msg=k1)
+
+
+def test_npz_roundtrip(tmp_path, rng):
+    model = make_hf_model("gelu")
+    cfg = our_config("gelu")
+    params = convert_torch_state_dict(model.state_dict(), cfg)
+    path = str(tmp_path / "weights.npz")
+    save_params_npz(path, params)
+    loaded = load_params_npz(path)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    a = vit_encode_image(params, x, cfg, compute_dtype=jnp.float32)
+    b = vit_encode_image(loaded, x, cfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_registry_names():
+    cfg = resolve_config("ViT-L-14-336/openai")
+    assert cfg.image_size == 336 and cfg.act == "quick_gelu"
+    cfg = resolve_config("PE-Core-B16-224")
+    assert cfg.image_size == 224
+    with pytest.raises(ValueError):
+        resolve_config("not-a-model")
+
+
+def _flatten(d, prefix=""):
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + k + "/"))
+        else:
+            out[prefix + k] = v
+    return out
