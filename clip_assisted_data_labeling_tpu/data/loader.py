@@ -1,0 +1,184 @@
+"""Host-side image pipeline: parallel JPEG decode → centered canvas → device batches.
+
+Replaces the reference's torch DataLoader + per-crop PIL work
+(_1_embed_with_CLIP.py:81-90 with CustomImageDataset, utils/embedder.py:164-181).
+All geometry/resampling moved to the device (ops/crops.py); the host only decodes,
+optionally pre-downscales to fit the canvas, and stamps per-image scalar params.
+
+Design notes:
+  * cv2's decoder releases the GIL, so a thread pool scales; cv2 internal
+    threading is pinned to 1 to avoid oversubscription.
+  * Batches have static shapes (canvas [B, C, C, 3] uint8); the final partial
+    batch is zero-padded with ``n_valid`` marking real rows — jit sees one shape.
+  * Failed decodes are skipped and *reported* (``loader.skipped``), not silently
+    replaced by a random other image like the reference (utils/embedder.py:176-181
+    — SURVEY.md §5 calls this out as error-hiding).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from clip_assisted_data_labeling_tpu.config import ALL_CROPS, IMG_EXTENSIONS
+from clip_assisted_data_labeling_tpu.ops.crops import make_crop_params
+from clip_assisted_data_labeling_tpu.ops.image_stats import make_stat_params
+
+log = logging.getLogger(__name__)
+
+
+def find_images(root_dir: str, recursive: bool = True) -> list[str]:
+    """Recursive image discovery (reference _1_embed_with_CLIP.py:53-58)."""
+    paths = []
+    if recursive:
+        for root, _dirs, files in os.walk(root_dir):
+            for name in files:
+                if name.endswith(IMG_EXTENSIONS):
+                    paths.append(os.path.join(root, name))
+    else:
+        for name in os.listdir(root_dir):
+            if name.endswith(IMG_EXTENSIONS):
+                paths.append(os.path.join(root_dir, name))
+    return paths
+
+
+@dataclasses.dataclass
+class Batch:
+    canvas: np.ndarray  # [B, C, C, 3] uint8
+    crop_params: np.ndarray  # [B, n_crops, 2, 4] float32
+    stat_params: np.ndarray  # [B, 8] float32
+    paths: list[str]  # length n_valid
+    n_valid: int
+
+
+def _decode_one(path: str, canvas_size: int):
+    import cv2
+
+    cv2.setNumThreads(1)
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:  # fall back to PIL for exotic formats
+        try:
+            from PIL import Image
+
+            img = np.asarray(Image.open(path).convert("RGB"))
+        except Exception:
+            return None
+    else:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    h, w = img.shape[:2]
+    if max(h, w) > canvas_size:
+        scale = canvas_size / max(h, w)
+        new_w, new_h = max(1, int(w * scale)), max(1, int(h * scale))
+        img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_AREA)
+        h, w = new_h, new_w
+    return img, w, h
+
+
+class BatchedImageLoader:
+    """Iterates device-ready batches with background decode + prefetch."""
+
+    def __init__(
+        self,
+        image_paths: list[str],
+        canvas_size: int,
+        out_size: int,
+        batch_size: int,
+        num_workers: int = 8,
+        crop_names=ALL_CROPS,
+        prefetch_batches: int = 4,
+    ):
+        self.image_paths = list(image_paths)
+        self.canvas_size = canvas_size
+        self.out_size = out_size
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.crop_names = crop_names
+        self.prefetch_batches = prefetch_batches
+        self.skipped: list[str] = []
+
+    def __len__(self) -> int:
+        return (len(self.image_paths) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        sentinel = object()
+
+        def producer():
+            try:
+                bs, C = self.batch_size, self.canvas_size
+                canvas = np.zeros((bs, C, C, 3), np.uint8)
+                # Padding rows must carry *valid* geometry (all-zero params would
+                # produce 0/0 NaNs in the resample weight normalization), so
+                # initialize every slot with full-canvas params.
+                crop_params = np.broadcast_to(
+                    make_crop_params(C, C, C, self.out_size, self.crop_names),
+                    (bs, len(self.crop_names), 2, 4),
+                ).copy().astype(np.float32)
+                stat_params = np.broadcast_to(
+                    make_stat_params(C, C, C), (bs, 8)
+                ).copy().astype(np.float32)
+                paths: list[str] = []
+                fill = 0
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for path, decoded in zip(
+                        self.image_paths,
+                        pool.map(
+                            _decode_one,
+                            self.image_paths,
+                            [C] * len(self.image_paths),
+                            chunksize=4,
+                        ),
+                    ):
+                        if decoded is None:
+                            log.warning("Skipping unreadable image %s", path)
+                            self.skipped.append(path)
+                            continue
+                        img, w, h = decoded
+                        oy, ox = (C - h) // 2, (C - w) // 2
+                        canvas[fill] = 0
+                        canvas[fill, oy : oy + h, ox : ox + w] = img
+                        crop_params[fill] = make_crop_params(
+                            w, h, C, self.out_size, self.crop_names
+                        )
+                        stat_params[fill] = make_stat_params(w, h, C)
+                        paths.append(path)
+                        fill += 1
+                        if fill == bs:
+                            q.put(
+                                Batch(
+                                    canvas.copy(),
+                                    crop_params.copy(),
+                                    stat_params.copy(),
+                                    paths,
+                                    fill,
+                                )
+                            )
+                            paths = []
+                            fill = 0
+                    if fill:
+                        canvas[fill:] = 0
+                        q.put(
+                            Batch(
+                                canvas.copy(),
+                                crop_params.copy(),
+                                stat_params.copy(),
+                                paths,
+                                fill,
+                            )
+                        )
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()

@@ -1,0 +1,184 @@
+"""Columnar embedding store: one memory-mapped ``[N, n_crops, D]`` array + index.
+
+The reference's scaling killer is N× ``torch.load`` of per-image ``.pt`` dicts in
+every downstream stage (dedup _2:30, train _4:46, predict _5:75 — SURVEY.md §3).
+This store keeps the per-image sidecars for interop but gives dedup/train/predict
+an O(1)-open, sequential-read path: embeddings land in a preallocated
+``.npy`` memmap, uuids in a text index, img stats in a parallel array.
+
+Layout: ``<root_dir>/.ctpu_store/<model-name-with-slashes-as-dashes>/``
+    meta.json        {model_name, crop_names, dim, n, dtype, img_stat_keys}
+    uuids.txt        one uuid per row
+    embeddings.npy   [N, n_crops, D]
+    img_stats.npy    [N, 22]  (optional)
+    valid.npy        [N] bool (rows whose image decoded successfully)
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from clip_assisted_data_labeling_tpu.ops.image_stats import IMG_STAT_KEYS
+
+
+def store_dir_for(root_dir: str, model_name: str) -> str:
+    safe = model_name.replace("/", "-")
+    return os.path.join(root_dir, ".ctpu_store", safe)
+
+
+class EmbeddingStore:
+    def __init__(self, directory: str, meta: dict, mode: str = "r"):
+        self.directory = directory
+        self.meta = meta
+        shape = (meta["n"], len(meta["crop_names"]), meta["dim"])
+        self.embeddings = np.lib.format.open_memmap(
+            os.path.join(directory, "embeddings.npy"),
+            mode=mode,
+            dtype=np.dtype(meta["dtype"]),
+            shape=shape if mode.startswith("w") else None,
+        )
+        stats_path = os.path.join(directory, "img_stats.npy")
+        self.img_stats = None
+        if mode.startswith("w") and meta.get("with_stats"):
+            self.img_stats = np.lib.format.open_memmap(
+                stats_path, mode=mode, dtype=np.float32, shape=(meta["n"], len(IMG_STAT_KEYS))
+            )
+        elif os.path.exists(stats_path):
+            self.img_stats = np.lib.format.open_memmap(stats_path, mode=mode)
+        valid_path = os.path.join(directory, "valid.npy")
+        if mode.startswith("w"):
+            self.valid = np.lib.format.open_memmap(
+                valid_path, mode=mode, dtype=bool, shape=(meta["n"],)
+            )
+        else:
+            self.valid = (
+                np.lib.format.open_memmap(valid_path, mode=mode)
+                if os.path.exists(valid_path)
+                else np.ones(meta["n"], bool)
+            )
+        self._uuids: list[str] | None = None
+        self._index: dict[str, int] | None = None
+
+    # --- creation -----------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        root_dir: str,
+        model_name: str,
+        crop_names: list[str],
+        dim: int,
+        uuids: list[str],
+        dtype: str = "float16",
+        with_stats: bool = True,
+    ) -> "EmbeddingStore":
+        directory = store_dir_for(root_dir, model_name)
+        os.makedirs(directory, exist_ok=True)
+        meta = {
+            "model_name": model_name,
+            "crop_names": list(crop_names),
+            "dim": int(dim),
+            "n": len(uuids),
+            "dtype": dtype,
+            "with_stats": with_stats,
+            "img_stat_keys": list(IMG_STAT_KEYS),
+        }
+        with open(os.path.join(directory, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(directory, "uuids.txt"), "w") as f:
+            f.write("\n".join(uuids))
+        store = cls(directory, meta, mode="w+")
+        store._uuids = list(uuids)
+        return store
+
+    @classmethod
+    def open(cls, root_dir: str, model_name: str, mode: str = "r") -> "EmbeddingStore":
+        directory = store_dir_for(root_dir, model_name)
+        with open(os.path.join(directory, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(directory, meta, mode=mode)
+
+    @staticmethod
+    def exists(root_dir: str, model_name: str) -> bool:
+        return os.path.exists(os.path.join(store_dir_for(root_dir, model_name), "meta.json"))
+
+    # --- access -------------------------------------------------------------------
+    @property
+    def uuids(self) -> list[str]:
+        if self._uuids is None:
+            with open(os.path.join(self.directory, "uuids.txt")) as f:
+                self._uuids = f.read().splitlines()
+        return self._uuids
+
+    def index_of(self, uuid: str) -> int:
+        if self._index is None:
+            self._index = {u: i for i, u in enumerate(self.uuids)}
+        return self._index[uuid]
+
+    def write_rows(self, start: int, embeddings: np.ndarray, stats: np.ndarray | None = None,
+                   valid: np.ndarray | None = None) -> None:
+        end = start + len(embeddings)
+        self.embeddings[start:end] = embeddings.astype(self.embeddings.dtype)
+        if stats is not None and self.img_stats is not None:
+            self.img_stats[start:end] = stats
+        self.valid[start:end] = True if valid is None else valid
+
+    def flush(self) -> None:
+        self.embeddings.flush()
+        if self.img_stats is not None:
+            self.img_stats.flush()
+        self.valid.flush()
+
+    def crop_index(self, crop_name: str) -> int:
+        from clip_assisted_data_labeling_tpu.store.sidecar import resolve_crop_key
+
+        names = self.meta["crop_names"]
+        key = resolve_crop_key({n: True for n in names}, crop_name)
+        if key is None:
+            raise KeyError(f"crop {crop_name} not in store ({names})")
+        return names.index(key)
+
+    # --- bulk import from reference-format sidecars ---------------------------------
+    @classmethod
+    def from_sidecars(
+        cls, root_dir: str, model_name: str, uuid_paths: dict[str, str]
+    ) -> "EmbeddingStore":
+        """Build a store by scanning existing ``.pt`` sidecars (e.g. a dataset
+        embedded by the reference toolkit)."""
+        from clip_assisted_data_labeling_tpu.store.sidecar import read_sidecar
+
+        uuids = sorted(uuid_paths)
+        first = None
+        for u in uuids:
+            d = read_sidecar(uuid_paths[u])
+            if model_name == "auto":
+                model_name = next(iter(d.keys()))
+            if model_name in d:
+                first = d[model_name]
+                break
+        if first is None:
+            raise ValueError(f"no sidecar contains model {model_name}")
+        crop_names = [k for k in first if not k.startswith("img_stat_")]
+        stat_keys = [k for k in first if k.startswith("img_stat_")]
+        dim = int(np.asarray(first[crop_names[0]]).reshape(-1).shape[0])
+
+        store = cls.create(
+            root_dir, model_name, crop_names, dim, uuids, with_stats=bool(stat_keys)
+        )
+        for i, u in enumerate(uuids):
+            try:
+                d = read_sidecar(uuid_paths[u])[model_name]
+                emb = np.stack(
+                    [np.asarray(d[c], np.float32).reshape(-1) for c in crop_names]
+                )
+                stats = (
+                    np.asarray([float(d[k]) for k in stat_keys], np.float32)
+                    if stat_keys
+                    else None
+                )
+                store.write_rows(i, emb[None], None if stats is None else stats[None])
+            except Exception:
+                store.valid[i] = False
+        store.flush()
+        return store
