@@ -1,0 +1,52 @@
+"""Device-mesh utilities: the TPU-native replacement for the reference's absent
+distributed layer (SURVEY.md §2b — the reference is single-GPU; scale-out here is
+a first-class new component).
+
+Conventions:
+  * a 1-D ``('data',)`` mesh for data-parallel embedding/prediction and the ring
+    dedup; multi-host slices extend the same axis over ICI,
+  * batch arrays sharded on their leading axis, model params replicated,
+  * optional ``('data', 'model')`` 2-D mesh for tensor-parallel ViT serving of
+    models too big for one chip (sharding rules in parallel/tp.py).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def device_count() -> int:
+    return jax.device_count()
+
+
+def get_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def get_mesh_2d(data: int, model: int) -> Mesh:
+    devices = np.asarray(jax.devices()[: data * model]).reshape(data, model)
+    return Mesh(devices, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, array, axis: str = "data"):
+    """Place an array with its leading dim sharded over the mesh axis."""
+    spec = P(axis, *([None] * (array.ndim - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def multihost_init() -> None:
+    """Initialize jax.distributed when launched across hosts. Single-process
+    (the common case here) is a no-op."""
+    import os
+
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

@@ -6,8 +6,7 @@ only used by bench.py.
 """
 import os
 
-# Must be set before jax is imported anywhere in the test process. Hard-set (not
-# setdefault): the interactive session may point JAX at the axon TPU tunnel.
+# The XLA flag must be set before the CPU backend initializes (first jax op).
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
@@ -18,6 +17,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax
 import numpy as np
 import pytest
+
+# The session's sitecustomize may have imported jax at interpreter start with
+# JAX_PLATFORMS=axon (the TPU tunnel), in which case the env edit above came too
+# late — force the platform through the live config as well.
+jax.config.update("jax_platforms", "cpu")
 
 # XLA CPU's oneDNN fast path trades f32 matmul precision for speed; golden parity
 # tests need deterministic full-precision accumulation.

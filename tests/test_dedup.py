@@ -1,0 +1,104 @@
+"""Dedup: blocked single-device and mesh-sharded ring vs a brute-force oracle."""
+import numpy as np
+import pytest
+
+import jax
+
+from clip_assisted_data_labeling_tpu.ops.diversity import farthest_point_order
+from clip_assisted_data_labeling_tpu.ops.similarity import (
+    cosine_similarity_matrix,
+    find_duplicate_pairs,
+    normalize_rows,
+)
+from clip_assisted_data_labeling_tpu.parallel import (
+    find_duplicate_pairs_sharded,
+    get_mesh,
+)
+
+
+def make_embeddings(rng, n=200, d=32, n_dupes=12, threshold=0.97):
+    emb = rng.normal(0, 1, (n, d)).astype(np.float32)
+    emb = normalize_rows(emb)
+    expected = set()
+    for t in range(n_dupes):
+        i = int(rng.integers(0, n - 1))
+        j = int(rng.integers(i + 1, n))
+        # make j a slightly perturbed copy of i
+        noise = rng.normal(0, 0.01, d).astype(np.float32)
+        emb[j] = normalize_rows((emb[i] + noise)[None])[0]
+    sims = normalize_rows(emb) @ normalize_rows(emb).T
+    iu, ju = np.triu_indices(n, k=1)
+    mask = sims[iu, ju] > threshold
+    expected = set(zip(iu[mask].tolist(), ju[mask].tolist()))
+    return emb, expected
+
+
+def test_blocked_dedup_matches_oracle(rng):
+    emb, expected = make_embeddings(rng)
+    res = find_duplicate_pairs(emb, threshold=0.97, row_block=64)
+    got = set(zip(res.rows.tolist(), res.cols.tolist()))
+    assert got == expected
+    assert len(res.overflow_rows) == 0
+    # metrics are the actual cosines
+    normed = normalize_rows(emb)
+    for i, j, m in res.pairs():
+        assert abs(float(normed[i] @ normed[j]) - m) < 1e-5
+
+
+def test_sharded_dedup_matches_oracle(rng):
+    mesh = get_mesh()  # 8 virtual CPU devices from conftest
+    assert np.prod(mesh.devices.shape) == 8
+    emb, expected = make_embeddings(rng, n=203)  # non-divisible by 8 on purpose
+    res = find_duplicate_pairs_sharded(emb, threshold=0.97, mesh=mesh)
+    got = set(zip(res.rows.tolist(), res.cols.tolist()))
+    assert got == expected
+    assert len(res.overflow_rows) == 0
+
+
+def test_sharded_matches_blocked(rng):
+    emb, _ = make_embeddings(rng, n=160, n_dupes=20, threshold=0.9)
+    a = find_duplicate_pairs(emb, threshold=0.9, row_block=32)
+    b = find_duplicate_pairs_sharded(emb, threshold=0.9, mesh=get_mesh())
+    assert set(zip(a.rows.tolist(), a.cols.tolist())) == set(
+        zip(b.rows.tolist(), b.cols.tolist())
+    )
+
+
+def test_overflow_detection(rng):
+    # 40 identical embeddings: every row matches every later row (39 > k)
+    emb = np.tile(normalize_rows(rng.normal(0, 1, (1, 16))), (40, 1))
+    res = find_duplicate_pairs(emb, threshold=0.99, row_block=64, max_per_row=4)
+    assert len(res.overflow_rows) > 0  # capacity exceeded is reported
+
+
+def test_euclidean_replicates_reference_semantics(rng):
+    """Reference selects DISTANCE > threshold on normalized embeddings (a quirk)."""
+    emb, _ = make_embeddings(rng, n=60, n_dupes=0)
+    res = find_duplicate_pairs(emb, threshold=1.2, sim_type="euclidean", row_block=64)
+    normed = normalize_rows(emb)
+    d = np.sqrt(np.maximum(2 - 2 * normed @ normed.T, 0))
+    iu, ju = np.triu_indices(60, k=1)
+    expected = set(zip(iu[(d[iu, ju] > 1.2)].tolist(), ju[(d[iu, ju] > 1.2)].tolist()))
+    got = set(zip(res.rows.tolist(), res.cols.tolist()))
+    # capacity-limited: got must be a subset; with k=16 and few matches, equal
+    if not res.overflow_rows.size:
+        assert got == expected
+
+
+def test_farthest_point_order(rng):
+    # three tight clusters; a diverse prefix of 3 must hit all clusters
+    centers = normalize_rows(rng.normal(0, 1, (3, 16)))
+    emb = np.concatenate(
+        [normalize_rows(c + rng.normal(0, 0.01, (10, 16))) for c in centers]
+    )
+    order = farthest_point_order(emb, n_order=3, seed_idx=0)
+    clusters = set(int(i) // 10 for i in order[:3])
+    assert clusters == {0, 1, 2}
+    # full permutation property
+    assert sorted(farthest_point_order(emb, n_order=30).tolist()) == list(range(30))
+
+
+def test_cosine_similarity_matrix(rng):
+    a = rng.normal(0, 1, (5, 8)).astype(np.float32)
+    m = np.asarray(cosine_similarity_matrix(a, a))
+    np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-5)
