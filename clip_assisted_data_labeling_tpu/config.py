@@ -51,6 +51,7 @@ class EmbedConfig:
     compute_dtype: str = "bfloat16"  # "float32" for parity-exact runs
     with_image_stats: bool = True
     shuffle_filenames: bool = True
+    write_sidecars: bool = True  # reference-compatible .pt files alongside the store
 
 
 @dataclasses.dataclass(frozen=True)

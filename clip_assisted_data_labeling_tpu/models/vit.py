@@ -70,7 +70,12 @@ _ARCHS = {
     "PE-Core-L14-336": dict(width=1024, layers=24, heads=16, patch_size=14, image_size=336, embed_dim=1024),
     "PE-Core-G14-448": dict(width=1536, layers=50, heads=16, patch_size=14, image_size=448, embed_dim=1280),
 }
-MODEL_REGISTRY: dict[str, VitConfig] = {}
+MODEL_REGISTRY: dict[str, VitConfig] = {
+    # tiny config for tests / multi-chip dry runs (not a real pretrained model)
+    "ViT-Test/tiny": VitConfig(
+        width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16
+    ),
+}
 for _arch, _kw in _ARCHS.items():
     if _arch.startswith("PE-"):
         MODEL_REGISTRY[_arch] = VitConfig(**_kw, **_OPEN)

@@ -62,6 +62,11 @@ def _ring_dedup(
 ):
     m = normed.shape[0] // n_devices
 
+    # per-tile top-k cannot exceed the tile width m, but the *running* capacity
+    # is the requested k — merging across the d ring steps accumulates up to d·m
+    # candidates per row, so small shards don't silently shrink capacity.
+    k_tile = min(k, m)
+
     def ring_fn(local):
         local = local.reshape(m, local.shape[-1])
         p = jax.lax.axis_index(axis)
@@ -74,7 +79,7 @@ def _ring_dedup(
         for s in range(n_devices):
             src = (p - s) % n_devices
             vals, idx, cnt = _tile(
-                local, col_block, row_off, src * m, n_real, threshold, k, euclidean
+                local, col_block, row_off, src * m, n_real, threshold, k_tile, euclidean
             )
             counts = counts + cnt
             cat_v = jnp.concatenate([run_vals, vals], axis=1)
@@ -112,7 +117,7 @@ def find_duplicate_pairs_sharded(
     n_pad = m * n_devices
     if n_pad != n:
         normed = np.pad(normed, ((0, n_pad - n), (0, 0)))
-    k = min(max_per_row, m)
+    k = min(max_per_row, n_pad)
 
     sharded = jax.device_put(jnp.asarray(normed), NamedSharding(mesh, P(axis, None)))
     vals, idx, counts = _ring_dedup(

@@ -1,0 +1,177 @@
+"""Stage 2 — near-duplicate removal via all-pairs cosine similarity.
+
+TPU-native rework of _2_remove_duplicates.py. The reference loads every ``.pt``
+sidecar, builds a full N×N matrix on one GPU, and therefore (a) caps a pass at
+~10k images and (b) only finds duplicates *within* a chunk/subdir (README.md:70-71).
+Here embeddings stream from the columnar store (sidecar fallback), the similarity
+runs tiled on-device (ops/similarity.py) or ring-sharded over the mesh
+(parallel/dedup_sharded.py), and the WHOLE dataset is searched in one global pass
+— no chunk boundaries, no missed cross-chunk pairs.
+
+File handling replicates the reference: above-threshold pairs send the *target*
+file-group (all extensions sharing the basename) to a sibling
+``near_duplicates_{sim}_{thr}`` dir with ``{sim:.3f}_{idx:08d}_`` prefixes; copy
+mode also copies the source group; ``--test`` dry-runs.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+
+from clip_assisted_data_labeling_tpu.config import CROP_SQUARE_PADDED, DedupConfig
+from clip_assisted_data_labeling_tpu.ops.similarity import DedupResult, find_duplicate_pairs
+from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
+from clip_assisted_data_labeling_tpu.store.sidecar import read_sidecar, resolve_crop_key
+
+
+def load_embeddings(root_dir: str, cfg: DedupConfig):
+    """(paths, embeddings [N, D]) for the dedup crop. Store-first, sidecars second."""
+    model = cfg.clip_model_to_use
+    if model is None or EmbeddingStore.exists(root_dir, model or ""):
+        store_base = os.path.join(root_dir, ".ctpu_store")
+        if model is None and os.path.isdir(store_base):
+            import json
+
+            for d in sorted(os.listdir(store_base)):
+                meta_p = os.path.join(store_base, d, "meta.json")
+                if os.path.exists(meta_p):
+                    with open(meta_p) as f:
+                        model = json.load(f)["model_name"]
+                    print(f"----> clip_model_to_use not specified, using store: {model}")
+                    break
+    if model is not None and EmbeddingStore.exists(root_dir, model):
+        store = EmbeddingStore.open(root_dir, model)
+        ci = store.crop_index(cfg.crop_to_use)
+        valid = np.asarray(store.valid)
+        emb = np.asarray(store.embeddings[:, ci], np.float32)[valid]
+        uuids = [u for u, v in zip(store.uuids, valid) if v]
+        paths = [os.path.join(root_dir, u + ".jpg") for u in uuids]
+        return paths, emb
+
+    # sidecar fallback (reference-embedded datasets, _2:8-49 semantics)
+    paths, embs = [], []
+    for sub, _dirs, files in os.walk(root_dir):
+        stems = {}
+        for f in files:
+            stem, ext = os.path.splitext(f)
+            stems.setdefault(stem, set()).add(ext)
+        for stem, exts in sorted(stems.items()):
+            if ".jpg" not in exts or ".pt" not in exts:
+                continue
+            try:
+                d = read_sidecar(os.path.join(sub, stem + ".pt"))
+                if model is None:
+                    model = next(iter(d.keys()))
+                    print(f"----> clip_model_to_use not specified, defaulting to: {model}")
+                feats = d[model]
+                key = resolve_crop_key(feats, cfg.crop_to_use)
+                if key is None:
+                    continue
+                embs.append(np.asarray(feats[key], np.float32).reshape(-1))
+                paths.append(os.path.join(sub, stem + ".jpg"))
+            except Exception:
+                continue
+    return paths, (np.stack(embs) if embs else np.zeros((0, 1), np.float32))
+
+
+def fix_duplicate(index: int, pair_paths, outdir: str, sim_value: float, mode: str):
+    """Move/copy the file groups of a duplicate pair (reference _2:102-125)."""
+    for role, path in zip(("source", "target"), pair_paths):
+        dirname = os.path.dirname(path)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        try:
+            group = [f for f in os.listdir(dirname) if stem in f]
+        except FileNotFoundError:
+            continue
+        for f in group:
+            src = os.path.join(dirname, f)
+            dst = os.path.join(outdir, f"{sim_value:.3f}_{index:08d}_{role}_{f}")
+            if mode == "copy":
+                shutil.copy(src, dst)
+            elif mode == "move" and role == "target" and os.path.exists(src):
+                os.rename(src, dst)
+
+
+def run_dedup(root_dir: str, cfg: DedupConfig, use_mesh: bool | None = None) -> DedupResult:
+    paths, emb = load_embeddings(root_dir, cfg)
+    print(f"Loaded {len(paths)} embeddings, computing similarities..")
+    if len(paths) < 2:
+        return DedupResult(*(np.empty(0, np.int64),) * 2, np.empty(0, np.float32),
+                           np.empty(0, np.int64))
+
+    import jax
+
+    if use_mesh is None:
+        use_mesh = jax.device_count() > 1
+    if use_mesh:
+        from clip_assisted_data_labeling_tpu.parallel import (
+            find_duplicate_pairs_sharded,
+            get_mesh,
+        )
+
+        result = find_duplicate_pairs_sharded(
+            emb, threshold=cfg.threshold, sim_type=cfg.sim_type,
+            mesh=get_mesh(), max_per_row=cfg.max_pairs_per_row,
+        )
+    else:
+        result = find_duplicate_pairs(
+            emb, threshold=cfg.threshold, sim_type=cfg.sim_type,
+            max_per_row=cfg.max_pairs_per_row,
+        )
+    if result.overflow_rows.size:
+        print(
+            f"WARNING: {len(result.overflow_rows)} rows exceeded the per-row pair "
+            f"capacity ({cfg.max_pairs_per_row}); re-run with a higher "
+            "--max_pairs_per_row to catch every pair for those rows."
+        )
+
+    print(f"Found {len(result.rows)} duplicates!")
+    if len(result.rows) and not cfg.test:
+        output_dir = os.path.join(
+            os.path.dirname(root_dir.rstrip("/")),
+            f"near_duplicates_{cfg.sim_type}_{cfg.threshold}",
+        )
+        os.makedirs(output_dir, exist_ok=True)
+        verb = "copying" if cfg.mode == "copy" else "moving"
+        print(f"{verb} {len(result.rows)} near duplicates to {output_dir}...")
+        moved_targets = set()
+        for idx, (i, j, sim) in enumerate(result.pairs()):
+            if cfg.mode == "move" and j in moved_targets:
+                continue
+            fix_duplicate(idx, (paths[i], paths[j]), output_dir, sim, cfg.mode)
+            moved_targets.add(j)
+    return result
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--root_dir", type=str, required=True)
+    parser.add_argument("--threshold", type=float, default=0.96)
+    parser.add_argument("--mode", type=str, default="copy", choices=["copy", "move"])
+    parser.add_argument("--sim_type", type=str, default="cosine",
+                        choices=["cosine", "euclidean"])
+    parser.add_argument("--clip_model_to_use", type=str, default=None)
+    parser.add_argument("--chunk_size", type=int, default=0,
+                        help="accepted for reference-CLI compatibility; the TPU "
+                        "path searches the whole dataset globally")
+    parser.add_argument("--max_pairs_per_row", type=int, default=16)
+    parser.add_argument("--test", action="store_true")
+    args = parser.parse_args(argv)
+
+    cfg = DedupConfig(
+        threshold=args.threshold,
+        mode=args.mode,
+        sim_type=args.sim_type,
+        clip_model_to_use=args.clip_model_to_use,
+        chunk_size=args.chunk_size,
+        test=args.test,
+        max_pairs_per_row=args.max_pairs_per_row,
+    )
+    run_dedup(args.root_dir, cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""Stage 1 — embed every image with CLIP: 4 crops + handcrafted stats.
+
+TPU-native rework of _1_embed_with_CLIP.py: the host loader decodes onto fixed
+canvases; ONE jitted program per batch does 4-crop extraction, resize,
+normalization, the ViT forward, and the 22 image stats. Outputs go to both the
+reference-compatible ``.pt`` sidecars (incremental per-model merge, skip-if-
+already-embedded) and the columnar store that downstream stages stream from.
+
+CLI mirrors the reference's flags (_1:186-197) plus TPU-specific knobs.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+from concurrent.futures import ThreadPoolExecutor
+
+import jax.numpy as jnp
+import numpy as np
+
+from clip_assisted_data_labeling_tpu.config import ALL_CROPS, EmbedConfig
+from clip_assisted_data_labeling_tpu.data.loader import BatchedImageLoader, find_images
+from clip_assisted_data_labeling_tpu.models.encoders import create_encoder
+from clip_assisted_data_labeling_tpu.ops.image_stats import (
+    IMG_STAT_KEYS,
+    image_stats_batch,
+)
+from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
+from clip_assisted_data_labeling_tpu.store.sidecar import has_model_key, read_sidecar, write_sidecar
+from clip_assisted_data_labeling_tpu.utils.timer import StageTimer
+
+log = logging.getLogger(__name__)
+
+
+def _uuid_of(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _sidecar_path(path: str) -> str:
+    return os.path.splitext(path)[0] + ".pt"
+
+
+def embed_dataset(root_dir: str, cfg: EmbedConfig) -> dict[str, EmbeddingStore | None]:
+    """Run every requested model over the dataset. Returns per-model stores."""
+    img_paths = find_images(root_dir)
+    if cfg.shuffle_filenames:
+        random.shuffle(img_paths)
+    else:
+        img_paths.sort()
+    print(f"---> Found {len(img_paths)} images in {root_dir}")
+
+    stores: dict[str, EmbeddingStore | None] = {}
+    for model_name in cfg.models_to_use:
+        print(f"\n--- Processing model: {model_name} ---")
+        stores[model_name] = _embed_one_model(root_dir, img_paths, model_name, cfg)
+    return stores
+
+
+def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
+    timer = StageTimer()
+
+    # incremental skip: only embed images whose sidecar lacks this model's key
+    # (reference _1:117-128); the check itself is parallelized
+    if cfg.force_reencode:
+        todo = list(img_paths)
+        skipped = []
+    else:
+        with timer.time("skip_check", len(img_paths)):
+            with ThreadPoolExecutor(cfg.num_workers) as pool:
+                have = list(
+                    pool.map(
+                        lambda p: has_model_key(_sidecar_path(p), model_name), img_paths
+                    )
+                )
+        todo = [p for p, h in zip(img_paths, have) if not h]
+        skipped = [p for p, h in zip(img_paths, have) if h]
+    print(f"Embedding {len(todo)} images ({len(skipped)} already embedded)")
+
+    encoder = create_encoder(
+        model_name,
+        model_path=cfg.model_path,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+    )
+
+    store = None
+    uuids_all = [_uuid_of(p) for p in img_paths]
+    store = EmbeddingStore.create(
+        root_dir,
+        model_name,
+        list(cfg.crop_names),
+        encoder.embed_dim,
+        uuids_all,
+        with_stats=cfg.with_image_stats,
+    )
+    row_of = {u: i for i, u in enumerate(uuids_all)}
+
+    loader = BatchedImageLoader(
+        todo,
+        canvas_size=cfg.canvas_size,
+        out_size=encoder.img_resolution,
+        batch_size=cfg.batch_size,
+        num_workers=cfg.num_workers,
+        crop_names=cfg.crop_names,
+    )
+
+    n_done = 0
+    with ThreadPoolExecutor(max(2, cfg.num_workers // 2)) as writer_pool:
+        for batch in loader:
+            with timer.time("device", batch.n_valid):
+                emb = encoder.embed_crops(batch.canvas, batch.crop_params)
+                stats = (
+                    image_stats_batch(batch.canvas, batch.stat_params)
+                    if cfg.with_image_stats
+                    else None
+                )
+                emb = np.asarray(emb)[: batch.n_valid]
+                stats_np = (
+                    np.asarray(stats)[: batch.n_valid] if stats is not None else None
+                )
+
+            with timer.time("store_write", batch.n_valid):
+                for bi, path in enumerate(batch.paths):
+                    store.write_rows(
+                        row_of[_uuid_of(path)],
+                        emb[bi : bi + 1],
+                        None if stats_np is None else stats_np[bi : bi + 1],
+                    )
+
+            def write_batch_sidecars(paths, emb_np, stats_arr):
+                for bi, path in enumerate(paths):
+                    crop_embs = {
+                        crop: emb_np[bi, ci]
+                        for ci, crop in enumerate(cfg.crop_names)
+                    }
+                    img_stats = (
+                        dict(zip(IMG_STAT_KEYS, map(float, stats_arr[bi])))
+                        if stats_arr is not None
+                        else None
+                    )
+                    write_sidecar(
+                        _sidecar_path(path), model_name, crop_embs, img_stats,
+                        merge=not cfg.force_reencode,
+                    )
+
+            if cfg.write_sidecars:
+                writer_pool.submit(write_batch_sidecars, batch.paths, emb, stats_np)
+            n_done += batch.n_valid
+            if n_done and n_done % 1000 < cfg.batch_size:
+                print(f"Processed {n_done}/{len(todo)} images")
+
+    # backfill store rows for already-embedded images from their sidecars
+    for path in skipped:
+        try:
+            d = read_sidecar(_sidecar_path(path))[model_name]
+            emb = np.stack(
+                [
+                    np.asarray(d[c], np.float32).reshape(-1)
+                    for c in store.meta["crop_names"]
+                    if c in d
+                ]
+            )
+            if emb.shape[0] != len(store.meta["crop_names"]):
+                continue
+            stats = (
+                np.asarray([float(d[k]) for k in IMG_STAT_KEYS if k in d], np.float32)
+                if cfg.with_image_stats
+                else None
+            )
+            if stats is not None and len(stats) != len(IMG_STAT_KEYS):
+                stats = None
+            store.write_rows(
+                row_of[_uuid_of(path)], emb[None],
+                None if stats is None else stats[None],
+            )
+        except Exception as e:  # keep going; row stays invalid
+            log.warning("Could not backfill %s: %s", path, e)
+            store.valid[row_of[_uuid_of(path)]] = False
+    for path in loader.skipped:
+        store.valid[row_of[_uuid_of(path)]] = False
+    store.flush()
+
+    print("\n--- Feature encoding done! ---")
+    print(f"Embedded {n_done} images ({len(skipped)} already embedded); model key '{model_name}'")
+    print(timer.report())
+    return store
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--root_dir", type=str, required=True,
+                        help="Root directory of the dataset (can contain subdirectories)")
+    parser.add_argument("--models_to_use", type=str, nargs="+",
+                        default=["ViT-L-14-336/openai"],
+                        help="CLIP (Arch/pretrained) or PE (PE-…) models to use")
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--force_reencode", action="store_true")
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="Local directory with model weights (.npz or torch)")
+    parser.add_argument("--canvas_size", type=int, default=1024)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--no_sidecars", action="store_true",
+                        help="Skip per-image .pt sidecars (columnar store only)")
+    parser.add_argument("--no_image_stats", action="store_true")
+    args = parser.parse_args(argv)
+
+    cfg = EmbedConfig(
+        models_to_use=args.models_to_use,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        force_reencode=args.force_reencode,
+        model_path=args.model_path,
+        crop_names=ALL_CROPS,
+        canvas_size=args.canvas_size,
+        compute_dtype=args.compute_dtype,
+        with_image_stats=not args.no_image_stats,
+        write_sidecars=not args.no_sidecars,
+    )
+    embed_dataset(args.root_dir, cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Stage 5 — predict labels for all images with a trained regressor.
+
+TPU-native rework of _5_predict_labels.py: feature assembly streams from the
+columnar store when present (one memmap read instead of N torch.loads), inference
+is one jitted batched forward, and all the reference's side effects are kept:
+outer-merge into the CSV DB, ``predicted_label`` writeback into per-image
+``.json`` sidecars, optional score-prefixed preview copies, periodic CSV flushes,
+and the final label-distribution histogram.
+
+Model files: our ``.npz`` checkpoints or the reference's ``.pth`` module pickles
+(both self-describe their CLIP models + crops); fuzzy substring lookup in
+``models/`` matches the reference's find_model (_5:48-56).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+
+import numpy as np
+
+from clip_assisted_data_labeling_tpu.models.regressor import SimpleFCRegressor
+from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
+from clip_assisted_data_labeling_tpu.store.database import LabelDatabase
+from clip_assisted_data_labeling_tpu.store.sidecar import assemble_features, read_sidecar
+from clip_assisted_data_labeling_tpu.utils import plots
+
+
+def find_model(model_name: str, model_dir: str = "models") -> str | None:
+    """Exact path, else substring lookup in model_dir (reference _5:48-56)."""
+    if os.path.isfile(model_name):
+        return model_name
+    if not os.path.isdir(model_dir):
+        return None
+    for f in sorted(os.listdir(model_dir)):
+        if model_name in f:
+            return os.path.join(model_dir, f)
+    return None
+
+
+def load_model(path: str) -> SimpleFCRegressor:
+    if path.endswith(".npz"):
+        return SimpleFCRegressor.load(path)
+    return SimpleFCRegressor.load_torch_pickle(path)
+
+
+def _gather_features(root_dir: str, uuids: list[str], model: SimpleFCRegressor):
+    """Returns (kept_uuids, features[N,F]). Prefers the columnar store."""
+    clip_models = list(model.meta.clip_models)
+    crop_names = list(model.meta.crop_names)
+    stores = {}
+    for m in clip_models:
+        if EmbeddingStore.exists(root_dir, m):
+            stores[m] = EmbeddingStore.open(root_dir, m)
+
+    kept, feats = [], []
+    for uuid in uuids:
+        try:
+            if len(stores) == len(clip_models):
+                parts = []
+                for m in clip_models:
+                    s = stores[m]
+                    i = s.index_of(uuid)
+                    if not bool(s.valid[i]):
+                        raise KeyError("invalid row")
+                    idxs = [s.crop_index(c) for c in crop_names]
+                    part = np.asarray(s.embeddings[i][idxs], np.float32).reshape(-1)
+                    if model.meta.use_img_stat_features:
+                        part = np.concatenate(
+                            [part, np.asarray(s.img_stats[i], np.float32)]
+                        )
+                    parts.append(part)
+                feats.append(np.concatenate(parts))
+            else:
+                sidecar = read_sidecar(os.path.join(root_dir, uuid + ".pt"))
+                feats.append(
+                    assemble_features(
+                        sidecar, clip_models, crop_names,
+                        model.meta.use_img_stat_features,
+                    )
+                )
+            kept.append(uuid)
+        except Exception as e:
+            print(f"WARNING: {e} for {uuid}, skipping this sample..")
+    if not feats:
+        return [], np.zeros((0, model.meta.input_size), np.float32)
+    return kept, np.stack(feats).astype(np.float32)
+
+
+def predict_labels(
+    root_dir: str,
+    model_file: str,
+    batch_size: int = 512,
+    copy_imgs_fraction: float = 0.01,
+    seed: int = 0,
+) -> int:
+    model_path = find_model(model_file)
+    if model_path is None:
+        raise FileNotFoundError(f"could not find model file {model_file}")
+    model = load_model(model_path)
+    print(f"Loaded regression model trained on CLIP models: {list(model.meta.clip_models)}")
+
+    db = LabelDatabase.load_or_create(root_dir)
+    uuids = [
+        os.path.splitext(f)[0] for f in os.listdir(root_dir) if f.endswith(".jpg")
+    ]
+    kept, feats = _gather_features(root_dir, uuids, model)
+    print(f"Predicting labels for {len(kept)} of {len(uuids)} images...")
+    if not kept:
+        return 0
+
+    output_dir = root_dir.rstrip("/") + "_predicted_scores"
+    rng = np.random.default_rng(seed)
+    n_flushed = 0
+    for start in range(0, len(kept), batch_size):
+        batch_uuids = kept[start : start + batch_size]
+        scores = model.predict(feats[start : start + batch_size])
+        db.merge_predictions(batch_uuids, scores)
+
+        # predicted_label writeback into .json sidecars (reference _5:159-167)
+        for uuid, score in zip(batch_uuids, scores):
+            jpath = os.path.join(root_dir, uuid + ".json")
+            if os.path.exists(jpath):
+                try:
+                    with open(jpath) as f:
+                        data = json.load(f)
+                    data["predicted_label"] = float(score)
+                    with open(jpath, "w") as f:
+                        json.dump(data, f)
+                except Exception as e:
+                    print(f"WARNING: could not update {jpath}: {e}")
+
+        if copy_imgs_fraction > 0:  # preview copies (reference _5:170-177)
+            os.makedirs(output_dir, exist_ok=True)
+            pick = rng.random(len(batch_uuids)) < copy_imgs_fraction
+            for uuid, score, take in zip(batch_uuids, scores, pick):
+                if take:
+                    src = os.path.join(root_dir, uuid + ".jpg")
+                    if os.path.exists(src):
+                        shutil.copy(
+                            src, os.path.join(output_dir, f"{score:.3f}_{uuid}.jpg")
+                        )
+
+        if (start // batch_size) % 10 == 9:  # periodic flush (reference _5:179-180)
+            db.save()
+        n_flushed = start + len(batch_uuids)
+
+    db.save()
+    plots.plot_label_distribution(db.df["predicted_label"].values, root_dir)
+    print(f"{n_flushed} of {len(uuids)} imgs predicted.")
+    mean = np.nanmean(db.df["predicted_label"].astype(float).values)
+    print(f"Average predicted label: {mean:.3f}")
+    print(f"Database saved at {db.path}")
+    return n_flushed
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--root_dir", type=str, required=True)
+    parser.add_argument("--model_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=512)
+    parser.add_argument("--copy_imgs_fraction", type=float, default=0.01)
+    parser.add_argument("--num_workers", type=int, default=4,
+                        help="accepted for reference-CLI compatibility")
+    args = parser.parse_args(argv)
+
+    # recursively apply to all subdirectories holding jpgs (reference _5:204-210)
+    for root, _dirs, files in os.walk(args.root_dir):
+        if any(f.endswith(".jpg") for f in files) and "_predicted_scores" not in root:
+            print(f"\nPredicting labels for {root}...")
+            predict_labels(
+                root, args.model_file, args.batch_size, args.copy_imgs_fraction
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,366 @@
+"""Stage 4 — train the FC label regressor on (embedding → label) pairs.
+
+TPU-native rework of _4_train_model.py: feature assembly streams from the
+columnar store when present (falling back to per-uuid ``.pt`` sidecars for
+reference-embedded datasets), the whole dataset lives on device, and each epoch
+is ONE jitted ``lax.scan`` over batches (forward, backward, Adam update, dropout)
+instead of a per-batch Python loop.
+
+Replicated training semantics: torch-Adam-style L2 (weight decay folded into the
+gradient), CosineAnnealingWarmRestarts stepped per epoch, MSE on sigmoid outputs,
+min-max label normalization to [0,1] with the bounds recorded in the checkpoint
+metadata, dummy-mean baseline loss reported alongside, loss/r² plot artifacts.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from clip_assisted_data_labeling_tpu.config import TrainConfig
+from clip_assisted_data_labeling_tpu.models.regressor import (
+    RegressorMeta,
+    SimpleFCRegressor,
+    regressor_apply,
+)
+from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
+from clip_assisted_data_labeling_tpu.store.sidecar import assemble_features, read_sidecar
+from clip_assisted_data_labeling_tpu.utils import plots
+
+
+# --------------------------------------------------------------------------------
+# data loading
+# --------------------------------------------------------------------------------
+def load_training_data(
+    train_data_dir: str,
+    train_data_names: list[str],
+    clip_models_to_use: list[str],
+    crop_names: list[str],
+    use_img_stat_features: bool,
+):
+    """Assemble (features, labels) over ≥1 labeled datasets (reference _4:28-81)."""
+    import pandas as pd
+
+    features, labels = [], []
+    resolved_models = list(clip_models_to_use)
+
+    for name in train_data_names:
+        csv_path = os.path.join(train_data_dir, name + ".csv")
+        root = os.path.join(train_data_dir, name)
+        data = pd.read_csv(csv_path).dropna(subset=["label"])
+        data = data.sample(frac=1).reset_index(drop=True)
+
+        if resolved_models[0] == "all":
+            resolved_models = _discover_models(root, data)
+            print(f"----> Using all found clip models: {resolved_models}")
+
+        stores = {}
+        for m in resolved_models:
+            if EmbeddingStore.exists(root, m):
+                stores[m] = EmbeddingStore.open(root, m)
+
+        n_samples, skips = 0, 0
+        for _, row in data.iterrows():
+            uuid, label = row["uuid"], row["label"]
+            try:
+                if len(stores) == len(resolved_models):
+                    feats = _assemble_from_stores(
+                        stores, resolved_models, crop_names, use_img_stat_features, uuid
+                    )
+                else:
+                    sidecar = read_sidecar(os.path.join(root, f"{uuid}.pt"))
+                    feats = assemble_features(
+                        sidecar, resolved_models, crop_names, use_img_stat_features
+                    )
+                features.append(feats)
+                labels.append(float(label))
+                n_samples += 1
+            except Exception:
+                skips += 1
+        print(f"Loaded {n_samples} samples from {name}" + (f" (skipped {skips})" if skips else ""))
+
+    return np.stack(features).astype(np.float32), np.asarray(labels, np.float32), resolved_models
+
+
+def _discover_models(root: str, data) -> list[str]:
+    store_base = os.path.join(root, ".ctpu_store")
+    if os.path.isdir(store_base):
+        names = []
+        for d in sorted(os.listdir(store_base)):
+            import json
+
+            meta = os.path.join(store_base, d, "meta.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    names.append(json.load(f)["model_name"])
+        if names:
+            return names
+    for uuid in data["uuid"].values[:50]:
+        p = os.path.join(root, f"{uuid}.pt")
+        if os.path.exists(p):
+            return list(read_sidecar(p).keys())
+    raise FileNotFoundError(f"No embeddings found under {root}")
+
+
+def _assemble_from_stores(stores, models, crop_names, use_stats, uuid):
+    parts = []
+    for m in models:
+        s = stores[m]
+        i = s.index_of(uuid)
+        if not bool(s.valid[i]):
+            raise KeyError(f"{uuid} invalid in store {m}")
+        idxs = [s.crop_index(c) for c in crop_names]
+        feats = np.asarray(s.embeddings[i][idxs], np.float32).reshape(-1)
+        if use_stats:
+            if s.img_stats is None:
+                raise KeyError("store has no img stats")
+            feats = np.concatenate([feats, np.asarray(s.img_stats[i], np.float32)])
+        parts.append(feats)
+    return np.concatenate(parts)
+
+
+# --------------------------------------------------------------------------------
+# jitted training
+# --------------------------------------------------------------------------------
+def _lr_at_epoch(epoch, cfg: TrainConfig) -> float:
+    """CosineAnnealingWarmRestarts(T_0=restart_epochs, T_mult=1) stepped per epoch."""
+    t_cur = epoch % cfg.restart_epochs
+    return cfg.min_lr + (cfg.lr - cfg.min_lr) * (
+        1 + np.cos(np.pi * t_cur / cfg.restart_epochs)
+    ) / 2
+
+
+def make_optimizer(weight_decay: float):
+    # torch-Adam semantics: weight decay is L2 added to the gradient before the
+    # moment updates (reference uses Adam(weight_decay=…), not AdamW); the
+    # per-epoch learning rate is applied manually so the warm-restart schedule
+    # lives outside the optimizer state.
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dropout_prob", "weight_decay"), donate_argnums=(0, 1)
+)
+def _train_epoch(params, opt_state, xb, yb, wb, lr, key,
+                 dropout_prob: float, weight_decay: float):
+    """One epoch as a scan over [n_batches, batch, F] with per-sample weights."""
+    opt = make_optimizer(weight_decay)
+
+    def loss_fn(p, x, y, w, k):
+        out = regressor_apply(p, x, dropout_prob=dropout_prob, dropout_key=k)[:, 0]
+        se = (out - y) ** 2 * w
+        return jnp.sum(se) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def step(carry, batch):
+        p, s, k = carry
+        x, y, w = batch
+        k, sub = jax.random.split(k)
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, w, sub)
+        updates, s = opt.update(grads, s, p)
+        p = jax.tree.map(lambda a, u: a - lr * u, p, updates)
+        return (p, s, k), loss
+
+    (params, opt_state, _), losses = jax.lax.scan(
+        step, (params, opt_state, key), (xb, yb, wb)
+    )
+    return params, opt_state, jnp.mean(losses)
+
+
+@jax.jit
+def _eval_mse(params, x, y):
+    out = regressor_apply(params, x)[:, 0]
+    mse = jnp.mean((out - y) ** 2)
+    dummy = jnp.mean((jnp.mean(y) - y) ** 2)
+    return mse, dummy, out
+
+
+def _batch(x, y, batch_size, rng):
+    n = len(x)
+    order = rng.permutation(n)
+    n_batches = max(1, (n + batch_size - 1) // batch_size)
+    pad = n_batches * batch_size - n
+    idx = np.concatenate([order, np.zeros(pad, np.int64)])
+    w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    shape = (n_batches, batch_size)
+    return (
+        x[idx].reshape(shape + x.shape[1:]),
+        y[idx].reshape(shape),
+        w.reshape(shape),
+    )
+
+
+def train_regressor(
+    features: np.ndarray,
+    labels: np.ndarray,
+    cfg: TrainConfig,
+    clip_models: list[str],
+    plot_dir: str = ".",
+    verbose: bool = True,
+):
+    rng = np.random.default_rng(cfg.random_seed)
+
+    # min-max label normalization (reference _4:84-88), bounds kept in metadata
+    lmin, lmax = float(labels.min()), float(labels.max())
+    denom = (lmax - lmin) if lmax > lmin else 1.0
+    labels = (labels - lmin) / denom
+
+    n = len(features)
+    test_size = int(cfg.test_fraction * n)
+    perm = rng.permutation(n)
+    test_idx, train_idx = perm[:test_size], perm[test_size:]
+    x_train, y_train = features[train_idx], labels[train_idx]
+    x_test = jnp.asarray(features[test_idx])
+    y_test = jnp.asarray(labels[test_idx])
+    if verbose:
+        print(f"Training on {len(train_idx)} samples, testing on {len(test_idx)}.")
+
+    meta = RegressorMeta(
+        clip_models=tuple(clip_models),
+        crop_names=tuple(cfg.crop_names),
+        input_size=int(features.shape[1]),
+        hidden_sizes=tuple(cfg.hidden_sizes),
+        use_img_stat_features=cfg.use_img_stat_features,
+        dropout_prob=cfg.dropout_prob,
+        data_min=lmin,
+        data_max=lmax,
+    )
+    model = SimpleFCRegressor.create(jax.random.key(cfg.random_seed), meta)
+    params = model.params
+
+    opt = make_optimizer(cfg.weight_decay)
+    opt_state = opt.init(params)
+    key = jax.random.key(cfg.random_seed + 1)
+
+    train_losses, test_losses, lrs = [], [], []
+    plot_every = max(1, cfg.n_epochs // 10)
+    for epoch in range(cfg.n_epochs):
+        lr = _lr_at_epoch(epoch, cfg)
+        xb, yb, wb = _batch(x_train, y_train, cfg.batch_size, rng)
+        key, sub = jax.random.split(key)
+        params, opt_state, train_loss = _train_epoch(
+            params,
+            opt_state,
+            jnp.asarray(xb),
+            jnp.asarray(yb),
+            jnp.asarray(wb),
+            jnp.float32(lr),
+            sub,
+            float(cfg.dropout_prob),
+            float(cfg.weight_decay),
+        )
+        if test_size > 0:
+            test_mse, dummy_mse, test_preds = _eval_mse(params, x_test, y_test)
+            test_losses.append(float(test_mse))
+        else:
+            test_mse, dummy_mse, test_preds = -1.0, -1.0, None
+            test_losses.append(-1.0)
+        train_losses.append(float(train_loss))
+        lrs.append(lr)
+        if verbose and epoch % 2 == 0:
+            print(
+                f"Epoch {epoch + 1}/{cfg.n_epochs}, train-mse: {train_loss:.4f}, "
+                f"lr: {lr:.6f}, test mse: {float(test_mse):.4f} "
+                f"(dummy: {float(dummy_mse):.4f})"
+            )
+        if epoch % plot_every == 0:
+            plots.plot_losses(
+                train_losses, test_losses, lrs,
+                out_path=os.path.join(plot_dir, "training_progress.png"),
+            )
+            if test_preds is not None and epoch % 5 == 0:
+                plots.plot_test_scatter(
+                    np.asarray(y_test), np.asarray(test_preds), epoch,
+                    out_path=os.path.join(plot_dir, "test_set_predictions.png"),
+                )
+
+    if test_size > 0 and verbose:
+        best = int(np.argmin(test_losses))
+        print(f"---> Best test mse loss: {test_losses[best]:.4f} in epoch {best + 1}")
+    plots.plot_losses(
+        train_losses, test_losses, lrs,
+        out_path=os.path.join(plot_dir, "training_progress.png"),
+    )
+
+    model.params = params
+    history = {"train": train_losses, "test": test_losses, "lrs": lrs,
+               "n_train": len(train_idx)}
+    return model, history
+
+
+def save_model(model: SimpleFCRegressor, history: dict, cfg: TrainConfig,
+               out_dir: str = "models") -> str:
+    """Reference-style self-describing filename (_4_train_model.py:231-238)."""
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d_%H:%M:%S")
+    name = (
+        f"{cfg.model_name}_{stamp}_{history['n_train'] / 1000:.1f}k_imgs_"
+        f"{cfg.n_epochs}_epochs_{history['test'][-1]:.4f}_mse.npz"
+    )
+    path = os.path.join(out_dir, name)
+    model.save(path)
+    print("Final model saved as:", path)
+    return path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--train_data_dir", type=str, required=True)
+    parser.add_argument("--train_data_names", type=str, nargs="+", required=True)
+    parser.add_argument("--model_name", type=str, default="regressor")
+    parser.add_argument("--dont_save", action="store_true")
+    parser.add_argument("--clip_models_to_use", metavar="S", type=str, nargs="+",
+                        default=["all"])
+    parser.add_argument("--crop_names", type=str, nargs="+",
+                        default=["centre_crop", "subcrop2_0.1"])
+    parser.add_argument("--use_img_stat_features", action="store_true")
+    parser.add_argument("--test_fraction", type=float, default=0.25)
+    parser.add_argument("--n_epochs", type=int, default=60)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--min_lr", type=float, default=1e-6)
+    parser.add_argument("--restart_epochs", type=int, default=10)
+    parser.add_argument("--weight_decay", type=float, default=6e-4)
+    parser.add_argument("--dropout_prob", type=float, default=0.5)
+    parser.add_argument("--hidden_sizes", type=int, nargs="+", default=[264, 128, 64])
+    parser.add_argument("--random_seed", type=int, default=42)
+    args = parser.parse_args(argv)
+
+    cfg = TrainConfig(
+        clip_models_to_use=args.clip_models_to_use,
+        crop_names=args.crop_names,
+        use_img_stat_features=args.use_img_stat_features,
+        test_fraction=args.test_fraction,
+        n_epochs=args.n_epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        min_lr=args.min_lr,
+        restart_epochs=args.restart_epochs,
+        weight_decay=args.weight_decay,
+        dropout_prob=args.dropout_prob,
+        hidden_sizes=args.hidden_sizes,
+        random_seed=args.random_seed,
+        model_name=args.model_name,
+        dont_save=args.dont_save,
+    )
+    np.random.seed(cfg.random_seed)
+    features, labels, models = load_training_data(
+        args.train_data_dir, args.train_data_names, list(cfg.clip_models_to_use),
+        list(cfg.crop_names), cfg.use_img_stat_features,
+    )
+    print("Features shape:", features.shape, "Labels shape:", labels.shape)
+    model, history = train_regressor(features, labels, cfg, models)
+    if not cfg.dont_save:
+        save_model(model, history, cfg)
+
+
+if __name__ == "__main__":
+    main()
