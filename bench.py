@@ -1,0 +1,78 @@
+"""Headline benchmark: 4-crop ViT-L/14 images embedded per second per chip.
+
+Runs the full device path — uint8 canvases → fused 4-crop preprocess → bf16 ViT
+forward → L2-normalized embeddings — in steady state on whatever accelerator JAX
+sees, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: 5,000 imgs/sec/chip (driver BASELINE.json target for v5e). Weights are
+random-init (zero-egress environment); throughput is weight-agnostic.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_bench(model: str, batch: int, canvas: int, steps: int, warmup: int,
+              parity: bool) -> dict:
+    import jax
+
+    from __graft_entry__ import _example_batch
+    from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+
+    encoder = CLIPImageEncoder(model, parity_preprocess=parity)
+    canvases, crop_params = _example_batch(batch, canvas, encoder.img_resolution)
+
+    dev = jax.devices()[0]
+    canvases = jax.device_put(canvases, dev)
+    crop_params = jax.device_put(crop_params, dev)
+
+    for _ in range(warmup):
+        encoder.embed_crops(canvases, crop_params).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        emb = encoder.embed_crops(canvases, crop_params)
+    emb.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * steps / dt
+    return {
+        "metric": f"4-crop {model} images embedded/sec/chip (canvas {canvas}, batch {batch})",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / 5000.0, 4),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="ViT-L-14/openai")
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--canvas", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--parity_preprocess", action="store_true",
+                        help="uint8-exact preprocess (default: fast bf16 path)")
+    args = parser.parse_args()
+
+    print(
+        f"[bench] {args.model} batch={args.batch} canvas={args.canvas} "
+        f"steps={args.steps}",
+        file=sys.stderr,
+    )
+    result = run_bench(
+        args.model, args.batch, args.canvas, args.steps, args.warmup,
+        args.parity_preprocess,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -155,22 +155,38 @@ def _act(x, kind: str):
     return jax.nn.gelu(x, approximate=False)
 
 
-def _block(x, p, cfg: VitConfig):
+def _block(x, p, cfg: VitConfig, fused_attention: bool):
     """One pre-LN transformer block. x: [B, S, w]."""
     B, S, w = x.shape
     h, d = cfg.heads, cfg.head_dim
 
     y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
-    qkv = y @ p["qkv_kernel"].astype(y.dtype) + p["qkv_bias"].astype(y.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(B, S, h, d).transpose(0, 2, 1, 3)
-    k = k.reshape(B, S, h, d).transpose(0, 2, 1, 3)
-    v = v.reshape(B, S, h, d).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores * (d ** -0.5), axis=-1).astype(v.dtype)
-    attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, w)
-    x = x + attn @ p["out_kernel"].astype(x.dtype) + p["out_bias"].astype(x.dtype)
+    if fused_attention:
+        # Head-major q/k/v straight out of the projection einsum (the transpose
+        # rides the matmul epilogue instead of materializing 3 copies before the
+        # Pallas kernel — attention here is HBM-bandwidth-bound), and the output
+        # transpose folds into the out-projection contraction the same way.
+        from clip_assisted_data_labeling_tpu.ops.attention import fused_attention as fa
+
+        wqkv = p["qkv_kernel"].astype(y.dtype).reshape(w, 3, h, d)
+        bqkv = p["qkv_bias"].astype(y.dtype).reshape(3, h, d)
+        qkv = jnp.einsum("bsw,wthd->tbhsd", y, wqkv) + bqkv[:, None, :, None, :]
+        attn = fa(qkv[0], qkv[1], qkv[2], scale=d ** -0.5)
+        proj = jnp.einsum(
+            "bhsd,hdw->bsw", attn, p["out_kernel"].astype(x.dtype).reshape(h, d, w)
+        )
+        x = x + proj + p["out_bias"].astype(x.dtype)
+    else:
+        from clip_assisted_data_labeling_tpu.ops.attention import attention_xla
+
+        qkv = y @ p["qkv_kernel"].astype(y.dtype) + p["qkv_bias"].astype(y.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+        attn = attention_xla(q, k, v, scale=d ** -0.5)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, w)
+        x = x + attn @ p["out_kernel"].astype(x.dtype) + p["out_bias"].astype(x.dtype)
 
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
     y = _act(y @ p["fc1_kernel"].astype(y.dtype) + p["fc1_bias"].astype(y.dtype), cfg.act)
@@ -188,16 +204,26 @@ def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch_size * patch_size * C)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "normalize"))
+def default_fused_attention() -> bool:
+    """Use the Pallas fused-attention kernel on TPU; XLA path elsewhere."""
+    return jax.default_backend() == "tpu" or jax.default_backend() == "axon"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype", "normalize", "fused_attention")
+)
 def vit_encode_image(
     params: dict,
     images: jnp.ndarray,  # [B, R, R, 3] preprocessed (CLIP-normalized) NHWC
     cfg: VitConfig,
     compute_dtype=jnp.bfloat16,
     normalize: bool = True,
+    fused_attention: bool | None = None,
 ) -> jnp.ndarray:
     """Full image-tower forward → [B, embed_dim] (L2-normalized like the
     reference's encode_image, utils/embedder.py:98-99)."""
+    if fused_attention is None:
+        fused_attention = default_fused_attention()
     x = patchify(images.astype(compute_dtype), cfg.patch_size)
     x = x @ params["patch_kernel"].astype(compute_dtype)
     cls = jnp.broadcast_to(
@@ -208,7 +234,7 @@ def vit_encode_image(
     x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
 
     def body(carry, block_params):
-        return _block(carry, block_params, cfg), None
+        return _block(carry, block_params, cfg, fused_attention), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
 

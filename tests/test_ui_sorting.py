@@ -1,0 +1,74 @@
+"""Sorting strategies + fused-attention kernel parity (interpret mode)."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from clip_assisted_data_labeling_tpu.ops.attention import attention_xla, fused_attention
+from clip_assisted_data_labeling_tpu.store.database import LabelDatabase
+from clip_assisted_data_labeling_tpu.store.sidecar import write_sidecar
+from clip_assisted_data_labeling_tpu.ui.sorting import re_order_images
+
+
+@pytest.fixture()
+def sorted_dataset(tmp_path, rng):
+    root = tmp_path / "ds"
+    root.mkdir()
+    preds = [0.9, 0.1, 0.5, 0.3, 0.7]
+    files = []
+    for i, p in enumerate(preds):
+        uuid = f"u{i}"
+        Image.fromarray(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)).save(
+            root / f"{uuid}.jpg"
+        )
+        files.append(str(root / f"{uuid}.jpg"))
+    db = LabelDatabase.load_or_create(str(root))
+    db.merge_predictions([f"u{i}" for i in range(5)], np.asarray(preds))
+    return root, files, db
+
+
+def test_sort_strategies(sorted_dataset):
+    root, files, db = sorted_dataset
+    uid = lambda f: os.path.splitext(os.path.basename(f))[0]
+
+    assert re_order_images(files, db, str(root), "uuid") == files
+    bad = [uid(f) for f in re_order_images(files, db, str(root), "bad_first")]
+    assert bad == ["u1", "u3", "u2", "u4", "u0"]
+    good = [uid(f) for f in re_order_images(files, db, str(root), "good_first")]
+    assert good == ["u0", "u4", "u2", "u3", "u1"]
+    middle = [uid(f) for f in re_order_images(files, db, str(root), "middle")]
+    assert middle[0] == "u2"  # 0.5 == median
+    # reference dialog labels resolve too
+    assert [uid(f) for f in re_order_images(files, db, str(root), "Predicted bad first")] == bad
+
+    with pytest.raises(ValueError):
+        re_order_images(files, db, str(root), "nonsense")
+
+
+def test_diversity_sort_from_sidecars(sorted_dataset, rng):
+    root, files, _db = sorted_dataset
+    # 2 clusters: u0-u2 near base, u3/u4 near -base
+    base = rng.normal(0, 1, 8).astype(np.float32)
+    for i in range(5):
+        center = base if i < 3 else -base
+        write_sidecar(
+            str(root / f"u{i}.pt"), "m/x",
+            {"square_padded_crop": center + rng.normal(0, 0.01, 8).astype(np.float32)},
+        )
+    ordered = re_order_images(files, _db, str(root), "diversity")
+    assert len(ordered) == 5
+    first_two = {os.path.basename(f)[1] for f in ordered[:2]}
+    # the first two picks must span both clusters
+    assert any(c in "012" for c in first_two) and any(c in "34" for c in first_two)
+
+
+def test_fused_attention_interpret_matches_xla(rng):
+    q = jnp.asarray(rng.normal(0, 1, (2, 3, 9, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (2, 3, 9, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (2, 3, 9, 8)).astype(np.float32))
+    ref = np.asarray(attention_xla(q, k, v, scale=0.3))
+    got = np.asarray(fused_attention(q, k, v, scale=0.3, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
