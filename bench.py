@@ -23,6 +23,10 @@ def run_bench(model: str, batch: int, canvas: int, steps: int, warmup: int,
               parity: bool) -> dict:
     import jax
 
+    # persistent compile cache: the first ViT-L compile through the remote
+    # tunnel can take minutes; subsequent runs hit the cache
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
+
     from __graft_entry__ import _example_batch
     from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
 
@@ -33,13 +37,15 @@ def run_bench(model: str, batch: int, canvas: int, steps: int, warmup: int,
     canvases = jax.device_put(canvases, dev)
     crop_params = jax.device_put(crop_params, dev)
 
+    # NOTE: measurements force a host fetch of (a slice of) the result —
+    # block_until_ready is unreliable on the experimental axon platform.
     for _ in range(warmup):
-        encoder.embed_crops(canvases, crop_params).block_until_ready()
+        np.asarray(encoder.embed_crops(canvases, crop_params)[:1, :1, :4])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         emb = encoder.embed_crops(canvases, crop_params)
-    emb.block_until_ready()
+    np.asarray(emb[:1, :1, :4])  # executions are queued in order; this drains all
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * steps / dt

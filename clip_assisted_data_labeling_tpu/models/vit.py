@@ -162,20 +162,15 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool):
 
     y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
     if fused_attention:
-        # Head-major q/k/v straight out of the projection einsum (the transpose
-        # rides the matmul epilogue instead of materializing 3 copies before the
-        # Pallas kernel — attention here is HBM-bandwidth-bound), and the output
-        # transpose folds into the out-projection contraction the same way.
-        from clip_assisted_data_labeling_tpu.ops.attention import fused_attention as fa
+        # Packed-qkv Pallas kernel: consumes the projection's [B, S, 3w] output
+        # as-is and emits [B, S, w] — zero layout copies around the kernel, and
+        # no [B, h, S, S] score tensor ever touches HBM (the attention here is
+        # bandwidth-bound, not FLOP-bound).
+        from clip_assisted_data_labeling_tpu.ops.attention import fused_attention_packed
 
-        wqkv = p["qkv_kernel"].astype(y.dtype).reshape(w, 3, h, d)
-        bqkv = p["qkv_bias"].astype(y.dtype).reshape(3, h, d)
-        qkv = jnp.einsum("bsw,wthd->tbhsd", y, wqkv) + bqkv[:, None, :, None, :]
-        attn = fa(qkv[0], qkv[1], qkv[2], scale=d ** -0.5)
-        proj = jnp.einsum(
-            "bhsd,hdw->bsw", attn, p["out_kernel"].astype(x.dtype).reshape(h, d, w)
-        )
-        x = x + proj + p["out_bias"].astype(x.dtype)
+        qkv = y @ p["qkv_kernel"].astype(y.dtype) + p["qkv_bias"].astype(y.dtype)
+        attn = fused_attention_packed(qkv, heads=h, scale=d ** -0.5)
+        x = x + attn @ p["out_kernel"].astype(x.dtype) + p["out_bias"].astype(x.dtype)
     else:
         from clip_assisted_data_labeling_tpu.ops.attention import attention_xla
 

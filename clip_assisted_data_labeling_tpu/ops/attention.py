@@ -82,3 +82,56 @@ def attention_xla(q, k, v, scale):
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(scores * scale, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _packed_kernel(qkv_ref, o_ref, *, heads: int, scale: float, s_real: int):
+    """qkv packed [1, S_pad, 3w] exactly as the projection matmul wrote it —
+    per-head lane slices happen in VMEM, so the kernel needs NO layout copies on
+    either side."""
+    s_pad = qkv_ref.shape[1]
+    w = o_ref.shape[2]
+    d = w // heads
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    for h in range(heads):
+        q = qkv_ref[0, :, h * d : (h + 1) * d]
+        k = qkv_ref[0, :, w + h * d : w + (h + 1) * d]
+        v = qkv_ref[0, :, 2 * w + h * d : 2 * w + (h + 1) * d]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        scores = jnp.where(col < s_real, scores, -jnp.inf)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        o_ref[0, :, h * d : (h + 1) * d] = jax.lax.dot_general(
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def fused_attention_packed(
+    qkv: jnp.ndarray,  # [B, S, 3w] straight from the qkv projection
+    heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-head attention on the packed qkv tensor → [B, S, w]."""
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    s_pad = _round_up(s, 8)
+    if s_pad != s:
+        qkv = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)])
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, heads=heads, scale=scale, s_real=s),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, w3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s_pad, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(qkv)
+    return out[:, :s, :]

@@ -83,6 +83,25 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         compute_dtype=jnp.dtype(cfg.compute_dtype),
     )
 
+    # data-parallel path: shard the batch over all visible devices
+    import jax
+
+    sharded = None
+    batch_size = cfg.batch_size
+    if jax.device_count() > 1:
+        from clip_assisted_data_labeling_tpu.parallel.embed_sharded import ShardedEmbedder
+        from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh()
+        n_dev = jax.device_count()
+        batch_size = ((cfg.batch_size + n_dev - 1) // n_dev) * n_dev
+        sharded = ShardedEmbedder(
+            encoder.params, encoder.cfg, mesh,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            parity_preprocess=encoder.parity_preprocess,
+        )
+        print(f"Data-parallel embedding over {n_dev} devices (batch {batch_size})")
+
     store = None
     uuids_all = [_uuid_of(p) for p in img_paths]
     store = EmbeddingStore.create(
@@ -99,7 +118,7 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         todo,
         canvas_size=cfg.canvas_size,
         out_size=encoder.img_resolution,
-        batch_size=cfg.batch_size,
+        batch_size=batch_size,
         num_workers=cfg.num_workers,
         crop_names=cfg.crop_names,
     )
@@ -108,12 +127,20 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
     with ThreadPoolExecutor(max(2, cfg.num_workers // 2)) as writer_pool:
         for batch in loader:
             with timer.time("device", batch.n_valid):
-                emb = encoder.embed_crops(batch.canvas, batch.crop_params)
-                stats = (
-                    image_stats_batch(batch.canvas, batch.stat_params)
-                    if cfg.with_image_stats
-                    else None
-                )
+                if sharded is not None:
+                    if cfg.with_image_stats:
+                        emb, stats = sharded.embed(
+                            batch.canvas, batch.crop_params, batch.stat_params
+                        )
+                    else:
+                        emb, stats = sharded.embed(batch.canvas, batch.crop_params), None
+                else:
+                    emb = encoder.embed_crops(batch.canvas, batch.crop_params)
+                    stats = (
+                        image_stats_batch(batch.canvas, batch.stat_params)
+                        if cfg.with_image_stats
+                        else None
+                    )
                 emb = np.asarray(emb)[: batch.n_valid]
                 stats_np = (
                     np.asarray(stats)[: batch.n_valid] if stats is not None else None

@@ -1,0 +1,51 @@
+"""Data-parallel embedding over the 8-device CPU mesh matches single-device."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import _example_batch
+from clip_assisted_data_labeling_tpu.models.vit import (
+    init_vit_params,
+    resolve_config,
+    vit_encode_image,
+)
+from clip_assisted_data_labeling_tpu.ops.crops import fused_crop_resize_normalize
+from clip_assisted_data_labeling_tpu.parallel.embed_sharded import ShardedEmbedder
+from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh
+
+
+def test_sharded_embed_matches_single(rng):
+    cfg = resolve_config("ViT-Test/tiny")
+    params = init_vit_params(cfg, jax.random.key(0))
+    canvases, crop_params = _example_batch(16, 128, cfg.image_size, seed=3)
+
+    mesh = get_mesh()
+    embedder = ShardedEmbedder(params, cfg, mesh, compute_dtype=jnp.float32)
+    sharded = np.asarray(embedder.embed(canvases, crop_params))
+
+    crops = fused_crop_resize_normalize(
+        canvases, crop_params, out_size=cfg.image_size, parity=False,
+        dtype=jnp.float32,
+    )
+    single = np.asarray(
+        vit_encode_image(
+            params, np.asarray(crops).reshape(-1, cfg.image_size, cfg.image_size, 3),
+            cfg, compute_dtype=jnp.float32,
+        )
+    ).reshape(16, 4, -1)
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
+def test_sharded_embed_with_stats(rng):
+    cfg = resolve_config("ViT-Test/tiny")
+    params = init_vit_params(cfg, jax.random.key(0))
+    canvases, crop_params = _example_batch(8, 128, cfg.image_size, seed=4)
+    from clip_assisted_data_labeling_tpu.ops.image_stats import make_stat_params
+
+    stat_params = np.stack([make_stat_params(100, 100, 128)] * 8)
+    embedder = ShardedEmbedder(params, cfg, get_mesh())
+    emb, stats = embedder.embed(canvases, crop_params, stat_params)
+    assert emb.shape == (8, 4, cfg.embed_dim)
+    assert stats.shape == (8, 22)
+    assert np.isfinite(np.asarray(stats)).all()

@@ -72,3 +72,20 @@ def test_fused_attention_interpret_matches_xla(rng):
     ref = np.asarray(attention_xla(q, k, v, scale=0.3))
     got = np.asarray(fused_attention(q, k, v, scale=0.3, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_packed_attention_interpret_matches_xla(rng):
+    from clip_assisted_data_labeling_tpu.ops.attention import fused_attention_packed
+
+    b, s, h, d = 2, 9, 3, 8
+    w = h * d
+    qkv = rng.normal(0, 1, (b, s, 3 * w)).astype(np.float32)
+    q = qkv[..., :w].reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    k = qkv[..., w : 2 * w].reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    v = qkv[..., 2 * w :].reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    ref = np.asarray(attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 0.3))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, w)
+    got = np.asarray(
+        fused_attention_packed(jnp.asarray(qkv), heads=h, scale=0.3, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
