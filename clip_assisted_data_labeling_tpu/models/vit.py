@@ -71,9 +71,12 @@ _ARCHS = {
     "PE-Core-G14-448": dict(width=1536, layers=50, heads=16, patch_size=14, image_size=448, embed_dim=1280),
 }
 MODEL_REGISTRY: dict[str, VitConfig] = {
-    # tiny config for tests / multi-chip dry runs (not a real pretrained model)
+    # tiny configs for tests / multi-chip dry runs (not real pretrained models)
     "ViT-Test/tiny": VitConfig(
         width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16
+    ),
+    "ViT-Test2/tiny": VitConfig(
+        width=48, layers=2, heads=4, patch_size=8, image_size=24, embed_dim=24
     ),
 }
 for _arch, _kw in _ARCHS.items():

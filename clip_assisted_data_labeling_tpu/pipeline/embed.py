@@ -231,6 +231,8 @@ def main(argv=None):
     parser.add_argument("--no_sidecars", action="store_true",
                         help="Skip per-image .pt sidecars (columnar store only)")
     parser.add_argument("--no_image_stats", action="store_true")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Write a jax.profiler trace of the run here")
     args = parser.parse_args(argv)
 
     cfg = EmbedConfig(
@@ -245,7 +247,13 @@ def main(argv=None):
         with_image_stats=not args.no_image_stats,
         write_sidecars=not args.no_sidecars,
     )
-    embed_dataset(args.root_dir, cfg)
+    if args.profile_dir:
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            embed_dataset(args.root_dir, cfg)
+    else:
+        embed_dataset(args.root_dir, cfg)
 
 
 if __name__ == "__main__":

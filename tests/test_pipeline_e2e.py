@@ -217,7 +217,28 @@ def test_6_subset(pipeline_dirs):
     assert copy_subset(str(root), cfg_test) is None
 
 
-def test_7_embed_store_from_sidecars(pipeline_dirs):
+def test_7_multi_model_embed_and_train(pipeline_dirs):
+    """Second encoder merges into the same sidecars (reference multi-model loop,
+    _1:207-215); training with both models concatenates their features."""
+    base, root = pipeline_dirs
+    cfg = EmbedConfig(
+        models_to_use=("ViT-Test2/tiny",), batch_size=4, num_workers=2,
+        canvas_size=768, compute_dtype="float32", shuffle_filenames=False,
+    )
+    embed_dataset(str(root), cfg)
+
+    pts = [f for f in os.listdir(root) if f.endswith(".pt")]
+    d = read_sidecar(str(root / pts[0]))
+    assert set(d.keys()) == {MODEL, "ViT-Test2/tiny"}  # both models, merged
+
+    feats, labels, models = load_training_data(
+        str(base / "data"), ["mydata"], ["all"], ["centre_crop", "subcrop2_0.1"], False
+    )
+    assert sorted(models) == [MODEL, "ViT-Test2/tiny"]
+    assert feats.shape[1] == 2 * 16 + 2 * 24  # crops × dims across both models
+
+
+def test_8_embed_store_from_sidecars(pipeline_dirs):
     """A dataset embedded elsewhere (sidecars only) can build its store."""
     _base, root = pipeline_dirs
     import shutil
