@@ -91,6 +91,7 @@ class BatchedImageLoader:
         num_workers: int = 8,
         crop_names=ALL_CROPS,
         prefetch_batches: int = 4,
+        use_native: bool = True,
     ):
         self.image_paths = list(image_paths)
         self.canvas_size = canvas_size
@@ -99,10 +100,78 @@ class BatchedImageLoader:
         self.num_workers = max(1, num_workers)
         self.crop_names = crop_names
         self.prefetch_batches = prefetch_batches
+        self.use_native = use_native
         self.skipped: list[str] = []
 
     def __len__(self) -> int:
         return (len(self.image_paths) + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, chunk: list[str], pool: ThreadPoolExecutor) -> Batch:
+        bs, C = self.batch_size, self.canvas_size
+        canvas = np.zeros((bs, C, C, 3), np.uint8)
+        # Padding rows must carry *valid* geometry (all-zero params would produce
+        # 0/0 NaNs in the resample weight normalization).
+        crop_params = np.broadcast_to(
+            make_crop_params(C, C, C, self.out_size, self.crop_names),
+            (bs, len(self.crop_names), 2, 4),
+        ).copy().astype(np.float32)
+        stat_params = np.broadcast_to(
+            make_stat_params(C, C, C), (bs, 8)
+        ).copy().astype(np.float32)
+
+        native = None
+        if self.use_native:
+            from clip_assisted_data_labeling_tpu.data.native_loader import (
+                decode_batch_native,
+            )
+
+            native = decode_batch_native(chunk, C, self.num_workers)
+
+        paths: list[str] = []
+        fill = 0
+        if native is not None:
+            n_canvases, dims = native
+            fallback_idx = [i for i in range(len(chunk)) if dims[i, 0] == 0]
+            fallback = dict(
+                zip(
+                    fallback_idx,
+                    pool.map(_decode_one, [chunk[i] for i in fallback_idx],
+                             [C] * len(fallback_idx)),
+                )
+            )
+            for i, path in enumerate(chunk):
+                if dims[i, 0] > 0:
+                    canvas[fill] = n_canvases[i]
+                    w, h = int(dims[i, 0]), int(dims[i, 1])
+                else:
+                    decoded = fallback.get(i)
+                    if decoded is None:
+                        log.warning("Skipping unreadable image %s", path)
+                        self.skipped.append(path)
+                        continue
+                    img, w, h = decoded
+                    oy, ox = (C - h) // 2, (C - w) // 2
+                    canvas[fill, oy : oy + h, ox : ox + w] = img
+                crop_params[fill] = make_crop_params(w, h, C, self.out_size, self.crop_names)
+                stat_params[fill] = make_stat_params(w, h, C)
+                paths.append(path)
+                fill += 1
+        else:
+            for path, decoded in zip(
+                chunk, pool.map(_decode_one, chunk, [C] * len(chunk))
+            ):
+                if decoded is None:
+                    log.warning("Skipping unreadable image %s", path)
+                    self.skipped.append(path)
+                    continue
+                img, w, h = decoded
+                oy, ox = (C - h) // 2, (C - w) // 2
+                canvas[fill, oy : oy + h, ox : ox + w] = img
+                crop_params[fill] = make_crop_params(w, h, C, self.out_size, self.crop_names)
+                stat_params[fill] = make_stat_params(w, h, C)
+                paths.append(path)
+                fill += 1
+        return Batch(canvas, crop_params, stat_params, paths, fill)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
@@ -110,67 +179,12 @@ class BatchedImageLoader:
 
         def producer():
             try:
-                bs, C = self.batch_size, self.canvas_size
-                canvas = np.zeros((bs, C, C, 3), np.uint8)
-                # Padding rows must carry *valid* geometry (all-zero params would
-                # produce 0/0 NaNs in the resample weight normalization), so
-                # initialize every slot with full-canvas params.
-                crop_params = np.broadcast_to(
-                    make_crop_params(C, C, C, self.out_size, self.crop_names),
-                    (bs, len(self.crop_names), 2, 4),
-                ).copy().astype(np.float32)
-                stat_params = np.broadcast_to(
-                    make_stat_params(C, C, C), (bs, 8)
-                ).copy().astype(np.float32)
-                paths: list[str] = []
-                fill = 0
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for path, decoded in zip(
-                        self.image_paths,
-                        pool.map(
-                            _decode_one,
-                            self.image_paths,
-                            [C] * len(self.image_paths),
-                            chunksize=4,
-                        ),
-                    ):
-                        if decoded is None:
-                            log.warning("Skipping unreadable image %s", path)
-                            self.skipped.append(path)
-                            continue
-                        img, w, h = decoded
-                        oy, ox = (C - h) // 2, (C - w) // 2
-                        canvas[fill] = 0
-                        canvas[fill, oy : oy + h, ox : ox + w] = img
-                        crop_params[fill] = make_crop_params(
-                            w, h, C, self.out_size, self.crop_names
-                        )
-                        stat_params[fill] = make_stat_params(w, h, C)
-                        paths.append(path)
-                        fill += 1
-                        if fill == bs:
-                            q.put(
-                                Batch(
-                                    canvas.copy(),
-                                    crop_params.copy(),
-                                    stat_params.copy(),
-                                    paths,
-                                    fill,
-                                )
-                            )
-                            paths = []
-                            fill = 0
-                    if fill:
-                        canvas[fill:] = 0
-                        q.put(
-                            Batch(
-                                canvas.copy(),
-                                crop_params.copy(),
-                                stat_params.copy(),
-                                paths,
-                                fill,
-                            )
-                        )
+                    for start in range(0, len(self.image_paths), self.batch_size):
+                        chunk = self.image_paths[start : start + self.batch_size]
+                        batch = self._make_batch(chunk, pool)
+                        if batch.n_valid:
+                            q.put(batch)
             finally:
                 q.put(sentinel)
 

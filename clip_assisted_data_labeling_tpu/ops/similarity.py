@@ -69,6 +69,72 @@ def _tile_topk(rows, cols, row_off, col_off, n_real, threshold, k: int, euclidea
     return vals, idx + col_off, counts
 
 
+def _tile_metric(rows, cols, euclidean: bool):
+    # inputs may arrive as fp16 (the reference also dedups in half precision,
+    # _2_remove_duplicates.py:38, and host→device bandwidth matters); the MXU
+    # accumulates in f32 either way
+    sim = jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
+    return jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim, 0.0)) if euclidean else sim
+
+
+@functools.partial(jax.jit, static_argnames=("euclidean",))
+def _scan_row_panel(stacked, bi, n_real, threshold, euclidean: bool):
+    """First pass for one row panel: exact above-threshold counts vs every
+    column panel bj ≥ bi, as ONE jitted fori_loop (one dispatch per row panel —
+    the naive per-tile top-k is both sort-bound and dispatch-bound).
+
+    stacked: [P, b, D] panel-stacked normalized embeddings; bi traced.
+    """
+    p, b, _ = stacked.shape
+    rows = jax.lax.dynamic_index_in_dim(stacked, bi, 0, keepdims=False)
+    gi = bi * b + jnp.arange(b)[:, None]
+
+    def body(bj, acc):
+        cols = jax.lax.dynamic_index_in_dim(stacked, bj, 0, keepdims=False)
+        metric = _tile_metric(rows, cols, euclidean)
+        gj = bj * b + jnp.arange(b)[None, :]
+        valid = (gj > gi) & (gj < n_real) & (gi < n_real)
+        return acc + jnp.sum(valid & (metric > threshold), axis=1)
+
+    return jax.lax.fori_loop(bi, p, body, jnp.zeros((b,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "euclidean"))
+def _extract_hits(stacked, hit_rows, hit_gidx, n_real, threshold, k: int,
+                  euclidean: bool):
+    """Second pass: exact top-k matches for the (few) hit rows against every
+    panel, merged in one fori_loop. hit_gidx carries global row indices for the
+    triangle mask (sentinel ≥ n_real disables padding rows)."""
+    p, b, _ = stacked.shape
+    k_tile = min(k, b)
+
+    def body(bj, carry):
+        run_vals, run_idx = carry
+        cols = jax.lax.dynamic_index_in_dim(stacked, bj, 0, keepdims=False)
+        metric = _tile_metric(hit_rows, cols, euclidean)
+        gj = bj * b + jnp.arange(b)[None, :]
+        valid = (gj > hit_gidx[:, None]) & (gj < n_real)
+        vals, idx = jax.lax.top_k(jnp.where(valid, metric, -jnp.inf), k_tile)
+        cat_v = jnp.concatenate([run_vals, vals], axis=1)
+        cat_i = jnp.concatenate([run_idx, idx + bj * b], axis=1)
+        run_vals, sel = jax.lax.top_k(cat_v, k)
+        run_idx = jnp.take_along_axis(cat_i, sel, axis=1)
+        return run_vals, run_idx
+
+    h = hit_rows.shape[0]
+    init = (jnp.full((h, k), -jnp.inf, jnp.float32), jnp.zeros((h, k), jnp.int32))
+    del threshold
+    return jax.lax.fori_loop(0, p, body, init)
+
+
+def _bucket(n: int, lo: int = 128) -> int:
+    """Round up to a power of two (bounded recompilation across hit counts)."""
+    size = lo
+    while size < n:
+        size *= 2
+    return size
+
+
 def find_duplicate_pairs(
     embeddings: np.ndarray,
     threshold: float = 0.96,
@@ -76,10 +142,16 @@ def find_duplicate_pairs(
     row_block: int = 8192,
     max_per_row: int = 16,
 ) -> DedupResult:
-    """Single-device blocked all-pairs near-duplicate search.
+    """Single-device blocked all-pairs near-duplicate search, two passes:
 
-    Streams [row_block, D] panels through the device; peak device memory is
-    O(row_block² + row_block·D) regardless of N.
+    1. scan — every tile runs matmul + threshold + row-count only (MXU-bound;
+       the full-tile top-k the naive design needs is ~30× slower than the
+       matmul on TPU),
+    2. extract — rows with a nonzero count (rare: actual duplicates) are
+       gathered into one padded panel and get an exact per-row top-k against
+       every column panel.
+
+    Peak device memory is O(row_block² + N·D) at any N.
     """
     euclidean = sim_type == "euclidean"
     n = len(embeddings)
@@ -88,43 +160,50 @@ def find_duplicate_pairs(
     n_pad = ((n + b - 1) // b) * b
     if n_pad != n:
         normed = np.pad(normed, ((0, n_pad - n), (0, 0)))
-    k = min(max_per_row, b)
 
-    all_rows, all_cols, all_vals = [], [], []
-    overflow = []
-    panels = [jnp.asarray(normed[s : s + b]) for s in range(0, n_pad, b)]
-    for bi, rows in enumerate(panels):
-        row_off = bi * b
-        # running per-row top-k across column panels (upper triangle only)
-        run_vals = None
-        run_idx = None
-        counts = jnp.zeros((b,), jnp.int32)
-        for bj in range(bi, len(panels)):
-            vals, idx, cnt = _tile_topk(
-                rows, panels[bj], row_off, bj * b, n, threshold, k, euclidean
-            )
-            counts = counts + cnt
-            if run_vals is None:
-                run_vals, run_idx = vals, idx
-            else:
-                cat_v = jnp.concatenate([run_vals, vals], axis=1)
-                cat_i = jnp.concatenate([run_idx, idx], axis=1)
-                run_vals, sel = jax.lax.top_k(cat_v, k)
-                run_idx = jnp.take_along_axis(cat_i, sel, axis=1)
-        v = np.asarray(run_vals)
-        j = np.asarray(run_idx)
-        c = np.asarray(counts)
-        hit_r, hit_k = np.nonzero(v > threshold)
-        all_rows.append(hit_r + row_off)
-        all_cols.append(j[hit_r, hit_k])
-        all_vals.append(v[hit_r, hit_k])
-        overflow.append(np.nonzero(c > k)[0] + row_off)
+    empty = DedupResult(
+        np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0, np.float32), np.empty(0, np.int64),
+    )
+    if n < 2:
+        return empty
 
+    n_panels = n_pad // b
+    # fp16 over the wire: halves host→device traffic (the dominant cost for
+    # large N), matching the reference's half-precision dedup embeddings
+    stacked = jnp.asarray(normed.reshape(n_panels, b, -1).astype(np.float16))
+
+    # pass 1: exact above-threshold counts per row (queued async per row panel)
+    count_chunks = [
+        _scan_row_panel(stacked, jnp.int32(bi), n, threshold, euclidean)
+        for bi in range(n_panels)
+    ]
+    counts = np.concatenate([np.asarray(c) for c in count_chunks]).astype(np.int64)
+
+    hit = np.nonzero(counts > 0)[0]
+    if hit.size == 0:
+        return empty
+
+    # pass 2: exact top-k for hit rows only
+    k = min(max_per_row, n_pad)
+    h_pad = _bucket(len(hit))
+    gidx = np.full(h_pad, n_pad + 1, np.int32)  # sentinel masks padding rows
+    gidx[: len(hit)] = hit
+    hit_panel = np.zeros((h_pad, normed.shape[1]), np.float32)
+    hit_panel[: len(hit)] = normed[hit]
+
+    run_vals, run_idx = _extract_hits(
+        stacked, jnp.asarray(hit_panel.astype(np.float16)), jnp.asarray(gidx),
+        n, threshold, k, euclidean,
+    )
+    v = np.asarray(run_vals)[: len(hit)]
+    j = np.asarray(run_idx)[: len(hit)]
+    hit_r, hit_k = np.nonzero(v > threshold)
     return DedupResult(
-        rows=np.concatenate(all_rows) if all_rows else np.empty(0, np.int64),
-        cols=np.concatenate(all_cols) if all_cols else np.empty(0, np.int64),
-        metrics=np.concatenate(all_vals) if all_vals else np.empty(0, np.float32),
-        overflow_rows=np.concatenate(overflow) if overflow else np.empty(0, np.int64),
+        rows=hit[hit_r].astype(np.int64),
+        cols=j[hit_r, hit_k].astype(np.int64),
+        metrics=v[hit_r, hit_k],
+        overflow_rows=np.nonzero(counts > k)[0].astype(np.int64),
     )
 
 

@@ -119,7 +119,11 @@ def find_duplicate_pairs_sharded(
         normed = np.pad(normed, ((0, n_pad - n), (0, 0)))
     k = min(max_per_row, n_pad)
 
-    sharded = jax.device_put(jnp.asarray(normed), NamedSharding(mesh, P(axis, None)))
+    # fp16 over the wire and around the ring: halves H2D + ICI traffic (the
+    # reference dedups in half precision too, _2_remove_duplicates.py:38)
+    sharded = jax.device_put(
+        jnp.asarray(normed.astype(np.float16)), NamedSharding(mesh, P(axis, None))
+    )
     vals, idx, counts = _ring_dedup(
         sharded, n, threshold, mesh, n_devices, k, sim_type == "euclidean", axis
     )

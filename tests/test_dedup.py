@@ -39,10 +39,11 @@ def test_blocked_dedup_matches_oracle(rng):
     got = set(zip(res.rows.tolist(), res.cols.tolist()))
     assert got == expected
     assert len(res.overflow_rows) == 0
-    # metrics are the actual cosines
+    # metrics are the actual cosines (computed in half precision on device,
+    # matching the reference's fp16 dedup embeddings)
     normed = normalize_rows(emb)
     for i, j, m in res.pairs():
-        assert abs(float(normed[i] @ normed[j]) - m) < 1e-5
+        assert abs(float(normed[i] @ normed[j]) - m) < 2e-3
 
 
 def test_sharded_dedup_matches_oracle(rng):
