@@ -55,9 +55,22 @@ class CLIPImageEncoder:
     ):
         self.model_name = model_name
         self.cfg: VitConfig = resolve_config(model_name)
-        self.compute_dtype = compute_dtype
+        # compute_dtype "int8" selects the W8A8 fast mode: matmul weights are
+        # quantized once here, activations dynamically per token (ops/quant.py);
+        # non-matmul compute stays bf16.
+        self.quantized = np.dtype(compute_dtype) == np.dtype(np.int8)
+        self.compute_dtype = jnp.bfloat16 if self.quantized else compute_dtype
         self.parity_preprocess = parity_preprocess
         self.params = params if params is not None else self._load_params(model_path)
+        if self.quantized:
+            from clip_assisted_data_labeling_tpu.ops.quant import (
+                is_quantized,
+                quantize_vit_params,
+            )
+
+            if not is_quantized(self.params):
+                log.info("Quantizing %s weights to W8A8", model_name)
+                self.params = quantize_vit_params(self.params)
 
     @property
     def img_resolution(self) -> int:

@@ -158,12 +158,23 @@ def _act(x, kind: str):
     return jax.nn.gelu(x, approximate=False)
 
 
-def _block(x, p, cfg: VitConfig, fused_attention: bool):
+def _linear(x, p, name: str, quantized: bool):
+    """Block matmul: bf16, or dynamically-quantized W8A8 (ops/quant.py)."""
+    bias = p[name.replace("_kernel", "_bias")]
+    if quantized:
+        from clip_assisted_data_labeling_tpu.ops.quant import q_matmul
+
+        return q_matmul(x, p[name], p[name + "_scale"], bias, out_dtype=x.dtype)
+    return x @ p[name].astype(x.dtype) + bias.astype(x.dtype)
+
+
+def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool):
     """One pre-LN transformer block. x: [B, S, w]."""
     B, S, w = x.shape
     h, d = cfg.heads, cfg.head_dim
 
     y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
+    qkv = _linear(y, p, "qkv_kernel", quantized)
     if fused_attention:
         # Packed-qkv Pallas kernel: consumes the projection's [B, S, 3w] output
         # as-is and emits [B, S, w] — zero layout copies around the kernel, and
@@ -171,24 +182,21 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool):
         # bandwidth-bound, not FLOP-bound).
         from clip_assisted_data_labeling_tpu.ops.attention import fused_attention_packed
 
-        qkv = y @ p["qkv_kernel"].astype(y.dtype) + p["qkv_bias"].astype(y.dtype)
         attn = fused_attention_packed(qkv, heads=h, scale=d ** -0.5)
-        x = x + attn @ p["out_kernel"].astype(x.dtype) + p["out_bias"].astype(x.dtype)
     else:
         from clip_assisted_data_labeling_tpu.ops.attention import attention_xla
 
-        qkv = y @ p["qkv_kernel"].astype(y.dtype) + p["qkv_bias"].astype(y.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, S, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, h, d).transpose(0, 2, 1, 3)
         attn = attention_xla(q, k, v, scale=d ** -0.5)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, w)
-        x = x + attn @ p["out_kernel"].astype(x.dtype) + p["out_bias"].astype(x.dtype)
+    x = x + _linear(attn, p, "out_kernel", quantized)
 
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
-    y = _act(y @ p["fc1_kernel"].astype(y.dtype) + p["fc1_bias"].astype(y.dtype), cfg.act)
-    x = x + y @ p["fc2_kernel"].astype(y.dtype) + p["fc2_bias"].astype(y.dtype)
+    y = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act)
+    x = x + _linear(y, p, "fc2_kernel", quantized)
     return x
 
 
@@ -222,8 +230,15 @@ def vit_encode_image(
     reference's encode_image, utils/embedder.py:98-99)."""
     if fused_attention is None:
         fused_attention = default_fused_attention()
+    quantized = "patch_kernel_scale" in params  # W8A8 fast mode (ops/quant.py)
     x = patchify(images.astype(compute_dtype), cfg.patch_size)
-    x = x @ params["patch_kernel"].astype(compute_dtype)
+    if quantized:
+        from clip_assisted_data_labeling_tpu.ops.quant import q_matmul
+
+        x = q_matmul(x, params["patch_kernel"], params["patch_kernel_scale"],
+                     out_dtype=compute_dtype)
+    else:
+        x = x @ params["patch_kernel"].astype(compute_dtype)
     cls = jnp.broadcast_to(
         params["class_emb"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
     )
@@ -232,7 +247,7 @@ def vit_encode_image(
     x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
 
     def body(carry, block_params):
-        return _block(carry, block_params, cfg, fused_attention), None
+        return _block(carry, block_params, cfg, fused_attention, quantized), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
 

@@ -97,7 +97,7 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         batch_size = ((cfg.batch_size + n_dev - 1) // n_dev) * n_dev
         sharded = ShardedEmbedder(
             encoder.params, encoder.cfg, mesh,
-            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            compute_dtype=encoder.compute_dtype,  # int8 mode pre-quantizes params
             parity_preprocess=encoder.parity_preprocess,
         )
         print(f"Data-parallel embedding over {n_dev} devices (batch {batch_size})")
@@ -227,7 +227,9 @@ def main(argv=None):
                         help="Local directory with model weights (.npz or torch)")
     parser.add_argument("--canvas_size", type=int, default=1024)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
-                        choices=["bfloat16", "float32"])
+                        choices=["bfloat16", "float32", "int8"],
+                        help="int8 = W8A8 dynamic-quantized fast mode (~2x, "
+                        "embedding cosine ~1e-3 off the bf16 path)")
     parser.add_argument("--no_sidecars", action="store_true",
                         help="Skip per-image .pt sidecars (columnar store only)")
     parser.add_argument("--no_image_stats", action="store_true")

@@ -1,0 +1,64 @@
+"""W8A8 dynamic quantization: matmul accuracy and end-to-end ViT quality."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+from clip_assisted_data_labeling_tpu.models.vit import (
+    init_vit_params,
+    resolve_config,
+    vit_encode_image,
+)
+from clip_assisted_data_labeling_tpu.ops.quant import (
+    is_quantized,
+    q_matmul,
+    quantize_vit_params,
+    quantize_weight,
+)
+
+
+def test_quantize_weight_roundtrip(rng):
+    k = rng.normal(0, 0.02, (64, 32)).astype(np.float32)
+    q, scale = quantize_weight(k)
+    assert q.dtype == np.int8 and scale.shape == (32,)
+    recon = q.astype(np.float32) * scale
+    assert np.abs(recon - k).max() <= np.abs(k).max() / 127 + 1e-6
+
+
+def test_q_matmul_accuracy(rng):
+    x = rng.normal(0, 1, (16, 64)).astype(np.float32)
+    k = rng.normal(0, 0.05, (64, 32)).astype(np.float32)
+    b = rng.normal(0, 0.1, (32,)).astype(np.float32)
+    q, scale = quantize_weight(k)
+    ref = x @ k + b
+    got = np.asarray(
+        q_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(scale), jnp.asarray(b),
+                 out_dtype=jnp.float32)
+    )
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel
+
+
+def test_quantized_vit_close_to_f32(rng):
+    cfg = resolve_config("ViT-Test/tiny")
+    params = init_vit_params(cfg, jax.random.key(0))
+    qparams = quantize_vit_params(params)
+    assert is_quantized(qparams)
+    assert qparams["blocks"]["qkv_kernel"].dtype == jnp.int8
+
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(vit_encode_image(params, x, cfg, compute_dtype=jnp.float32))
+    got = np.asarray(vit_encode_image(qparams, x, cfg, compute_dtype=jnp.float32))
+    cos = np.sum(ref * got, axis=-1)
+    assert np.all(cos > 0.995), cos  # int8 fast mode stays close
+
+
+def test_encoder_int8_mode(rng):
+    enc = CLIPImageEncoder("ViT-Test/tiny", compute_dtype="int8")
+    assert enc.quantized
+    assert is_quantized(enc.params)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    emb = np.asarray(enc.encode(x))
+    assert emb.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-2)
