@@ -20,7 +20,7 @@ import numpy as np
 
 
 def run_bench(model: str, batch: int, canvas: int, steps: int, warmup: int,
-              parity: bool) -> dict:
+              parity: bool, compute_dtype: str = "bfloat16") -> dict:
     import jax
 
     # persistent compile cache: the first ViT-L compile through the remote
@@ -30,7 +30,8 @@ def run_bench(model: str, batch: int, canvas: int, steps: int, warmup: int,
     from __graft_entry__ import _example_batch
     from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
 
-    encoder = CLIPImageEncoder(model, parity_preprocess=parity)
+    encoder = CLIPImageEncoder(model, parity_preprocess=parity,
+                               compute_dtype=compute_dtype)
     canvases, crop_params = _example_batch(batch, canvas, encoder.img_resolution)
 
     dev = jax.devices()[0]
@@ -50,7 +51,8 @@ def run_bench(model: str, batch: int, canvas: int, steps: int, warmup: int,
 
     imgs_per_sec = batch * steps / dt
     return {
-        "metric": f"4-crop {model} images embedded/sec/chip (canvas {canvas}, batch {batch})",
+        "metric": f"4-crop {model} images embedded/sec/chip "
+                  f"(canvas {canvas}, batch {batch}, {compute_dtype})",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / 5000.0, 4),
@@ -66,6 +68,9 @@ def main():
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--parity_preprocess", action="store_true",
                         help="uint8-exact preprocess (default: fast bf16 path)")
+    parser.add_argument("--compute_dtype", default="bfloat16",
+                        choices=["bfloat16", "float32", "int8"],
+                        help="int8 = W8A8 fast mode (~+20%%, cos err ~9e-4)")
     args = parser.parse_args()
 
     print(
@@ -75,7 +80,7 @@ def main():
     )
     result = run_bench(
         args.model, args.batch, args.canvas, args.steps, args.warmup,
-        args.parity_preprocess,
+        args.parity_preprocess, args.compute_dtype,
     )
     print(json.dumps(result))
 

@@ -27,8 +27,6 @@ implementation (``image_stats_reference``) is provided for --exact_stats runs.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ import shutil
 
 import numpy as np
 
-from clip_assisted_data_labeling_tpu.config import CROP_SQUARE_PADDED, DedupConfig
+from clip_assisted_data_labeling_tpu.config import DedupConfig
 from clip_assisted_data_labeling_tpu.ops.similarity import DedupResult, find_duplicate_pairs
 from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
 from clip_assisted_data_labeling_tpu.store.sidecar import read_sidecar, resolve_crop_key

@@ -16,7 +16,6 @@ import argparse
 import os
 import shutil
 
-import numpy as np
 import pandas as pd
 
 from clip_assisted_data_labeling_tpu.config import SubsetConfig
