@@ -176,23 +176,45 @@ class BatchedImageLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned iteration,
+            # so an aborted run can't leak the producer thread + its buffers
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for start in range(0, len(self.image_paths), self.batch_size):
+                        if stop.is_set():
+                            return
                         chunk = self.image_paths[start : start + self.batch_size]
                         batch = self._make_batch(chunk, pool)
-                        if batch.n_valid:
-                            q.put(batch)
+                        if batch.n_valid and not _put(batch):
+                            return
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a producer waiting on a full queue
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=30)

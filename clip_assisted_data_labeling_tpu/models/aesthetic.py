@@ -53,6 +53,17 @@ class AestheticRegressor:
         oy, ox = (C - h) // 2, (C - w) // 2
         canvas[0, oy : oy + h, ox : ox + w] = img
 
+        img_stats = None
+        if self.model.meta.use_img_stat_features:
+            from clip_assisted_data_labeling_tpu.ops.image_stats import (
+                image_stats_batch,
+                make_stat_params,
+            )
+
+            img_stats = np.asarray(
+                image_stats_batch(canvas, make_stat_params(w, h, C)[None])
+            )[0]
+
         parts = []
         for encoder in self.encoders:
             params = make_crop_params(w, h, C, encoder.img_resolution, ALL_CROPS)[None]
@@ -63,6 +74,8 @@ class AestheticRegressor:
                 if key is None:
                     raise KeyError(f"crop {crop} unavailable")
                 parts.append(by_name[key])
+            if img_stats is not None:  # appended per model (reference _4:61-64)
+                parts.append(img_stats)
         features = np.concatenate(parts, axis=0)[None]
         score = float(self.model.predict(features)[0])
         return score, features

@@ -81,17 +81,36 @@ class CLIPImageEncoder:
         return self.cfg.embed_dim
 
     def _load_params(self, model_path: str | None) -> dict:
-        if model_path:
+        if model_path and os.path.isfile(model_path):
+            if model_path.endswith(".npz"):
+                return clip_weights.load_params_npz(model_path)
+            log.info("Converting torch checkpoint %s", model_path)
+            return self._convert_torch_file(model_path)
+        if model_path and os.path.isdir(model_path):
             safe = self.model_name.replace("/", "-")
             npz = os.path.join(model_path, f"{safe}.npz")
             if os.path.exists(npz):
                 log.info("Loading %s weights from %s", self.model_name, npz)
                 return clip_weights.load_params_npz(npz)
-            for fname in sorted(os.listdir(model_path)):
-                if safe in fname and fname.endswith((".pt", ".pth", ".bin", ".safetensors")):
-                    full = os.path.join(model_path, fname)
-                    log.info("Converting torch checkpoint %s", full)
-                    return self._convert_torch_file(full)
+            ckpt_exts = (".pt", ".pth", ".bin", ".safetensors")
+            candidates = [
+                f for f in sorted(os.listdir(model_path)) if f.endswith(ckpt_exts)
+            ]
+            # name-matched file first, else standard single-checkpoint names
+            # (pytorch_model.bin, model.safetensors, open_clip_pytorch_model.bin)
+            named = [f for f in candidates if safe in f]
+            if not named and len(candidates) == 1:
+                named = candidates
+            if not named:
+                named = [
+                    f for f in candidates
+                    if os.path.splitext(f)[0] in
+                    ("pytorch_model", "model", "open_clip_pytorch_model")
+                ]
+            if named:
+                full = os.path.join(model_path, named[0])
+                log.info("Converting torch checkpoint %s", full)
+                return self._convert_torch_file(full)
         log.warning(
             "No local weights found for %s — using deterministic random init "
             "(fine for benchmarks/tests; NOT a trained encoder).",

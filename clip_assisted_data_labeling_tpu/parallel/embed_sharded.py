@@ -36,12 +36,6 @@ class ShardedEmbedder:
         self.params = jax.tree.map(lambda x: jax.device_put(x, self._repl), params)
         self.n_devices = int(np.prod(mesh.devices.shape))
 
-    def __call__(self, canvas_u8: np.ndarray, crop_params: np.ndarray,
-                 with_stats: bool = True):
-        """[B, C, C, 3] u8 + [B, n, 2, 4] (+ stat params in crop_params[..., :8]?
-        no — pass stats separately via embed()) → [B, n, D] embeddings."""
-        return self.embed(canvas_u8, crop_params)
-
     def embed(self, canvas_u8, crop_params, stat_params=None):
         assert canvas_u8.shape[0] % self.n_devices == 0, (
             f"batch {canvas_u8.shape[0]} must divide over {self.n_devices} devices"

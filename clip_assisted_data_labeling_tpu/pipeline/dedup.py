@@ -47,8 +47,11 @@ def load_embeddings(root_dir: str, cfg: DedupConfig):
         ci = store.crop_index(cfg.crop_to_use)
         valid = np.asarray(store.valid)
         emb = np.asarray(store.embeddings[:, ci], np.float32)[valid]
-        uuids = [u for u, v in zip(store.uuids, valid) if v]
-        paths = [os.path.join(root_dir, u + ".jpg") for u in uuids]
+        paths = [
+            os.path.join(root_dir, rel)
+            for rel, v in zip(store.rel_paths(), valid)
+            if v
+        ]
         return paths, emb
 
     # sidecar fallback (reference-embedded datasets, _2:8-49 semantics)

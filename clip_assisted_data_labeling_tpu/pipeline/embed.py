@@ -50,6 +50,23 @@ def embed_dataset(root_dir: str, cfg: EmbedConfig) -> dict[str, EmbeddingStore |
         img_paths.sort()
     print(f"---> Found {len(img_paths)} images in {root_dir}")
 
+    # the on-disk contract keys everything by basename uuid (sidecars, CSV DB);
+    # colliding basenames across subdirectories would silently cross-contaminate
+    # store rows, so drop duplicates loudly (stage-0 prep guarantees uniqueness)
+    seen: set[str] = set()
+    unique_paths = []
+    for p in img_paths:
+        u = _uuid_of(p)
+        if u in seen:
+            log.warning(
+                "Duplicate basename %r (%s) — skipping; uuid-rename the dataset "
+                "with the prep stage to embed all copies", u, p,
+            )
+            continue
+        seen.add(u)
+        unique_paths.append(p)
+    img_paths = unique_paths
+
     stores: dict[str, EmbeddingStore | None] = {}
     for model_name in cfg.models_to_use:
         print(f"\n--- Processing model: {model_name} ---")
@@ -102,7 +119,6 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         )
         print(f"Data-parallel embedding over {n_dev} devices (batch {batch_size})")
 
-    store = None
     uuids_all = [_uuid_of(p) for p in img_paths]
     store = EmbeddingStore.create(
         root_dir,
@@ -111,6 +127,7 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         encoder.embed_dim,
         uuids_all,
         with_stats=cfg.with_image_stats,
+        rel_paths=[os.path.relpath(p, root_dir) for p in img_paths],
     )
     row_of = {u: i for i, u in enumerate(uuids_all)}
 
@@ -124,6 +141,7 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
     )
 
     n_done = 0
+    writer_futures = []
     with ThreadPoolExecutor(max(2, cfg.num_workers // 2)) as writer_pool:
         for batch in loader:
             with timer.time("device", batch.n_valid):
@@ -171,24 +189,36 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
                     )
 
             if cfg.write_sidecars:
-                writer_pool.submit(write_batch_sidecars, batch.paths, emb, stats_np)
+                writer_futures.append(
+                    writer_pool.submit(write_batch_sidecars, batch.paths, emb, stats_np)
+                )
             n_done += batch.n_valid
             if n_done and n_done % 1000 < cfg.batch_size:
                 print(f"Processed {n_done}/{len(todo)} images")
 
+    # surface any sidecar-write failure: the .pt files are the interop contract,
+    # so a silent partial write would corrupt downstream stages
+    write_errors = [f.exception() for f in writer_futures if f.exception() is not None]
+    if write_errors:
+        raise RuntimeError(
+            f"{len(write_errors)} sidecar write batches failed; first error: "
+            f"{write_errors[0]!r}"
+        )
+
     # backfill store rows for already-embedded images from their sidecars
+    # (crop names resolve through the alias map so reference-written sidecars
+    # with plain "subcrop1"/"subcrop2" keys backfill too)
+    from clip_assisted_data_labeling_tpu.store.sidecar import resolve_crop_key
+
     for path in skipped:
         try:
             d = read_sidecar(_sidecar_path(path))[model_name]
-            emb = np.stack(
-                [
-                    np.asarray(d[c], np.float32).reshape(-1)
-                    for c in store.meta["crop_names"]
-                    if c in d
-                ]
-            )
-            if emb.shape[0] != len(store.meta["crop_names"]):
-                continue
+            keys = [resolve_crop_key(d, c) for c in store.meta["crop_names"]]
+            if any(k is None for k in keys):
+                raise KeyError(
+                    f"missing crops {[c for c, k in zip(store.meta['crop_names'], keys) if k is None]}"
+                )
+            emb = np.stack([np.asarray(d[k], np.float32).reshape(-1) for k in keys])
             stats = (
                 np.asarray([float(d[k]) for k in IMG_STAT_KEYS if k in d], np.float32)
                 if cfg.with_image_stats

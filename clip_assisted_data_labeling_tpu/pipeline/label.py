@@ -122,19 +122,27 @@ def label_dataset(
 
     current = 0
     new_labels = 0
+    consecutive_skips = 0
     while True:
+        if consecutive_skips >= len(image_files):
+            # every remaining image is labeled or unloadable — don't busy-spin
+            print("No more images to label.")
+            break
         image_file = image_files[current]
         uuid = os.path.splitext(os.path.basename(image_file))[0]
         label = db.get_label(uuid)
         if _is_labeled(label) and skip_labeled_files:
             current = (current + 1) % len(image_files)
+            consecutive_skips += 1
             continue
         skip_labeled_files = False
 
         image, prompt = load_image_and_prompt(uuid, root_dir)
         if image is None:
             current = (current + 1) % len(image_files)
+            consecutive_skips += 1
             continue
+        consecutive_skips = 0
         frame = _annotate(
             letterbox(image),
             label if _is_labeled(label) else None,

@@ -72,7 +72,10 @@ class EmbeddingStore:
         uuids: list[str],
         dtype: str = "float16",
         with_stats: bool = True,
+        rel_paths: list[str] | None = None,
     ) -> "EmbeddingStore":
+        """rel_paths: per-row image path relative to root_dir (defaults to
+        '<uuid>.jpg'); needed so dedup/tools can act on nested datasets."""
         directory = store_dir_for(root_dir, model_name)
         os.makedirs(directory, exist_ok=True)
         meta = {
@@ -88,6 +91,11 @@ class EmbeddingStore:
             json.dump(meta, f)
         with open(os.path.join(directory, "uuids.txt"), "w") as f:
             f.write("\n".join(uuids))
+        if rel_paths is not None:
+            if len(rel_paths) != len(uuids):
+                raise ValueError("rel_paths must align with uuids")
+            with open(os.path.join(directory, "paths.txt"), "w") as f:
+                f.write("\n".join(rel_paths))
         store = cls(directory, meta, mode="w+")
         store._uuids = list(uuids)
         return store
@@ -110,6 +118,15 @@ class EmbeddingStore:
             with open(os.path.join(self.directory, "uuids.txt")) as f:
                 self._uuids = f.read().splitlines()
         return self._uuids
+
+    def rel_paths(self) -> list[str]:
+        """Per-row image path relative to the dataset root ('<uuid>.jpg' for
+        stores written before paths.txt existed)."""
+        p = os.path.join(self.directory, "paths.txt")
+        if os.path.exists(p):
+            with open(p) as f:
+                return f.read().splitlines()
+        return [u + ".jpg" for u in self.uuids]
 
     def index_of(self, uuid: str) -> int:
         if self._index is None:

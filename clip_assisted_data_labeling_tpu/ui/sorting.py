@@ -71,7 +71,8 @@ def _diversity_order(image_files: list[str], root_dir: str, crop: str = "square_
         return image_files
     order = farthest_point_order(np.stack(embs), n_order=min(500, len(embs)))
     ordered = [image_files[kept_idx[i]] for i in order]
-    missing = [f for i, f in enumerate(image_files) if i not in set(kept_idx)]
+    kept = set(kept_idx)
+    missing = [f for i, f in enumerate(image_files) if i not in kept]
     return ordered + missing
 
 
