@@ -1,12 +1,18 @@
 """Mesh-sharded all-pairs near-duplicate search — the component that lifts the
 reference's ~10k-image dedup cap (README.md:70-71, _2_remove_duplicates.py:140).
 
-Layout: embeddings are row-sharded over a 1-D device mesh. Each device keeps its
-row panel resident and a column panel rides the ring: at step s, device p holds
-the panel originally owned by device (p−s) mod d, computes its local
-[m×m] similarity tile (MXU matmul), folds it into a running per-row top-k, and
-``ppermute``s the panel to its right neighbor over ICI. After d steps every
-global tile has been visited exactly once; only [N, k] survives on host.
+Layout: embeddings are row-sharded over a 1-D device mesh, fp16 over the wire.
+Two passes (same shape as the single-device ops/similarity.py design):
+
+  1. counts — each device keeps its row panel resident while column panels ride
+     the ring: at step s, device p holds the panel originally owned by device
+     (p−s) mod d, computes its [m×m] metric tile (MXU matmul) and accumulates
+     exact above-threshold counts, then ``ppermute``s the panel onward over ICI.
+     No top-k anywhere in the O(N²) part.
+  2. extract — the (rare) rows with matches are gathered on host, replicated to
+     every device, and each device computes their top-k against its OWN resident
+     shard only (embarrassingly parallel, no ring); the host merges d partial
+     top-k lists.
 
 This is the similarity-matrix analog of ring attention (SURVEY.md §5): compute
 scales N²/d per device, memory N·D/d + one in-flight panel, communication
@@ -39,63 +45,73 @@ from clip_assisted_data_labeling_tpu.ops.similarity import (
 )
 
 
-def _tile(rows, cols, row_off, col_off, n_real, threshold, k, euclidean):
-    """Same tile computation as ops.similarity._tile_topk but trace-friendly for
-    use inside shard_map (offsets are traced)."""
+def _metric(rows, cols, euclidean):
     sim = jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
-    metric = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim, 0.0)) if euclidean else sim
-    gi = row_off + jnp.arange(rows.shape[0])[:, None]
-    gj = col_off + jnp.arange(cols.shape[0])[None, :]
-    valid = (gj > gi) & (gj < n_real) & (gi < n_real)
-    masked = jnp.where(valid, metric, -jnp.inf)
-    vals, idx = jax.lax.top_k(masked, k)
-    counts = jnp.sum(masked > threshold, axis=1)
-    return vals, idx + col_off, counts
+    return jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim, 0.0)) if euclidean else sim
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "n_devices", "euclidean", "axis")
+)
+def _ring_counts(
+    normed, n_real, threshold, mesh: Mesh, n_devices: int, euclidean: bool,
+    axis: str = "data",
+):
+    """Pass 1: exact above-threshold count per row. Row panels stay resident,
+    column panels ride the ring (ppermute over ICI) — matmul + compare + row-sum
+    only; the expensive top-k runs later on the (rare) hit rows."""
+    m = normed.shape[0] // n_devices
+
+    def ring_fn(local):
+        local = local.reshape(m, local.shape[-1])
+        p = jax.lax.axis_index(axis)
+        gi = p * m + jnp.arange(m)[:, None]
+        col_block = local
+        counts = jnp.zeros((m,), jnp.int32)
+        perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+        for s in range(n_devices):
+            src = (p - s) % n_devices
+            metric = _metric(local, col_block, euclidean)
+            gj = src * m + jnp.arange(m)[None, :]
+            valid = (gj > gi) & (gj < n_real) & (gi < n_real)
+            counts = counts + jnp.sum(valid & (metric > threshold), axis=1)
+            if s < n_devices - 1:
+                col_block = jax.lax.ppermute(col_block, axis, perm)
+        return counts
+
+    return shard_map(
+        ring_fn, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis)
+    )(normed)
 
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "n_devices", "k", "euclidean", "axis")
 )
-def _ring_dedup(
-    normed, n_real, threshold, mesh: Mesh, n_devices: int, k: int, euclidean: bool,
-    axis: str = "data",
+def _sharded_extract(
+    normed, hit_rows, hit_gidx, n_real, mesh: Mesh, n_devices: int, k: int,
+    euclidean: bool, axis: str = "data",
 ):
+    """Pass 2: hit rows are replicated; each device computes their top-k against
+    its OWN resident column shard (no ring needed) and the host merges the d
+    partial top-k lists."""
     m = normed.shape[0] // n_devices
-
-    # per-tile top-k cannot exceed the tile width m, but the *running* capacity
-    # is the requested k — merging across the d ring steps accumulates up to d·m
-    # candidates per row, so small shards don't silently shrink capacity.
     k_tile = min(k, m)
 
-    def ring_fn(local):
+    def extract_fn(local, hits, gidx):
         local = local.reshape(m, local.shape[-1])
         p = jax.lax.axis_index(axis)
-        row_off = p * m
-        col_block = local
-        run_vals = jnp.full((m, k), -jnp.inf, jnp.float32)
-        run_idx = jnp.zeros((m, k), jnp.int32)
-        counts = jnp.zeros((m,), jnp.int32)
-        perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
-        for s in range(n_devices):
-            src = (p - s) % n_devices
-            vals, idx, cnt = _tile(
-                local, col_block, row_off, src * m, n_real, threshold, k_tile, euclidean
-            )
-            counts = counts + cnt
-            cat_v = jnp.concatenate([run_vals, vals], axis=1)
-            cat_i = jnp.concatenate([run_idx, idx], axis=1)
-            run_vals, sel = jax.lax.top_k(cat_v, k)
-            run_idx = jnp.take_along_axis(cat_i, sel, axis=1)
-            if s < n_devices - 1:
-                col_block = jax.lax.ppermute(col_block, axis, perm)
-        return run_vals, run_idx, counts
+        metric = _metric(hits, local, euclidean)
+        gj = p * m + jnp.arange(m)[None, :]
+        valid = (gj > gidx[:, None]) & (gj < n_real)
+        vals, idx = jax.lax.top_k(jnp.where(valid, metric, -jnp.inf), k_tile)
+        return vals[None], (idx + p * m)[None]
 
     return shard_map(
-        ring_fn,
+        extract_fn,
         mesh=mesh,
-        in_specs=P(axis, None),
-        out_specs=(P(axis, None), P(axis, None), P(axis)),
-    )(normed)
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=(P(axis, None, None), P(axis, None, None)),
+    )(normed, hit_rows, hit_gidx)
 
 
 def find_duplicate_pairs_sharded(
@@ -112,28 +128,54 @@ def find_duplicate_pairs_sharded(
         mesh = get_mesh()
     n_devices = int(np.prod(mesh.devices.shape))
     n = len(embeddings)
-    normed = normalize_rows(embeddings)
+    euclidean = sim_type == "euclidean"
+    normed = normalize_rows(embeddings).astype(np.float16)
     m = (n + n_devices - 1) // n_devices
     n_pad = m * n_devices
     if n_pad != n:
         normed = np.pad(normed, ((0, n_pad - n), (0, 0)))
     k = min(max_per_row, n_pad)
 
+    empty = DedupResult(
+        np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0, np.float32), np.empty(0, np.int64),
+    )
+
     # fp16 over the wire and around the ring: halves H2D + ICI traffic (the
     # reference dedups in half precision too, _2_remove_duplicates.py:38)
     sharded = jax.device_put(
-        jnp.asarray(normed.astype(np.float16)), NamedSharding(mesh, P(axis, None))
+        jnp.asarray(normed), NamedSharding(mesh, P(axis, None))
     )
-    vals, idx, counts = _ring_dedup(
-        sharded, n, threshold, mesh, n_devices, k, sim_type == "euclidean", axis
+    counts = np.asarray(
+        _ring_counts(sharded, n, threshold, mesh, n_devices, euclidean, axis)
     )
-    v = np.asarray(vals)
-    j = np.asarray(idx)
-    c = np.asarray(counts)
+    hit = np.nonzero(counts > 0)[0]
+    if hit.size == 0:
+        return empty
+
+    from clip_assisted_data_labeling_tpu.ops.similarity import _bucket
+
+    h_pad = _bucket(len(hit))
+    gidx = np.full(h_pad, n_pad + 1, np.int32)
+    gidx[: len(hit)] = hit
+    hit_panel = np.zeros((h_pad, normed.shape[1]), np.float16)
+    hit_panel[: len(hit)] = normed[hit]
+
+    vals, idx = _sharded_extract(
+        sharded, jnp.asarray(hit_panel), jnp.asarray(gidx), n, mesh, n_devices,
+        k, euclidean, axis,
+    )
+    # merge the d per-device top-k lists: [d, H, k_tile] → [H, d*k_tile] → top-k
+    v = np.asarray(vals).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hit)]
+    j = np.asarray(idx).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hit)]
+    order = np.argsort(-v, axis=1)[:, :k]
+    v = np.take_along_axis(v, order, axis=1)
+    j = np.take_along_axis(j, order, axis=1)
+
     hit_r, hit_k = np.nonzero(v > threshold)
     return DedupResult(
-        rows=hit_r.astype(np.int64),
+        rows=hit[hit_r].astype(np.int64),
         cols=j[hit_r, hit_k].astype(np.int64),
-        metrics=v[hit_r, hit_k],
-        overflow_rows=np.nonzero(c > k)[0].astype(np.int64),
+        metrics=v[hit_r, hit_k].astype(np.float32),
+        overflow_rows=np.nonzero(counts > k)[0].astype(np.int64),
     )
