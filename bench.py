@@ -62,7 +62,7 @@ def run_bench(model: str, batch: int, canvas: int, steps: int, warmup: int,
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="ViT-L-14/openai")
-    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=32)  # fastest measured config
     parser.add_argument("--canvas", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)

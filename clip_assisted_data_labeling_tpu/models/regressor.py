@@ -113,7 +113,9 @@ class SimpleFCRegressor:
         )
 
     # --- prediction -----------------------------------------------------------
-    def predict(self, features: np.ndarray, batch_size: int = 8192) -> np.ndarray:
+    def predict(self, features: np.ndarray, batch_size: int = 65536) -> np.ndarray:
+        """Batched inference; the chunk size only bounds device memory (the
+        network is tiny), so it is large to amortize dispatch/transfer."""
         outs = []
         for i in range(0, len(features), batch_size):
             x = jnp.asarray(features[i : i + batch_size], dtype=jnp.float32)

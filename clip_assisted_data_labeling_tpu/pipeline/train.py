@@ -147,24 +147,32 @@ def make_optimizer(weight_decay: float):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("dropout_prob", "weight_decay"), donate_argnums=(0, 1)
-)
-def _train_epoch(params, opt_state, xb, yb, wb, lr, key,
-                 dropout_prob: float, weight_decay: float):
-    """One epoch as a scan over [n_batches, batch, F] with per-sample weights."""
-    opt = make_optimizer(weight_decay)
+def _epoch_body(params, opt_state, x, y, w, lr, key,
+                dropout_prob: float, weight_decay: float, batch_size: int):
+    """One epoch, fully on device: shuffle (device PRNG), batch, and scan the
+    forward/backward/Adam steps.
 
-    def loss_fn(p, x, y, w, k):
-        out = regressor_apply(p, x, dropout_prob=dropout_prob, dropout_key=k)[:, 0]
-        se = (out - y) ** 2 * w
-        return jnp.sum(se) / jnp.maximum(jnp.sum(w), 1.0)
+    x/y/w are pre-padded to a multiple of batch_size with w=0 rows (padding is
+    strictly smaller than one batch, so no batch can be all-padding)."""
+    opt = make_optimizer(weight_decay)
+    n = x.shape[0]
+    n_batches = n // batch_size
+    key, perm_key = jax.random.split(key)
+    perm = jax.random.permutation(perm_key, n)
+    xb = x[perm].reshape(n_batches, batch_size, -1)
+    yb = y[perm].reshape(n_batches, batch_size)
+    wb = w[perm].reshape(n_batches, batch_size)
+
+    def loss_fn(p, xi, yi, wi, k):
+        out = regressor_apply(p, xi, dropout_prob=dropout_prob, dropout_key=k)[:, 0]
+        se = (out - yi) ** 2 * wi
+        return jnp.sum(se) / jnp.maximum(jnp.sum(wi), 1.0)
 
     def step(carry, batch):
         p, s, k = carry
-        x, y, w = batch
+        xi, yi, wi = batch
         k, sub = jax.random.split(k)
-        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, w, sub)
+        loss, grads = jax.value_and_grad(loss_fn)(p, xi, yi, wi, sub)
         updates, s = opt.update(grads, s, p)
         p = jax.tree.map(lambda a, u: a - lr * u, p, updates)
         return (p, s, k), loss
@@ -175,27 +183,53 @@ def _train_epoch(params, opt_state, xb, yb, wb, lr, key,
     return params, opt_state, jnp.mean(losses)
 
 
-@jax.jit
-def _eval_mse(params, x, y):
-    out = regressor_apply(params, x)[:, 0]
-    mse = jnp.mean((out - y) ** 2)
-    dummy = jnp.mean((jnp.mean(y) - y) ** 2)
-    return mse, dummy, out
+@functools.partial(
+    jax.jit,
+    static_argnames=("dropout_prob", "weight_decay", "batch_size"),
+    donate_argnums=(0, 1),
+)
+def _train_run(params, opt_state, x, y, w, x_test, y_test, lrs, key,
+               dropout_prob: float, weight_decay: float, batch_size: int):
+    """The ENTIRE training run as one XLA program: scan over epochs, each epoch
+    an inner scan over shuffled batches, with the test/dummy MSE evaluated per
+    epoch. One dispatch total — only the loss curves return to host."""
+    has_test = x_test.shape[0] > 0  # static
+
+    def epoch_step(carry, lr):
+        p, s, k = carry
+        k, sub = jax.random.split(k)
+        p, s, train_loss = _epoch_body(
+            p, s, x, y, w, lr, sub, dropout_prob, weight_decay, batch_size
+        )
+        if has_test:
+            out = regressor_apply(p, x_test)[:, 0]
+            test_mse = jnp.mean((out - y_test) ** 2)
+            dummy = jnp.mean((jnp.mean(y_test) - y_test) ** 2)
+        else:
+            test_mse = jnp.float32(-1.0)
+            dummy = jnp.float32(-1.0)
+        return (p, s, k), (train_loss, test_mse, dummy)
+
+    (params, opt_state, _), history = jax.lax.scan(
+        epoch_step, (params, opt_state, key), lrs
+    )
+    final_preds = (
+        regressor_apply(params, x_test)[:, 0] if has_test else jnp.zeros((0,))
+    )
+    return params, opt_state, history, final_preds
 
 
-def _batch(x, y, batch_size, rng):
+def _pad_to_batches(x, y, batch_size):
+    """Pad (x, y) to a batch_size multiple with zero-weight rows (uploaded to
+    device once; per-epoch shuffling happens on device)."""
     n = len(x)
-    order = rng.permutation(n)
     n_batches = max(1, (n + batch_size - 1) // batch_size)
     pad = n_batches * batch_size - n
-    idx = np.concatenate([order, np.zeros(pad, np.int64)])
     w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
-    shape = (n_batches, batch_size)
-    return (
-        x[idx].reshape(shape + x.shape[1:]),
-        y[idx].reshape(shape),
-        w.reshape(shape),
-    )
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        y = np.concatenate([y, np.zeros(pad, y.dtype)])
+    return x, y, w
 
 
 def train_regressor(
@@ -240,48 +274,35 @@ def train_regressor(
     opt_state = opt.init(params)
     key = jax.random.key(cfg.random_seed + 1)
 
-    train_losses, test_losses, lrs = [], [], []
-    plot_every = max(1, cfg.n_epochs // 10)
-    for epoch in range(cfg.n_epochs):
-        lr = _lr_at_epoch(epoch, cfg)
-        xb, yb, wb = _batch(x_train, y_train, cfg.batch_size, rng)
-        key, sub = jax.random.split(key)
-        params, opt_state, train_loss = _train_epoch(
-            params,
-            opt_state,
-            jnp.asarray(xb),
-            jnp.asarray(yb),
-            jnp.asarray(wb),
-            jnp.float32(lr),
-            sub,
-            float(cfg.dropout_prob),
-            float(cfg.weight_decay),
-        )
-        if test_size > 0:
-            test_mse, dummy_mse, test_preds = _eval_mse(params, x_test, y_test)
-            test_losses.append(float(test_mse))
-        else:
-            test_mse, dummy_mse, test_preds = -1.0, -1.0, None
-            test_losses.append(-1.0)
-        train_losses.append(float(train_loss))
-        lrs.append(lr)
-        if verbose and epoch % 2 == 0:
-            print(
-                f"Epoch {epoch + 1}/{cfg.n_epochs}, train-mse: {train_loss:.4f}, "
-                f"lr: {lr:.6f}, test mse: {float(test_mse):.4f} "
-                f"(dummy: {float(dummy_mse):.4f})"
-            )
-        if epoch % plot_every == 0:
-            plots.plot_losses(
-                train_losses, test_losses, lrs,
-                out_path=os.path.join(plot_dir, "training_progress.png"),
-            )
-            if test_preds is not None and epoch % 5 == 0:
-                plots.plot_test_scatter(
-                    np.asarray(y_test), np.asarray(test_preds), epoch,
-                    out_path=os.path.join(plot_dir, "test_set_predictions.png"),
-                )
+    xp, yp, wp = _pad_to_batches(x_train, y_train, cfg.batch_size)
+    lrs = [_lr_at_epoch(e, cfg) for e in range(cfg.n_epochs)]
 
+    # the whole run is ONE device dispatch (scan over epochs); arrays upload once
+    params, opt_state, history_dev, final_preds = _train_run(
+        params,
+        opt_state,
+        jnp.asarray(xp),
+        jnp.asarray(yp),
+        jnp.asarray(wp),
+        x_test,
+        y_test,
+        jnp.asarray(lrs, jnp.float32),
+        key,
+        float(cfg.dropout_prob),
+        float(cfg.weight_decay),
+        int(cfg.batch_size),
+    )
+    train_losses = [float(v) for v in np.asarray(history_dev[0])]
+    test_losses = [float(v) for v in np.asarray(history_dev[1])]
+    dummy_losses = [float(v) for v in np.asarray(history_dev[2])]
+
+    if verbose:
+        for epoch in range(0, cfg.n_epochs, 2):
+            print(
+                f"Epoch {epoch + 1}/{cfg.n_epochs}, train-mse: "
+                f"{train_losses[epoch]:.4f}, lr: {lrs[epoch]:.6f}, test mse: "
+                f"{test_losses[epoch]:.4f} (dummy: {dummy_losses[epoch]:.4f})"
+            )
     if test_size > 0 and verbose:
         best = int(np.argmin(test_losses))
         print(f"---> Best test mse loss: {test_losses[best]:.4f} in epoch {best + 1}")
@@ -289,6 +310,11 @@ def train_regressor(
         train_losses, test_losses, lrs,
         out_path=os.path.join(plot_dir, "training_progress.png"),
     )
+    if test_size > 0:
+        plots.plot_test_scatter(
+            np.asarray(y_test), np.asarray(final_preds), cfg.n_epochs - 1,
+            out_path=os.path.join(plot_dir, "test_set_predictions.png"),
+        )
 
     model.params = params
     history = {"train": train_losses, "test": test_losses, "lrs": lrs,
