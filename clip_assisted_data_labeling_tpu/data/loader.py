@@ -92,6 +92,7 @@ class BatchedImageLoader:
         crop_names=ALL_CROPS,
         prefetch_batches: int = 4,
         use_native: bool = True,
+        bucketed: bool = False,
     ):
         self.image_paths = list(image_paths)
         self.canvas_size = canvas_size
@@ -101,24 +102,23 @@ class BatchedImageLoader:
         self.crop_names = crop_names
         self.prefetch_batches = prefetch_batches
         self.use_native = use_native
+        # canvas buckets: a batch of small images ships on a small canvas
+        # (canvas bytes dominate host→device traffic); jit compiles once per
+        # bucket. Buckets are quarters of the max canvas, 64-aligned.
+        self.bucket_sizes = (
+            sorted({max(64, (canvas_size * q // 4) // 64 * 64) for q in (1, 2, 3, 4)})
+            if bucketed
+            else [canvas_size]
+        )
         self.skipped: list[str] = []
 
     def __len__(self) -> int:
         return (len(self.image_paths) + self.batch_size - 1) // self.batch_size
 
-    def _make_batch(self, chunk: list[str], pool: ThreadPoolExecutor) -> Batch:
-        bs, C = self.batch_size, self.canvas_size
-        canvas = np.zeros((bs, C, C, 3), np.uint8)
-        # Padding rows must carry *valid* geometry (all-zero params would produce
-        # 0/0 NaNs in the resample weight normalization).
-        crop_params = np.broadcast_to(
-            make_crop_params(C, C, C, self.out_size, self.crop_names),
-            (bs, len(self.crop_names), 2, 4),
-        ).copy().astype(np.float32)
-        stat_params = np.broadcast_to(
-            make_stat_params(C, C, C), (bs, 8)
-        ).copy().astype(np.float32)
-
+    def _decode_chunk(self, chunk: list[str], pool: ThreadPoolExecutor):
+        """→ list of (path, source_array, w, h) where source_array is either a
+        full max-canvas slot (native path) or the raw decoded image."""
+        C = self.canvas_size
         native = None
         if self.use_native:
             from clip_assisted_data_labeling_tpu.data.native_loader import (
@@ -127,8 +127,7 @@ class BatchedImageLoader:
 
             native = decode_batch_native(chunk, C, self.num_workers)
 
-        paths: list[str] = []
-        fill = 0
+        decoded = []
         if native is not None:
             n_canvases, dims = native
             fallback_idx = [i for i in range(len(chunk)) if dims[i, 0] == 0]
@@ -141,36 +140,58 @@ class BatchedImageLoader:
             )
             for i, path in enumerate(chunk):
                 if dims[i, 0] > 0:
-                    canvas[fill] = n_canvases[i]
-                    w, h = int(dims[i, 0]), int(dims[i, 1])
+                    decoded.append((path, ("canvas", n_canvases[i]),
+                                    int(dims[i, 0]), int(dims[i, 1])))
+                elif fallback.get(i) is not None:
+                    img, w, h = fallback[i]
+                    decoded.append((path, ("img", img), w, h))
                 else:
-                    decoded = fallback.get(i)
-                    if decoded is None:
-                        log.warning("Skipping unreadable image %s", path)
-                        self.skipped.append(path)
-                        continue
-                    img, w, h = decoded
-                    oy, ox = (C - h) // 2, (C - w) // 2
-                    canvas[fill, oy : oy + h, ox : ox + w] = img
-                crop_params[fill] = make_crop_params(w, h, C, self.out_size, self.crop_names)
-                stat_params[fill] = make_stat_params(w, h, C)
-                paths.append(path)
-                fill += 1
+                    log.warning("Skipping unreadable image %s", path)
+                    self.skipped.append(path)
         else:
-            for path, decoded in zip(
-                chunk, pool.map(_decode_one, chunk, [C] * len(chunk))
-            ):
-                if decoded is None:
+            for path, dec in zip(chunk, pool.map(_decode_one, chunk, [C] * len(chunk))):
+                if dec is None:
                     log.warning("Skipping unreadable image %s", path)
                     self.skipped.append(path)
                     continue
-                img, w, h = decoded
-                oy, ox = (C - h) // 2, (C - w) // 2
-                canvas[fill, oy : oy + h, ox : ox + w] = img
-                crop_params[fill] = make_crop_params(w, h, C, self.out_size, self.crop_names)
-                stat_params[fill] = make_stat_params(w, h, C)
-                paths.append(path)
-                fill += 1
+                img, w, h = dec
+                decoded.append((path, ("img", img), w, h))
+        return decoded
+
+    def _make_batch(self, chunk: list[str], pool: ThreadPoolExecutor) -> Batch:
+        bs, C = self.batch_size, self.canvas_size
+        decoded = self._decode_chunk(chunk, pool)
+
+        # smallest bucket that fits every image in the chunk
+        chunk_max = max((max(w, h) for _p, _s, w, h in decoded), default=0)
+        cb = next((b for b in self.bucket_sizes if b >= chunk_max), C)
+
+        canvas = np.zeros((bs, cb, cb, 3), np.uint8)
+        # Padding rows must carry *valid* geometry (all-zero params would produce
+        # 0/0 NaNs in the resample weight normalization).
+        crop_params = np.broadcast_to(
+            make_crop_params(cb, cb, cb, self.out_size, self.crop_names),
+            (bs, len(self.crop_names), 2, 4),
+        ).copy().astype(np.float32)
+        stat_params = np.broadcast_to(
+            make_stat_params(cb, cb, cb), (bs, 8)
+        ).copy().astype(np.float32)
+
+        paths: list[str] = []
+        fill = 0
+        lo, hi = (C - cb) // 2, (C - cb) // 2 + cb
+        for path, (kind, arr), w, h in decoded:
+            if kind == "canvas":
+                # image sits centered in the big canvas: the center slice is the
+                # same image centered in the bucket canvas
+                canvas[fill] = arr[lo:hi, lo:hi]
+            else:
+                oy, ox = (cb - h) // 2, (cb - w) // 2
+                canvas[fill, oy : oy + h, ox : ox + w] = arr
+            crop_params[fill] = make_crop_params(w, h, cb, self.out_size, self.crop_names)
+            stat_params[fill] = make_stat_params(w, h, cb)
+            paths.append(path)
+            fill += 1
         return Batch(canvas, crop_params, stat_params, paths, fill)
 
     def __iter__(self):

@@ -138,6 +138,7 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         batch_size=batch_size,
         num_workers=cfg.num_workers,
         crop_names=cfg.crop_names,
+        bucketed=True,  # small-image batches ship on small canvases
     )
 
     n_done = 0
