@@ -1,0 +1,81 @@
+"""Execution-level interop: the REFERENCE toolkit's own scripts run unchanged
+against this framework's outputs (the BASELINE requirement that the CSV and
+embedding formats stay compatible so stage-3/-6 equivalents interoperate).
+
+Stages 2 and 6 of the reference depend only on torch/pandas/PIL (no open_clip),
+so they can execute here directly as subprocesses.
+"""
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from clip_assisted_data_labeling_tpu.config import DedupConfig, EmbedConfig
+from clip_assisted_data_labeling_tpu.pipeline.dedup import run_dedup
+from clip_assisted_data_labeling_tpu.pipeline.embed import embed_dataset
+from clip_assisted_data_labeling_tpu.pipeline.label import label_dataset
+from clip_assisted_data_labeling_tpu.ui.backend import HeadlessBackend
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference repo not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def our_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("interop") / "ds"
+    root.mkdir()
+    rng = np.random.default_rng(21)
+    imgs = []
+    for i in range(8):
+        arr = rng.integers(0, 256, (120, 160, 3)).astype(np.uint8)
+        arr[:, :80] = (35 * i) % 255
+        imgs.append(arr)
+        Image.fromarray(arr).save(root / f"img{i}.jpg", quality=95)
+    # planted near-duplicate
+    Image.fromarray(imgs[2]).save(root / "imgdup.jpg", quality=90)
+
+    cfg = EmbedConfig(
+        models_to_use=("ViT-Test/tiny",), batch_size=4, num_workers=2,
+        canvas_size=256, compute_dtype="float32", shuffle_filenames=False,
+    )
+    embed_dataset(str(root), cfg)
+    label_dataset(str(root), HeadlessBackend([str(d) for d in (7, 3, 9, 5)]), sort="uuid")
+    return root
+
+
+def _run_reference(script: str, *args: str) -> str:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REFERENCE, script), *args],
+        capture_output=True, text=True, timeout=300, cwd=REFERENCE,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc.stdout + proc.stderr
+
+
+def test_reference_dedup_reads_our_sidecars(our_dataset):
+    out = _run_reference(
+        "_2_remove_duplicates.py", "--root_dir", str(our_dataset),
+        "--threshold", "0.98", "--test",
+    )
+    ref_found = sum(int(m) for m in re.findall(r"Found (\d+) duplicates", out))
+
+    ours = run_dedup(
+        str(our_dataset), DedupConfig(threshold=0.98, test=True), use_mesh=False
+    )
+    assert ref_found == len(ours.rows) >= 1
+
+
+def test_reference_subset_reads_our_csv(our_dataset):
+    out = _run_reference(
+        "_6_create_subset.py", "--input_dir", str(our_dataset),
+        "--min_score", "0.0", "--max_score", "1.0",
+        "--min_n_pixels", "100", "--extensions", ".jpg", "--test",
+    )
+    m = re.search(r"Found (\d+) rows", out)
+    assert m and int(m.group(1)) >= 4  # the labeled rows pass the filter
