@@ -90,6 +90,15 @@ def crop_boxes(width: int, height: int) -> dict[str, tuple[float, float, float, 
         t = max(0, cy - size // 2)
         r = min(width, l + size)
         b = min(height, t + size)
+        # tiny images can yield 0-area subcrops (int(sqrt(area·frac)) == 0); the
+        # reference silently drops the crop, breaking its fixed-4-crop batch
+        # stacking. We clamp to ≥1 px instead so every image embeds uniformly.
+        if r <= l:
+            l = min(l, width - 1)
+            r = l + 1
+        if b <= t:
+            t = min(t, height - 1)
+            b = t + 1
         boxes[name] = (l, t, r, b)
     return boxes
 

@@ -137,6 +137,19 @@ def test_batched_matches_single(rng):
         np.testing.assert_allclose(batched[k], single, atol=1e-5)
 
 
+@pytest.mark.parametrize("w,h", [(3, 2), (1, 1), (2, 200), (200, 1)])
+def test_degenerate_image_sizes(rng, w, h):
+    """Tiny/extreme images: subcrops clamp to >=1px instead of crashing (the
+    reference drops 0-area crops, which breaks its fixed-crop batch stacking)."""
+    params = make_crop_params(w, h, 256, 56)
+    assert np.isfinite(params).all()
+    canvas = put_on_canvas(make_test_image(rng, w, h), 256)[None]
+    out = np.asarray(
+        fused_crop_resize_normalize(canvas, params[None], out_size=56)
+    )
+    assert np.isfinite(out).all()
+
+
 def test_fast_mode_close_to_parity(rng):
     R, canvas_size = 56, 256
     img = make_test_image(rng, 100, 80)
