@@ -68,7 +68,25 @@ def q_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     """Dynamic per-row int8 × per-channel int8 → dequantized matmul.
 
     x: [..., K] float; w_q: [K, N] int8; w_scale: [N] f32.
+
+    An experimental fully-fused Pallas version exists (ops/quant_kernel.py,
+    quantize→matmul→dequant in VMEM) behind CTPU_FUSED_QMATMUL=1; measured
+    slower than this XLA lowering on the round-1 bench chip (430 vs 314 ms/step
+    for ViT-L — the resident-weight-panel pipelining needs tuning), so the XLA
+    path is the default.
     """
+    import os
+
+    if os.environ.get("CTPU_FUSED_QMATMUL") == "1" and jax.default_backend() in (
+        "tpu", "axon",
+    ):
+        from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_linear_fused
+
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        out = q_linear_fused(flat, w_q, w_scale, bias, out_dtype=out_dtype)
+        return out.reshape(lead + (w_q.shape[-1],))
+
     xf = x.astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
     x_scale = amax / 127.0
