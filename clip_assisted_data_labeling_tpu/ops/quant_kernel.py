@@ -58,6 +58,9 @@ def q_linear_fused(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         grid=(m_pad // block_m,),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),  # M tiles are independent
+        ),
         in_specs=[
             pl.BlockSpec((block_m, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
