@@ -95,7 +95,9 @@ class BatchedImageLoader:
         bucketed: bool = False,
     ):
         self.image_paths = list(image_paths)
-        self.canvas_size = canvas_size
+        # even canvas so the native path's center slice into an (even-aligned)
+        # bucket canvas lands exactly where make_crop_params expects the image
+        self.canvas_size = canvas_size + (canvas_size % 2)
         self.out_size = out_size
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)

@@ -81,6 +81,10 @@ class CLIPImageEncoder:
         return self.cfg.embed_dim
 
     def _load_params(self, model_path: str | None) -> dict:
+        if model_path and not os.path.exists(model_path):
+            # a typo'd weights path must fail loudly, not fall through to
+            # random init and embed garbage
+            raise FileNotFoundError(f"--model_path {model_path} does not exist")
         if model_path and os.path.isfile(model_path):
             if model_path.endswith(".npz"):
                 return clip_weights.load_params_npz(model_path)

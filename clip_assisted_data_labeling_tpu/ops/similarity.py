@@ -43,6 +43,11 @@ class DedupResult:
         ]
 
 
+# fp rounding slack between the count pass and the extract pass (their matmuls
+# have different reduction shapes); boundary pairs are kept, never dropped
+THRESHOLD_SLACK = 1e-5
+
+
 def normalize_rows(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, np.float32)
     norms = np.linalg.norm(x, axis=-1, keepdims=True)
@@ -135,6 +140,18 @@ def _bucket(n: int, lo: int = 128) -> int:
     return size
 
 
+def build_hit_panel(hit: np.ndarray, normed: np.ndarray, n_pad: int,
+                    dtype=np.float32):
+    """Gather hit rows into a padded panel + global-index array (sentinel
+    ≥ n_pad disables padding rows in the triangle mask)."""
+    h_pad = _bucket(len(hit))
+    gidx = np.full(h_pad, n_pad + 1, np.int32)
+    gidx[: len(hit)] = hit
+    panel = np.zeros((h_pad, normed.shape[1]), dtype)
+    panel[: len(hit)] = normed[hit]
+    return panel, gidx
+
+
 def find_duplicate_pairs(
     embeddings: np.ndarray,
     threshold: float = 0.96,
@@ -186,19 +203,18 @@ def find_duplicate_pairs(
 
     # pass 2: exact top-k for hit rows only
     k = min(max_per_row, n_pad)
-    h_pad = _bucket(len(hit))
-    gidx = np.full(h_pad, n_pad + 1, np.int32)  # sentinel masks padding rows
-    gidx[: len(hit)] = hit
-    hit_panel = np.zeros((h_pad, normed.shape[1]), np.float32)
-    hit_panel[: len(hit)] = normed[hit]
+    hit_panel, gidx = build_hit_panel(hit, normed, n_pad, dtype=np.float16)
 
     run_vals, run_idx = _extract_hits(
-        stacked, jnp.asarray(hit_panel.astype(np.float16)), jnp.asarray(gidx),
-        n, threshold, k, euclidean,
+        stacked, jnp.asarray(hit_panel), jnp.asarray(gidx), n, threshold, k,
+        euclidean,
     )
     v = np.asarray(run_vals)[: len(hit)]
     j = np.asarray(run_idx)[: len(hit)]
-    hit_r, hit_k = np.nonzero(v > threshold)
+    # small slack: pass 2's matmul has a different reduction shape than pass 1's
+    # count tiles, so a pair exactly at the threshold could otherwise round
+    # below it here after rounding above it there and silently vanish
+    hit_r, hit_k = np.nonzero(v > threshold - THRESHOLD_SLACK)
     return DedupResult(
         rows=hit[hit_r].astype(np.int64),
         cols=j[hit_r, hit_k].astype(np.int64),

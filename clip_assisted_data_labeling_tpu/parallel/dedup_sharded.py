@@ -40,14 +40,12 @@ except ImportError:  # pragma: no cover
         return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 from clip_assisted_data_labeling_tpu.ops.similarity import (
+    THRESHOLD_SLACK,
     DedupResult,
+    _tile_metric as _metric,
+    build_hit_panel,
     normalize_rows,
 )
-
-
-def _metric(rows, cols, euclidean):
-    sim = jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
-    return jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim, 0.0)) if euclidean else sim
 
 
 @functools.partial(
@@ -153,13 +151,8 @@ def find_duplicate_pairs_sharded(
     if hit.size == 0:
         return empty
 
-    from clip_assisted_data_labeling_tpu.ops.similarity import _bucket
-
-    h_pad = _bucket(len(hit))
-    gidx = np.full(h_pad, n_pad + 1, np.int32)
-    gidx[: len(hit)] = hit
-    hit_panel = np.zeros((h_pad, normed.shape[1]), np.float16)
-    hit_panel[: len(hit)] = normed[hit]
+    hit_panel, gidx = build_hit_panel(hit, normed, n_pad, dtype=np.float16)
+    h_pad = len(hit_panel)
 
     vals, idx = _sharded_extract(
         sharded, jnp.asarray(hit_panel), jnp.asarray(gidx), n, mesh, n_devices,
@@ -172,7 +165,9 @@ def find_duplicate_pairs_sharded(
     v = np.take_along_axis(v, order, axis=1)
     j = np.take_along_axis(j, order, axis=1)
 
-    hit_r, hit_k = np.nonzero(v > threshold)
+    # slack: pass 2's matmul reduction shape differs from pass 1's, so an
+    # exactly-at-threshold pair must not round below it here and vanish
+    hit_r, hit_k = np.nonzero(v > threshold - THRESHOLD_SLACK)
     return DedupResult(
         rows=hit[hit_r].astype(np.int64),
         cols=j[hit_r, hit_k].astype(np.int64),

@@ -91,11 +91,13 @@ class EmbeddingStore:
             json.dump(meta, f)
         with open(os.path.join(directory, "uuids.txt"), "w") as f:
             f.write("\n".join(uuids))
-        if rel_paths is not None:
-            if len(rel_paths) != len(uuids):
-                raise ValueError("rel_paths must align with uuids")
-            with open(os.path.join(directory, "paths.txt"), "w") as f:
-                f.write("\n".join(rel_paths))
+        if rel_paths is None:
+            rel_paths = [u + ".jpg" for u in uuids]  # flat-dataset default
+        if len(rel_paths) != len(uuids):
+            raise ValueError("rel_paths must align with uuids")
+        # always (re)written so a rebuilt store can never serve a stale list
+        with open(os.path.join(directory, "paths.txt"), "w") as f:
+            f.write("\n".join(rel_paths))
         store = cls(directory, meta, mode="w+")
         store._uuids = list(uuids)
         return store
@@ -162,10 +164,16 @@ class EmbeddingStore:
         cls, root_dir: str, model_name: str, uuid_paths: dict[str, str]
     ) -> "EmbeddingStore":
         """Build a store by scanning existing ``.pt`` sidecars (e.g. a dataset
-        embedded by the reference toolkit)."""
+        embedded by the reference toolkit). uuid_paths maps uuid → sidecar path;
+        the per-row image path is recorded as the sibling .jpg so nested
+        datasets keep working."""
         from clip_assisted_data_labeling_tpu.store.sidecar import read_sidecar
 
         uuids = sorted(uuid_paths)
+        rel_paths = [
+            os.path.relpath(os.path.splitext(uuid_paths[u])[0] + ".jpg", root_dir)
+            for u in uuids
+        ]
         first = None
         for u in uuids:
             d = read_sidecar(uuid_paths[u])
@@ -181,7 +189,8 @@ class EmbeddingStore:
         dim = int(np.asarray(first[crop_names[0]]).reshape(-1).shape[0])
 
         store = cls.create(
-            root_dir, model_name, crop_names, dim, uuids, with_stats=bool(stat_keys)
+            root_dir, model_name, crop_names, dim, uuids,
+            with_stats=bool(stat_keys), rel_paths=rel_paths,
         )
         for i, u in enumerate(uuids):
             try:

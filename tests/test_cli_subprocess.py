@@ -9,17 +9,15 @@ import numpy as np
 import pytest
 from PIL import Image
 
-ENV = {**os.environ, "JAX_PLATFORMS": ""}  # let conftest-free subprocs pick cpu
-
-
 def _run(args, timeout=600):
-    env = dict(os.environ)
+    # the inline snippet forces the cpu platform itself (env vars are overridden
+    # by this machine's sitecustomize — see CLAUDE.md)
     proc = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu');"
          "import sys; from clip_assisted_data_labeling_tpu.pipeline import "
          f"{args[0]} as m; sys.argv = ['x'] + {args[1:]!r}; m.main(sys.argv[1:])"],
-        capture_output=True, text=True, timeout=timeout, env=env,
+        capture_output=True, text=True, timeout=timeout,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
