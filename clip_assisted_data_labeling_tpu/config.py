@@ -50,6 +50,7 @@ class EmbedConfig:
     canvas_size: int = 1024  # host canvas; images larger than this get pre-downscaled
     compute_dtype: str = "bfloat16"  # "float32" for parity-exact runs
     with_image_stats: bool = True
+    exact_stats: bool = False  # host cv2 img_stat path (reference-exact values)
     shuffle_filenames: bool = True
     write_sidecars: bool = True  # reference-compatible .pt files alongside the store
 

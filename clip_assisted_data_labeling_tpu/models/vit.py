@@ -216,7 +216,8 @@ def default_fused_attention() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "compute_dtype", "normalize", "fused_attention")
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "normalize", "fused_attention", "unroll"),
 )
 def vit_encode_image(
     params: dict,
@@ -225,6 +226,7 @@ def vit_encode_image(
     compute_dtype=jnp.bfloat16,
     normalize: bool = True,
     fused_attention: bool | None = None,
+    unroll: bool = False,  # python-loop the layers (trades compile time)
 ) -> jnp.ndarray:
     """Full image-tower forward → [B, embed_dim] (L2-normalized like the
     reference's encode_image, utils/embedder.py:98-99)."""
@@ -246,10 +248,15 @@ def vit_encode_image(
     x = x + params["pos_emb"].astype(compute_dtype)
     x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
 
-    def body(carry, block_params):
-        return _block(carry, block_params, cfg, fused_attention, quantized), None
+    if unroll:
+        for i in range(cfg.layers):
+            layer = jax.tree.map(lambda a: a[i], params["blocks"])
+            x = _block(x, layer, cfg, fused_attention, quantized)
+    else:
+        def body(carry, block_params):
+            return _block(carry, block_params, cfg, fused_attention, quantized), None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+        x, _ = jax.lax.scan(body, x, params["blocks"])
 
     cls_tok = _layernorm(
         x[:, 0], params["ln_post_scale"], params["ln_post_bias"], cfg.ln_eps

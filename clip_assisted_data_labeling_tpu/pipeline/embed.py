@@ -37,6 +37,21 @@ def _uuid_of(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
+def _host_exact_stats(batch) -> np.ndarray:
+    """Reference-exact img stats (host cv2) for --exact_stats runs; the decoded
+    image is recovered from its centered canvas slot via the stat params
+    (ox, oy, w, h — see ops.image_stats.make_stat_params)."""
+    from clip_assisted_data_labeling_tpu.ops.image_stats import image_stats_reference
+
+    out = np.zeros((batch.n_valid, len(IMG_STAT_KEYS)), np.float32)
+    for i in range(batch.n_valid):
+        ox, oy, w, h = (int(v) for v in batch.stat_params[i, :4])
+        img = batch.canvas[i, oy : oy + h, ox : ox + w]
+        stats = image_stats_reference(img)
+        out[i] = [stats[k] for k in IMG_STAT_KEYS]
+    return out
+
+
 def _sidecar_path(path: str) -> str:
     return os.path.splitext(path)[0] + ".pt"
 
@@ -145,9 +160,10 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
     writer_futures = []
     with ThreadPoolExecutor(max(2, cfg.num_workers // 2)) as writer_pool:
         for batch in loader:
+            device_stats = cfg.with_image_stats and not cfg.exact_stats
             with timer.time("device", batch.n_valid):
                 if sharded is not None:
-                    if cfg.with_image_stats:
+                    if device_stats:
                         emb, stats = sharded.embed(
                             batch.canvas, batch.crop_params, batch.stat_params
                         )
@@ -157,13 +173,16 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
                     emb = encoder.embed_crops(batch.canvas, batch.crop_params)
                     stats = (
                         image_stats_batch(batch.canvas, batch.stat_params)
-                        if cfg.with_image_stats
+                        if device_stats
                         else None
                     )
                 emb = np.asarray(emb)[: batch.n_valid]
                 stats_np = (
                     np.asarray(stats)[: batch.n_valid] if stats is not None else None
                 )
+            if cfg.with_image_stats and cfg.exact_stats:
+                with timer.time("exact_stats", batch.n_valid):
+                    stats_np = _host_exact_stats(batch)
 
             with timer.time("store_write", batch.n_valid):
                 for bi, path in enumerate(batch.paths):
@@ -264,6 +283,9 @@ def main(argv=None):
     parser.add_argument("--no_sidecars", action="store_true",
                         help="Skip per-image .pt sidecars (columnar store only)")
     parser.add_argument("--no_image_stats", action="store_true")
+    parser.add_argument("--exact_stats", action="store_true",
+                        help="compute img_stat_* on host with cv2 "
+                        "(reference-exact values; slower)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Write a jax.profiler trace of the run here")
     args = parser.parse_args(argv)
@@ -278,6 +300,7 @@ def main(argv=None):
         canvas_size=args.canvas_size,
         compute_dtype=args.compute_dtype,
         with_image_stats=not args.no_image_stats,
+        exact_stats=args.exact_stats,
         write_sidecars=not args.no_sidecars,
     )
     if args.profile_dir:
