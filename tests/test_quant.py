@@ -54,6 +54,21 @@ def test_quantized_vit_close_to_f32(rng):
     assert np.all(cos > 0.995), cos  # int8 fast mode stays close
 
 
+def test_sharded_embed_with_quantized_params(rng):
+    """int8 mode composes with the data-parallel mesh path."""
+    from __graft_entry__ import _example_batch
+    from clip_assisted_data_labeling_tpu.parallel.embed_sharded import ShardedEmbedder
+    from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh
+
+    cfg = resolve_config("ViT-Test/tiny")
+    qparams = quantize_vit_params(init_vit_params(cfg, jax.random.key(0)))
+    canvases, crop_params = _example_batch(8, 128, cfg.image_size, seed=5)
+    embedder = ShardedEmbedder(qparams, cfg, get_mesh())
+    emb = np.asarray(embedder.embed(canvases, crop_params))
+    assert emb.shape == (8, 4, cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=2e-2)
+
+
 def test_encoder_int8_mode(rng):
     enc = CLIPImageEncoder("ViT-Test/tiny", compute_dtype="int8")
     assert enc.quantized
