@@ -51,6 +51,8 @@ class EmbedConfig:
     compute_dtype: str = "bfloat16"  # "float32" for parity-exact runs
     with_image_stats: bool = True
     exact_stats: bool = False  # host cv2 img_stat path (reference-exact values)
+    host_index: int = 0  # multi-host scale-out: this host's shard of the file list
+    host_count: int = 1
     shuffle_filenames: bool = True
     write_sidecars: bool = True  # reference-compatible .pt files alongside the store
 

@@ -65,6 +65,16 @@ def embed_dataset(root_dir: str, cfg: EmbedConfig) -> dict[str, EmbeddingStore |
         img_paths.sort()
     print(f"---> Found {len(img_paths)} images in {root_dir}")
 
+    if cfg.host_count > 1:
+        # multi-host scale-out: each host embeds a deterministic disjoint shard
+        # of the (sorted) file list; sidecars are per-image so shards compose,
+        # and each host's columnar store covers its shard
+        img_paths.sort()
+        img_paths = img_paths[cfg.host_index :: cfg.host_count]
+        print(
+            f"Host shard {cfg.host_index}/{cfg.host_count}: {len(img_paths)} images"
+        )
+
     # the on-disk contract keys everything by basename uuid (sidecars, CSV DB);
     # colliding basenames across subdirectories would silently cross-contaminate
     # store rows, so drop duplicates loudly (stage-0 prep guarantees uniqueness)
@@ -135,15 +145,25 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         print(f"Data-parallel embedding over {n_dev} devices (batch {batch_size})")
 
     uuids_all = [_uuid_of(p) for p in img_paths]
-    store = EmbeddingStore.create(
-        root_dir,
-        model_name,
-        list(cfg.crop_names),
-        encoder.embed_dim,
-        uuids_all,
-        with_stats=cfg.with_image_stats,
-        rel_paths=[os.path.relpath(p, root_dir) for p in img_paths],
-    )
+    store = None
+    if cfg.host_count > 1:
+        # hosts share the filesystem: per-image sidecars compose across shards,
+        # but the columnar store is one file — build it once afterwards with
+        # EmbeddingStore.from_sidecars on any single host
+        print(
+            "Multi-host shard run: writing sidecars only; build the columnar "
+            "store afterwards via EmbeddingStore.from_sidecars."
+        )
+    else:
+        store = EmbeddingStore.create(
+            root_dir,
+            model_name,
+            list(cfg.crop_names),
+            encoder.embed_dim,
+            uuids_all,
+            with_stats=cfg.with_image_stats,
+            rel_paths=[os.path.relpath(p, root_dir) for p in img_paths],
+        )
     row_of = {u: i for i, u in enumerate(uuids_all)}
 
     loader = BatchedImageLoader(
@@ -184,13 +204,14 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
                 with timer.time("exact_stats", batch.n_valid):
                     stats_np = _host_exact_stats(batch)
 
-            with timer.time("store_write", batch.n_valid):
-                for bi, path in enumerate(batch.paths):
-                    store.write_rows(
-                        row_of[_uuid_of(path)],
-                        emb[bi : bi + 1],
-                        None if stats_np is None else stats_np[bi : bi + 1],
-                    )
+            if store is not None:
+                with timer.time("store_write", batch.n_valid):
+                    for bi, path in enumerate(batch.paths):
+                        store.write_rows(
+                            row_of[_uuid_of(path)],
+                            emb[bi : bi + 1],
+                            None if stats_np is None else stats_np[bi : bi + 1],
+                        )
 
             def write_batch_sidecars(paths, emb_np, stats_arr):
                 for bi, path in enumerate(paths):
@@ -230,7 +251,7 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
     # with plain "subcrop1"/"subcrop2" keys backfill too)
     from clip_assisted_data_labeling_tpu.store.sidecar import resolve_crop_key
 
-    for path in skipped:
+    for path in skipped if store is not None else []:
         try:
             d = read_sidecar(_sidecar_path(path))[model_name]
             keys = [resolve_crop_key(d, c) for c in store.meta["crop_names"]]
@@ -253,9 +274,10 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         except Exception as e:  # keep going; row stays invalid
             log.warning("Could not backfill %s: %s", path, e)
             store.valid[row_of[_uuid_of(path)]] = False
-    for path in loader.skipped:
-        store.valid[row_of[_uuid_of(path)]] = False
-    store.flush()
+    if store is not None:
+        for path in loader.skipped:
+            store.valid[row_of[_uuid_of(path)]] = False
+        store.flush()
 
     print("\n--- Feature encoding done! ---")
     print(f"Embedded {n_done} images ({len(skipped)} already embedded); model key '{model_name}'")
@@ -288,6 +310,11 @@ def main(argv=None):
                         "(reference-exact values; slower)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Write a jax.profiler trace of the run here")
+    parser.add_argument("--host_index", type=int, default=0,
+                        help="multi-host runs: this host's index in [0, host_count)")
+    parser.add_argument("--host_count", type=int, default=1,
+                        help="multi-host runs: total hosts; each embeds a "
+                        "deterministic disjoint shard of the file list")
     args = parser.parse_args(argv)
 
     cfg = EmbedConfig(
@@ -301,6 +328,8 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         with_image_stats=not args.no_image_stats,
         exact_stats=args.exact_stats,
+        host_index=args.host_index,
+        host_count=args.host_count,
         write_sidecars=not args.no_sidecars,
     )
     if args.profile_dir:

@@ -1,0 +1,41 @@
+"""Multi-host file sharding: two shard runs compose into the full dataset."""
+import os
+
+import numpy as np
+from PIL import Image
+
+from clip_assisted_data_labeling_tpu.config import EmbedConfig
+from clip_assisted_data_labeling_tpu.pipeline.embed import embed_dataset
+from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
+from clip_assisted_data_labeling_tpu.store.sidecar import read_sidecar
+
+MODEL = "ViT-Test/tiny"
+
+
+def test_host_shards_compose(tmp_path, rng):
+    root = tmp_path / "ds"
+    root.mkdir()
+    for i in range(7):
+        Image.fromarray(rng.integers(0, 256, (60, 80, 3)).astype(np.uint8)).save(
+            root / f"u{i}.jpg"
+        )
+
+    base = dict(models_to_use=(MODEL,), batch_size=2, num_workers=1,
+                canvas_size=128, compute_dtype="float32", shuffle_filenames=False)
+    # two "hosts" embed disjoint shards (sidecars only)
+    for idx in (0, 1):
+        embed_dataset(str(root), EmbedConfig(**base, host_index=idx, host_count=2))
+
+    pts = sorted(f for f in os.listdir(root) if f.endswith(".pt"))
+    assert len(pts) == 7  # every image embedded exactly once across shards
+    for f in pts:
+        assert MODEL in read_sidecar(str(root / f))
+
+    # the combined store builds from the sidecars
+    uuid_paths = {os.path.splitext(f)[0]: str(root / f) for f in pts}
+    store = EmbeddingStore.from_sidecars(str(root), MODEL, uuid_paths)
+    assert int(np.asarray(store.valid).sum()) == 7
+
+    # a single-host follow-up run sees everything already embedded
+    stores = embed_dataset(str(root), EmbedConfig(**base))
+    assert np.asarray(stores[MODEL].valid).all()
