@@ -128,7 +128,7 @@ def test_columnar_store_roundtrip(tmp_path, rng):
     assert loaded.uuids == uuids
     assert loaded.index_of("u7") == 7
     np.testing.assert_allclose(
-        np.asarray(loaded.embeddings), emb.astype(np.float16), atol=1e-3
+        np.asarray(loaded.embeddings), emb.astype(np.float16), rtol=2e-3, atol=1e-3
     )
     assert loaded.crop_index("subcrop2") == 1
 
@@ -148,6 +148,6 @@ def test_columnar_from_sidecars(tmp_path, rng):
     for u in paths:
         i = store.index_of(u)
         np.testing.assert_allclose(
-            np.asarray(store.embeddings[i, 0], np.float32), embs[u], atol=1e-3
+            np.asarray(store.embeddings[i, 0], np.float32), embs[u], rtol=2e-3, atol=1e-3
         )
     assert store.img_stats is not None
