@@ -315,7 +315,13 @@ def main(argv=None):
     parser.add_argument("--host_count", type=int, default=1,
                         help="multi-host runs: total hosts; each embeds a "
                         "deterministic disjoint shard of the file list")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="trap NaNs in device computations (jax_debug_nans)")
     args = parser.parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     cfg = EmbedConfig(
         models_to_use=args.models_to_use,

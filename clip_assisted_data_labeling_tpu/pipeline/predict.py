@@ -28,15 +28,21 @@ from clip_assisted_data_labeling_tpu.utils import plots
 
 
 def find_model(model_name: str, model_dir: str = "models") -> str | None:
-    """Exact path, else substring lookup in model_dir (reference _5:48-56)."""
+    """Exact path, else substring lookup in model_dir (reference _5:48-56).
+
+    Divergence from the reference: among multiple matches the NEWEST checkpoint
+    wins (the reference returned the first directory-listing hit, silently
+    predicting with a stale model after retraining)."""
     if os.path.isfile(model_name):
         return model_name
     if not os.path.isdir(model_dir):
         return None
-    for f in sorted(os.listdir(model_dir)):
-        if model_name in f:
-            return os.path.join(model_dir, f)
-    return None
+    matches = [
+        os.path.join(model_dir, f) for f in os.listdir(model_dir) if model_name in f
+    ]
+    if not matches:
+        return None
+    return max(matches, key=os.path.getmtime)
 
 
 def load_model(path: str) -> SimpleFCRegressor:

@@ -358,7 +358,11 @@ def main(argv=None):
     parser.add_argument("--dropout_prob", type=float, default=0.5)
     parser.add_argument("--hidden_sizes", type=int, nargs="+", default=[264, 128, 64])
     parser.add_argument("--random_seed", type=int, default=42)
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="trap NaNs in device computations (jax_debug_nans)")
     args = parser.parse_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     cfg = TrainConfig(
         clip_models_to_use=args.clip_models_to_use,

@@ -148,6 +148,24 @@ def test_encoder_standard_checkpoint_names(tmp_path):
     )
 
 
+def test_find_model_prefers_newest(tmp_path):
+    """Substring lookup must pick the newest checkpoint, not the first listing
+    hit (stale-model prediction bug found in the round-1 system run)."""
+    import time as _time
+
+    from clip_assisted_data_labeling_tpu.pipeline.predict import find_model
+
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    old = mdir / "regressor_2026-01-01_old.npz"
+    old.write_bytes(b"old")
+    new = mdir / "regressor_2026-06-01_new.npz"
+    new.write_bytes(b"new")
+    os.utime(old, (1, 1))
+    assert find_model("regressor", str(mdir)) == str(new)
+    assert find_model("missing", str(mdir)) is None
+
+
 def test_aesthetic_with_img_stats(tmp_path, rng):
     """Finding 7: stats-trained regressors work in the standalone scorer."""
     import jax
