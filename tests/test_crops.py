@@ -137,6 +137,28 @@ def test_batched_matches_single(rng):
         np.testing.assert_allclose(batched[k], single, atol=1e-5)
 
 
+def test_fuzz_sizes_match_pil(rng):
+    """Broad parity fuzz: 25 random image sizes vs the from-spec PIL golden."""
+    R, canvas_size = 40, 160
+    lsb = 1.0 / 255.0 / STD.min()
+    for _ in range(25):
+        w = int(rng.integers(8, 160))
+        h = int(rng.integers(8, 160))
+        img = make_test_image(rng, w, h)
+        golden = np.stack(
+            [ref_preprocess(c, R) for c in ref_extract_crops(Image.fromarray(img))]
+        )
+        params = make_crop_params(w, h, canvas_size, R)[None]
+        out = np.asarray(
+            fused_crop_resize_normalize(
+                put_on_canvas(img, canvas_size)[None], params, out_size=R, parity=True
+            )
+        )[0]
+        diff = np.abs(out - golden)
+        assert diff.max() <= 4 * lsb, (w, h, diff.max())
+        assert np.mean(diff) < 0.25 * lsb, (w, h, np.mean(diff))
+
+
 @pytest.mark.parametrize("w,h", [(3, 2), (1, 1), (2, 200), (200, 1)])
 def test_degenerate_image_sizes(rng, w, h):
     """Tiny/extreme images: subcrops clamp to >=1px instead of crashing (the
