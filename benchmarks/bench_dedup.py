@@ -31,7 +31,10 @@ def main():
     rng = np.random.default_rng(0)
     emb = rng.normal(0, 1, (args.n, args.dim)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    planted = [(5, args.n // 2), (123, args.n - 7), (args.n // 4, args.n // 4 + 9)]
+    planted = [
+        (5, args.n // 2), (123, args.n - 7),
+        (args.n // 4, args.n // 4 + 9), (7, args.n - 1),
+    ]
     for i, j in planted:
         emb[j] = emb[i] + rng.normal(0, 0.005, args.dim).astype(np.float32)
         emb[j] /= np.linalg.norm(emb[j])

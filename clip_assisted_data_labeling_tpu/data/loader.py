@@ -108,9 +108,11 @@ class BatchedImageLoader:
         # (canvas bytes dominate host→device traffic); jit compiles once per
         # bucket. Buckets are quarters of the max canvas, 64-aligned.
         self.bucket_sizes = (
-            sorted({max(64, (canvas_size * q // 4) // 64 * 64) for q in (1, 2, 3, 4)})
+            sorted({
+                max(64, (self.canvas_size * q // 4) // 64 * 64) for q in (1, 2, 3, 4)
+            })
             if bucketed
-            else [canvas_size]
+            else [self.canvas_size]  # even-aligned, matching the decode target
         )
         self.skipped: list[str] = []
 

@@ -67,14 +67,26 @@ def q_linear_fused(
 ) -> jnp.ndarray:
     m, k = x.shape
     _, n = wq.shape
+    n_orig = n
     block_m = min(block_m, _round_up(m, 8))
-    block_n = min(block_n, n)
-    block_k = min(block_k, k)
-    m_pad = _round_up(m, block_m)
-    if m_pad != m:
-        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    block_n = min(block_n, _round_up(n, 128))
+    block_k = min(block_k, _round_up(k, 128))
     if bias is None:
         bias = jnp.zeros((n,), jnp.float32)
+
+    # pad every axis to its block multiple (zero weights/inputs contribute
+    # nothing; padded scale columns use 1.0 and are sliced away)
+    m_pad = _round_up(m, block_m)
+    k_pad = _round_up(k, block_k)
+    n_pad = _round_up(n, block_n)
+    if m_pad != m or k_pad != k:
+        x = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))
+    if k_pad != k or n_pad != n:
+        wq = jnp.pad(wq, ((0, k_pad - k), (0, n_pad - n)))
+    if n_pad != n:
+        w_scale = jnp.pad(w_scale, (0, n_pad - n), constant_values=1.0)
+        bias = jnp.pad(bias, (0, n_pad - n))
+    k, n = k_pad, n_pad
 
     # per-row dynamic scales, computed up front (one cheap fused pass) so the
     # kernel can quantize each K-tile independently
@@ -115,4 +127,4 @@ def q_linear_fused(
         w_scale.reshape(1, n).astype(jnp.float32),
         bias.reshape(1, n).astype(jnp.float32),
     )
-    return out[:m]
+    return out[:m, :n_orig]

@@ -38,15 +38,23 @@ def _uuid_of(path: str) -> str:
 
 
 def _host_exact_stats(batch) -> np.ndarray:
-    """Reference-exact img stats (host cv2) for --exact_stats runs; the decoded
-    image is recovered from its centered canvas slot via the stat params
-    (ox, oy, w, h — see ops.image_stats.make_stat_params)."""
+    """Reference-exact img stats (host cv2) for --exact_stats runs. Images are
+    re-decoded from disk at ORIGINAL resolution (the canvas copy may be
+    pre-downscaled when larger than the canvas, which would skew the
+    width/height/detail stats vs the reference)."""
+    import cv2
+
     from clip_assisted_data_labeling_tpu.ops.image_stats import image_stats_reference
 
     out = np.zeros((batch.n_valid, len(IMG_STAT_KEYS)), np.float32)
-    for i in range(batch.n_valid):
-        ox, oy, w, h = (int(v) for v in batch.stat_params[i, :4])
-        img = batch.canvas[i, oy : oy + h, ox : ox + w]
+    for i, path in enumerate(batch.paths):
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is not None:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        else:
+            from PIL import Image
+
+            img = np.asarray(Image.open(path).convert("RGB"))
         stats = image_stats_reference(img)
         out[i] = [stats[k] for k in IMG_STAT_KEYS]
     return out
@@ -65,19 +73,11 @@ def embed_dataset(root_dir: str, cfg: EmbedConfig) -> dict[str, EmbeddingStore |
         img_paths.sort()
     print(f"---> Found {len(img_paths)} images in {root_dir}")
 
-    if cfg.host_count > 1:
-        # multi-host scale-out: each host embeds a deterministic disjoint shard
-        # of the (sorted) file list; sidecars are per-image so shards compose,
-        # and each host's columnar store covers its shard
-        img_paths.sort()
-        img_paths = img_paths[cfg.host_index :: cfg.host_count]
-        print(
-            f"Host shard {cfg.host_index}/{cfg.host_count}: {len(img_paths)} images"
-        )
-
     # the on-disk contract keys everything by basename uuid (sidecars, CSV DB);
     # colliding basenames across subdirectories would silently cross-contaminate
-    # store rows, so drop duplicates loudly (stage-0 prep guarantees uniqueness)
+    # store rows, so drop duplicates loudly (stage-0 prep guarantees uniqueness).
+    # This must run BEFORE host sharding so collisions can't hide on different
+    # hosts' shards.
     seen: set[str] = set()
     unique_paths = []
     for p in img_paths:
@@ -91,6 +91,20 @@ def embed_dataset(root_dir: str, cfg: EmbedConfig) -> dict[str, EmbeddingStore |
         seen.add(u)
         unique_paths.append(p)
     img_paths = unique_paths
+
+    if cfg.host_count > 1:
+        if not cfg.write_sidecars:
+            raise ValueError(
+                "--host_count > 1 requires sidecars (the per-shard results have "
+                "no other output); drop --no_sidecars"
+            )
+        # multi-host scale-out: each host embeds a deterministic disjoint shard
+        # of the (sorted) file list; sidecars are per-image so shards compose
+        img_paths.sort()
+        img_paths = img_paths[cfg.host_index :: cfg.host_count]
+        print(
+            f"Host shard {cfg.host_index}/{cfg.host_count}: {len(img_paths)} images"
+        )
 
     stores: dict[str, EmbeddingStore | None] = {}
     for model_name in cfg.models_to_use:

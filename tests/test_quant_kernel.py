@@ -40,3 +40,23 @@ def test_fused_no_bias_and_padding(rng):
                  out_dtype=jnp.float32)
     )
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_fused_non_divisible_dims(rng):
+    """Regression (review finding): K/N not multiples of the block sizes must
+    pad correctly, not silently truncate/NaN (e.g. ViT-B shapes K=768, N=2304)."""
+    x = rng.normal(0, 1, (20, 48)).astype(np.float32)
+    k = rng.normal(0, 0.05, (48, 72)).astype(np.float32)
+    wq, scale = quantize_weight(k)
+    got = np.asarray(
+        q_linear_fused(jnp.asarray(x), jnp.asarray(wq), jnp.asarray(scale),
+                       None, block_m=8, block_n=32, block_k=32,
+                       interpret=True, out_dtype=jnp.float32)
+    )
+    assert got.shape == (20, 72)
+    assert np.isfinite(got).all()
+    ref = np.asarray(
+        q_matmul(jnp.asarray(x), jnp.asarray(wq), jnp.asarray(scale),
+                 out_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
