@@ -1,0 +1,92 @@
+"""Detail behaviors: preview copies, dedup move mode, labeling navigation."""
+import os
+
+import numpy as np
+from PIL import Image
+
+from clip_assisted_data_labeling_tpu.config import DedupConfig, EmbedConfig
+from clip_assisted_data_labeling_tpu.models.regressor import (
+    RegressorMeta,
+    SimpleFCRegressor,
+)
+from clip_assisted_data_labeling_tpu.pipeline.dedup import run_dedup
+from clip_assisted_data_labeling_tpu.pipeline.embed import embed_dataset
+from clip_assisted_data_labeling_tpu.pipeline.label import label_dataset
+from clip_assisted_data_labeling_tpu.pipeline.predict import predict_labels
+from clip_assisted_data_labeling_tpu.store.database import LabelDatabase
+from clip_assisted_data_labeling_tpu.ui.backend import HeadlessBackend
+
+MODEL = "ViT-Test/tiny"
+
+
+def _dataset(tmp_path, rng, n=5, plant_dup=False):
+    root = tmp_path / "ds"
+    root.mkdir()
+    arrs = []
+    for i in range(n):
+        arr = rng.integers(0, 256, (70, 90, 3)).astype(np.uint8)
+        arr[:, :45] = (50 * i) % 255
+        arrs.append(arr)
+        Image.fromarray(arr).save(root / f"u{i}.jpg", quality=95)
+    if plant_dup:
+        Image.fromarray(arrs[1]).save(root / "udup.jpg", quality=90)
+    cfg = EmbedConfig(models_to_use=(MODEL,), batch_size=4, num_workers=1,
+                      canvas_size=128, compute_dtype="float32",
+                      shuffle_filenames=False, with_image_stats=False)
+    embed_dataset(str(root), cfg)
+    return root
+
+
+def test_predict_preview_copies(tmp_path, rng):
+    """copy_imgs_fraction=1.0 copies score-prefixed previews (reference _5:170-177)."""
+    import jax
+
+    root = _dataset(tmp_path, rng)
+    meta = RegressorMeta(clip_models=(MODEL,), crop_names=("centre_crop",),
+                         input_size=16, hidden_sizes=(8,))
+    model = SimpleFCRegressor.create(jax.random.key(0), meta)
+    mpath = str(tmp_path / "m.npz")
+    model.save(mpath)
+
+    n = predict_labels(str(root), mpath, batch_size=4, copy_imgs_fraction=1.0)
+    assert n == 5
+    preview = str(root) + "_predicted_scores"
+    copies = sorted(os.listdir(preview))
+    assert len(copies) == 5
+    # names are "{score:.3f}_{uuid}.jpg"
+    assert all(c.split("_", 1)[1].startswith("u") for c in copies)
+    assert all(0.0 <= float(c.split("_", 1)[0]) <= 1.0 for c in copies)
+
+
+def test_dedup_move_mode(tmp_path, rng):
+    """move quarantines the TARGET file group out of the dataset (_2:102-125)."""
+    root = _dataset(tmp_path, rng, plant_dup=True)
+    n_before = len([f for f in os.listdir(root) if f.endswith(".jpg")])
+    res = run_dedup(str(root), DedupConfig(threshold=0.98, mode="move"),
+                    use_mesh=False)
+    assert len(res.rows) >= 1
+    out = tmp_path / "near_duplicates_cosine_0.98"
+    moved = [f for f in os.listdir(out) if "_target_" in f and f.endswith(".jpg")]
+    assert len(moved) >= 1
+    n_after = len([f for f in os.listdir(root) if f.endswith(".jpg")])
+    assert n_after == n_before - len(moved)  # targets gone from the dataset
+    # source copies are NOT made in move mode (reference keeps the source)
+    assert not any("_source_" in f and f.endswith(".jpg") for f in os.listdir(out))
+
+
+def test_label_navigation_and_overwrite(tmp_path, rng):
+    """left-arrow returns to the previous image; relabeling overwrites in place."""
+    root = _dataset(tmp_path, rng, n=3)
+    # label u0=3, go right past u1, come back left, label u1=9, label u1 again=2
+    backend = HeadlessBackend(["3", "right", "left", "9", "2", "quit"])
+    db = label_dataset(str(root), backend, sort="uuid", skip_labeled_files=False)
+    assert db.get_label("u0") == 0.3
+    # "9" labeled u1 (after right+left we're back on u1), "2" then labeled u2
+    assert db.get_label("u1") == 0.9
+    assert db.get_label("u2") == 0.2
+    assert db.n_labeled() == 3
+    # relabel u0 in a fresh session
+    backend2 = HeadlessBackend(["7", "quit"])
+    db2 = label_dataset(str(root), backend2, sort="uuid", skip_labeled_files=False)
+    assert db2.get_label("u0") == 0.7
+    assert len(db2.df) == 3  # upsert, no duplicate rows
