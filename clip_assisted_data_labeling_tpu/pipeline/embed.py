@@ -190,29 +190,47 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         bucketed=True,  # small-image batches ship on small canvases
     )
 
+    def write_batch_sidecars(paths, emb_np, stats_arr):
+        for bi, path in enumerate(paths):
+            crop_embs = {
+                crop: emb_np[bi, ci] for ci, crop in enumerate(cfg.crop_names)
+            }
+            img_stats = (
+                dict(zip(IMG_STAT_KEYS, map(float, stats_arr[bi])))
+                if stats_arr is not None
+                else None
+            )
+            write_sidecar(
+                _sidecar_path(path), model_name, crop_embs, img_stats,
+                merge=not cfg.force_reencode,
+            )
+
+    device_stats = cfg.with_image_stats and not cfg.exact_stats
+
+    def dispatch(batch):
+        """Enqueue the batch's device work; returns device arrays (async)."""
+        if sharded is not None:
+            if device_stats:
+                return sharded.embed(batch.canvas, batch.crop_params, batch.stat_params)
+            return sharded.embed(batch.canvas, batch.crop_params), None
+        emb_dev = encoder.embed_crops(batch.canvas, batch.crop_params)
+        stats_dev = (
+            image_stats_batch(batch.canvas, batch.stat_params) if device_stats else None
+        )
+        return emb_dev, stats_dev
+
     n_done = 0
     writer_futures = []
     with ThreadPoolExecutor(max(2, cfg.num_workers // 2)) as writer_pool:
-        for batch in loader:
-            device_stats = cfg.with_image_stats and not cfg.exact_stats
+
+        def consume(batch, emb_dev, stats_dev):
+            nonlocal n_done
             with timer.time("device", batch.n_valid):
-                if sharded is not None:
-                    if device_stats:
-                        emb, stats = sharded.embed(
-                            batch.canvas, batch.crop_params, batch.stat_params
-                        )
-                    else:
-                        emb, stats = sharded.embed(batch.canvas, batch.crop_params), None
-                else:
-                    emb = encoder.embed_crops(batch.canvas, batch.crop_params)
-                    stats = (
-                        image_stats_batch(batch.canvas, batch.stat_params)
-                        if device_stats
-                        else None
-                    )
-                emb = np.asarray(emb)[: batch.n_valid]
+                emb = np.asarray(emb_dev)[: batch.n_valid]
                 stats_np = (
-                    np.asarray(stats)[: batch.n_valid] if stats is not None else None
+                    np.asarray(stats_dev)[: batch.n_valid]
+                    if stats_dev is not None
+                    else None
                 )
             if cfg.with_image_stats and cfg.exact_stats:
                 with timer.time("exact_stats", batch.n_valid):
@@ -226,23 +244,6 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
                             emb[bi : bi + 1],
                             None if stats_np is None else stats_np[bi : bi + 1],
                         )
-
-            def write_batch_sidecars(paths, emb_np, stats_arr):
-                for bi, path in enumerate(paths):
-                    crop_embs = {
-                        crop: emb_np[bi, ci]
-                        for ci, crop in enumerate(cfg.crop_names)
-                    }
-                    img_stats = (
-                        dict(zip(IMG_STAT_KEYS, map(float, stats_arr[bi])))
-                        if stats_arr is not None
-                        else None
-                    )
-                    write_sidecar(
-                        _sidecar_path(path), model_name, crop_embs, img_stats,
-                        merge=not cfg.force_reencode,
-                    )
-
             if cfg.write_sidecars:
                 writer_futures.append(
                     writer_pool.submit(write_batch_sidecars, batch.paths, emb, stats_np)
@@ -250,6 +251,19 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
             n_done += batch.n_valid
             if n_done and n_done % 1000 < cfg.batch_size:
                 print(f"Processed {n_done}/{len(todo)} images")
+
+        # depth-2 software pipeline: dispatch batch i+1 (host→device transfer +
+        # compute enqueue) before blocking on batch i's results, so transfer,
+        # compute, and host-side writes overlap
+        import collections
+
+        pending: collections.deque = collections.deque()
+        for batch in loader:
+            pending.append((batch, *dispatch(batch)))
+            if len(pending) > 1:
+                consume(*pending.popleft())
+        while pending:
+            consume(*pending.popleft())
 
     # surface any sidecar-write failure: the .pt files are the interop contract,
     # so a silent partial write would corrupt downstream stages
