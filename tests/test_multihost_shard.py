@@ -39,3 +39,35 @@ def test_host_shards_compose(tmp_path, rng):
     # a single-host follow-up run sees everything already embedded
     stores = embed_dataset(str(root), EmbedConfig(**base))
     assert np.asarray(stores[MODEL].valid).all()
+
+
+def test_incremental_embed_after_new_images(tmp_path, rng):
+    """Reference resume semantics (_1:117-128): adding images to an embedded
+    dataset re-embeds only the new ones; the store backfills the old rows."""
+    root = tmp_path / "grow"
+    root.mkdir()
+    base = dict(models_to_use=(MODEL,), batch_size=2, num_workers=1,
+                canvas_size=128, compute_dtype="float32", shuffle_filenames=False)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 256, (50, 60, 3)).astype(np.uint8)).save(
+            root / f"a{i}.jpg"
+        )
+    embed_dataset(str(root), EmbedConfig(**base))
+    first = {
+        f: np.asarray(read_sidecar(str(root / f))[MODEL]["centre_crop"])
+        for f in os.listdir(root) if f.endswith(".pt")
+    }
+
+    for i in range(2):  # grow the dataset
+        Image.fromarray(rng.integers(0, 256, (50, 60, 3)).astype(np.uint8)).save(
+            root / f"b{i}.jpg"
+        )
+    stores = embed_dataset(str(root), EmbedConfig(**base))
+    store = stores[MODEL]
+    assert store.meta["n"] == 6
+    assert np.asarray(store.valid).all()  # old rows backfilled, new rows embedded
+    # previously embedded sidecars untouched (not re-encoded)
+    for f, emb in first.items():
+        np.testing.assert_array_equal(
+            np.asarray(read_sidecar(str(root / f))[MODEL]["centre_crop"]), emb
+        )
