@@ -33,8 +33,17 @@ class ShardedEmbedder:
         self.parity_preprocess = parity_preprocess
         self._repl = NamedSharding(mesh, P())
         self._data = NamedSharding(mesh, P("data"))
-        self.params = jax.tree.map(lambda x: jax.device_put(x, self._repl), params)
-        self.n_devices = int(np.prod(mesh.devices.shape))
+        if "model" in mesh.axis_names:
+            # 2-D (data, model) mesh: tensor-parallel param layout for towers
+            # too big to replicate per chip (rules in parallel/tp.py)
+            from clip_assisted_data_labeling_tpu.parallel.tp import apply_tp_sharding
+
+            self.params = apply_tp_sharding(params, mesh)
+        else:
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(x, self._repl), params
+            )
+        self.n_devices = mesh.shape["data"]
 
     def embed(self, canvas_u8, crop_params, stat_params=None):
         assert canvas_u8.shape[0] % self.n_devices == 0, (

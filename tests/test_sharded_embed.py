@@ -49,3 +49,48 @@ def test_sharded_embed_with_stats(rng):
     assert emb.shape == (8, 4, cfg.embed_dim)
     assert stats.shape == (8, 22)
     assert np.isfinite(np.asarray(stats)).all()
+
+def test_tp_sharded_embed_matches_single(rng):
+    """Tensor-parallel layout (parallel/tp.py) over a 2-D (data, model) mesh
+    reproduces the single-device embeddings; the specs live in the library,
+    not inline in the driver entry."""
+    from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh_2d
+    from clip_assisted_data_labeling_tpu.parallel.tp import (
+        TP_BLOCK_SPECS,
+        apply_tp_sharding,
+    )
+
+    cfg = resolve_config("ViT-Test/tiny")
+    params = init_vit_params(cfg, jax.random.key(0))
+    canvases, crop_params = _example_batch(8, 128, cfg.image_size, seed=5)
+
+    mesh2 = get_mesh_2d(4, 2)
+    embedder = ShardedEmbedder(params, cfg, mesh2, compute_dtype=jnp.float32)
+    # every TP'd kernel really is laid out over the model axis
+    qkv = embedder.params["blocks"]["qkv_kernel"]
+    assert "model" in str(qkv.sharding.spec), qkv.sharding
+    assert set(TP_BLOCK_SPECS) >= {"qkv_kernel", "out_kernel", "fc1_kernel", "fc2_kernel"}
+    sharded = np.asarray(embedder.embed(canvases, crop_params))
+
+    crops = fused_crop_resize_normalize(
+        canvases, crop_params, out_size=cfg.image_size, parity=False,
+        dtype=jnp.float32,
+    )
+    single = np.asarray(
+        vit_encode_image(
+            params, np.asarray(crops).reshape(-1, cfg.image_size, cfg.image_size, 3),
+            cfg, compute_dtype=jnp.float32,
+        )
+    ).reshape(8, 4, -1)
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
+def test_apply_tp_sharding_requires_model_axis():
+    import pytest
+
+    from clip_assisted_data_labeling_tpu.parallel.tp import apply_tp_sharding
+
+    cfg = resolve_config("ViT-Test/tiny")
+    params = init_vit_params(cfg, jax.random.key(0))
+    with pytest.raises(ValueError, match="model"):
+        apply_tp_sharding(params, get_mesh())
