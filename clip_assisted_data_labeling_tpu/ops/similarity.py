@@ -34,7 +34,9 @@ class DedupResult:
     rows: np.ndarray  # i indices (global)
     cols: np.ndarray  # j indices (global, j > i)
     metrics: np.ndarray  # similarity (cosine) or distance (euclidean)
-    overflow_rows: np.ndarray  # rows whose above-threshold matches exceeded capacity
+    # rows whose match count exceeded the configured per-row capacity; their
+    # extraction capacity was auto-escalated to fit (informational only)
+    overflow_rows: np.ndarray
 
     def pairs(self) -> list[tuple[int, int, float]]:
         return [
@@ -140,6 +142,19 @@ def _bucket(n: int, lo: int = 128) -> int:
     return size
 
 
+def _required_k(counts: np.ndarray, max_per_row: int) -> int:
+    """Per-row extraction capacity that fits the worst pass-1 count.
+
+    ``max_per_row`` is the configured floor; rows needing more escalate it to
+    the next power of two ≥ the max count (bounded recompilation), so every
+    above-threshold pair is extracted in one pass regardless of duplicate
+    multiplicity."""
+    need = int(counts.max(initial=0))
+    if need <= max_per_row:
+        return max_per_row
+    return _bucket(need, lo=max(128, max_per_row))
+
+
 def build_hit_panel(hit: np.ndarray, normed: np.ndarray, n_pad: int,
                     dtype=np.float32):
     """Gather hit rows into a padded panel + global-index array (sentinel
@@ -201,8 +216,11 @@ def find_duplicate_pairs(
     if hit.size == 0:
         return empty
 
-    # pass 2: exact top-k for hit rows only
-    k = min(max_per_row, n_pad)
+    # pass 2: exact top-k for hit rows only. Pass 1's counts are exact, so the
+    # capacity escalates itself: if any row has more matches than max_per_row,
+    # extract with a (power-of-two-bucketed) k that fits the worst row — no
+    # user re-run needed, overflow_rows is informational only.
+    k = min(_required_k(counts, max_per_row), n_pad)
     hit_panel, gidx = build_hit_panel(hit, normed, n_pad, dtype=np.float16)
 
     run_vals, run_idx = _extract_hits(
@@ -219,7 +237,7 @@ def find_duplicate_pairs(
         rows=hit[hit_r].astype(np.int64),
         cols=j[hit_r, hit_k].astype(np.int64),
         metrics=v[hit_r, hit_k],
-        overflow_rows=np.nonzero(counts > k)[0].astype(np.int64),
+        overflow_rows=np.nonzero(counts > max_per_row)[0].astype(np.int64),
     )
 
 

@@ -42,6 +42,7 @@ except ImportError:  # pragma: no cover
 from clip_assisted_data_labeling_tpu.ops.similarity import (
     THRESHOLD_SLACK,
     DedupResult,
+    _required_k,
     _tile_metric as _metric,
     build_hit_panel,
     normalize_rows,
@@ -132,7 +133,6 @@ def find_duplicate_pairs_sharded(
     n_pad = m * n_devices
     if n_pad != n:
         normed = np.pad(normed, ((0, n_pad - n), (0, 0)))
-    k = min(max_per_row, n_pad)
 
     empty = DedupResult(
         np.empty(0, np.int64), np.empty(0, np.int64),
@@ -151,6 +151,9 @@ def find_duplicate_pairs_sharded(
     if hit.size == 0:
         return empty
 
+    # auto-escalate per-row capacity to fit the worst exact count (see
+    # ops/similarity._required_k) — overflow never requires a user re-run
+    k = min(_required_k(counts, max_per_row), n_pad)
     hit_panel, gidx = build_hit_panel(hit, normed, n_pad, dtype=np.float16)
     h_pad = len(hit_panel)
 
@@ -172,5 +175,5 @@ def find_duplicate_pairs_sharded(
         rows=hit[hit_r].astype(np.int64),
         cols=j[hit_r, hit_k].astype(np.int64),
         metrics=v[hit_r, hit_k].astype(np.float32),
-        overflow_rows=np.nonzero(counts > k)[0].astype(np.int64),
+        overflow_rows=np.nonzero(counts > max_per_row)[0].astype(np.int64),
     )

@@ -126,9 +126,9 @@ def run_dedup(root_dir: str, cfg: DedupConfig, use_mesh: bool | None = None) -> 
         )
     if result.overflow_rows.size:
         print(
-            f"WARNING: {len(result.overflow_rows)} rows exceeded the per-row pair "
-            f"capacity ({cfg.max_pairs_per_row}); re-run with a higher "
-            "--max_pairs_per_row to catch every pair for those rows."
+            f"Note: {len(result.overflow_rows)} rows had more matches than the "
+            f"configured per-row capacity ({cfg.max_pairs_per_row}); extraction "
+            "capacity was escalated automatically to fit, all pairs recovered."
         )
 
     print(f"Found {len(result.rows)} duplicates!")

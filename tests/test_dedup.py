@@ -65,11 +65,33 @@ def test_sharded_matches_blocked(rng):
     )
 
 
-def test_overflow_detection(rng):
-    # 40 identical embeddings: every row matches every later row (39 > k)
+def test_overflow_auto_escalates(rng):
+    # 40 identical embeddings: every row matches every later row (39 > k=4).
+    # Capacity must escalate itself — ALL C(40,2) pairs recovered, no re-run.
     emb = np.tile(normalize_rows(rng.normal(0, 1, (1, 16))), (40, 1))
     res = find_duplicate_pairs(emb, threshold=0.99, row_block=64, max_per_row=4)
-    assert len(res.overflow_rows) > 0  # capacity exceeded is reported
+    assert len(res.overflow_rows) > 0  # escalation is reported
+    got = set(zip(res.rows.tolist(), res.cols.tolist()))
+    iu, ju = np.triu_indices(40, k=1)
+    assert got == set(zip(iu.tolist(), ju.tolist()))
+
+
+def test_overflow_auto_escalates_sharded(rng):
+    # >16 near-duplicates of one image (the VERDICT repro): plant 24 copies of
+    # row 0 among distinct rows and require every planted pair back, sharded.
+    emb = normalize_rows(rng.normal(0, 1, (64, 16)))
+    dup_idx = list(range(0, 48, 2))  # 24 rows
+    for j in dup_idx[1:]:
+        emb[j] = emb[dup_idx[0]]
+    res = find_duplicate_pairs_sharded(
+        emb, threshold=0.9999, mesh=get_mesh(), max_per_row=16
+    )
+    got = set(zip(res.rows.tolist(), res.cols.tolist()))
+    expected = {
+        (i, j) for a, i in enumerate(dup_idx) for j in dup_idx[a + 1:]
+    }
+    assert got >= expected
+    assert len(res.overflow_rows) > 0
 
 
 def test_euclidean_replicates_reference_semantics(rng):
