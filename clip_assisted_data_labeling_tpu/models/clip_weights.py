@@ -107,9 +107,8 @@ def convert_open_clip_visual(state_dict: dict, cfg: VitConfig) -> dict:
         blocks["fc2_kernel"].append(_t(sd[b + "mlp.c_proj.weight"]).T)
         blocks["fc2_bias"].append(_t(sd[b + "mlp.c_proj.bias"]))
 
-    return {
+    out = {
         "patch_kernel": _conv_to_patch_kernel(sd["conv1.weight"]),
-        "class_emb": _t(sd["class_embedding"]),
         "pos_emb": _t(sd["positional_embedding"]),
         "ln_pre_scale": _t(sd["ln_pre.weight"]),
         "ln_pre_bias": _t(sd["ln_pre.bias"]),
@@ -118,15 +117,53 @@ def convert_open_clip_visual(state_dict: dict, cfg: VitConfig) -> dict:
         "ln_post_bias": _t(sd["ln_post.bias"]),
         "proj": _t(sd["proj"]),
     }
+    if "class_embedding" in sd:  # absent for cls-token-free towers (PE G14)
+        out["class_emb"] = _t(sd["class_embedding"])
+    return out
+
+
+def convert_pe_visual(state_dict: dict, cfg: VitConfig) -> dict:
+    """Meta Perception Encoder 'visual.*' state dict → our pytree.
+
+    The reference loads PE towers via ``pe.CLIP.from_config`` from Meta's
+    external perception_models repo (utils/embedder.py:103-150). PE keeps
+    CLIP's transformer naming (``transformer.resblocks.N.…``) but adds a probe
+    attention-pooling head (``attn_pool.probe`` + one nn.MultiheadAttention +
+    layernorm) and — for G14 — drops the class token. RoPE is positional code,
+    not weights, so conversion is naming only; the rotation tables are rebuilt
+    from the config (models/vit._rope2d_tables).
+    """
+    base = convert_open_clip_visual(state_dict, cfg)
+    sd = {k[len("visual."):]: v for k, v in state_dict.items() if k.startswith("visual.")}
+    if not sd:
+        sd = dict(state_dict)
+
+    if not cfg.use_cls_token:
+        base.pop("class_emb", None)
+    if cfg.pool == "attn":
+        base.update({
+            "pool_probe": _t(sd["attn_pool.probe"]).reshape(-1),
+            "pool_in_kernel": _t(sd["attn_pool.attn.in_proj_weight"]).T,
+            "pool_in_bias": _t(sd["attn_pool.attn.in_proj_bias"]),
+            "pool_out_kernel": _t(sd["attn_pool.attn.out_proj.weight"]).T,
+            "pool_out_bias": _t(sd["attn_pool.attn.out_proj.bias"]),
+            "pool_ln_scale": _t(sd["attn_pool.layernorm.weight"]),
+            "pool_ln_bias": _t(sd["attn_pool.layernorm.bias"]),
+        })
+    return base
 
 
 def convert_torch_state_dict(state_dict: dict, cfg: VitConfig) -> dict:
     keys = list(state_dict.keys())
     if any(k.startswith("vision_model.") for k in keys):
         return convert_hf_clip_vision(state_dict, cfg)
+    if any("attn_pool." in k for k in keys) or cfg.pool == "attn":
+        return convert_pe_visual(state_dict, cfg)
     if any("resblocks" in k for k in keys):
         return convert_open_clip_visual(state_dict, cfg)
-    raise ValueError("Unrecognized CLIP checkpoint layout; expected HF or open_clip keys")
+    raise ValueError(
+        "Unrecognized checkpoint layout; expected HF CLIP, open_clip, or PE keys"
+    )
 
 
 def save_params_npz(path: str, params: dict) -> None:

@@ -38,8 +38,16 @@ class VitConfig:
     image_size: int = 224
     embed_dim: int = 768  # output CLIP embedding dim
     mlp_ratio: int = 4
+    mlp_hidden: int | None = None  # explicit MLP width (overrides mlp_ratio)
     act: str = "quick_gelu"  # OpenAI checkpoints; open-data checkpoints use "gelu"
     ln_eps: float = 1e-5
+    # --- PE (Perception Encoder) family options (reference PE_Encoder,
+    # utils/embedder.py:103-150 loads these via Meta's perception_models repo) ---
+    use_cls_token: bool = True
+    use_rope2d: bool = False  # 2-D axial rotary embeddings on q/k in every block
+    rope_theta: float = 10000.0
+    pool: str = "cls"  # 'cls' (CLIP) | 'attn' (PE probe attention pooling)
+    attn_pooler_heads: int = 8
 
     @property
     def grid(self) -> int:
@@ -47,11 +55,15 @@ class VitConfig:
 
     @property
     def seq_len(self) -> int:
-        return self.grid * self.grid + 1
+        return self.grid * self.grid + (1 if self.use_cls_token else 0)
 
     @property
     def head_dim(self) -> int:
         return self.width // self.heads
+
+    @property
+    def mlp_dim(self) -> int:
+        return self.mlp_hidden if self.mlp_hidden else self.mlp_ratio * self.width
 
 
 # Model-name registry mirroring the reference's "Arch/pretrained" and "PE-" naming
@@ -65,10 +77,21 @@ _ARCHS = {
     "ViT-L-14-336": dict(width=1024, layers=24, heads=16, patch_size=14, image_size=336, embed_dim=768),
     "ViT-H-14": dict(width=1280, layers=32, heads=16, patch_size=14, image_size=224, embed_dim=1024),
     "ViT-g-14": dict(width=1408, layers=40, heads=16, patch_size=14, image_size=224, embed_dim=1024),
-    # Meta Perception Encoder cores (reference PE_Encoder, utils/embedder.py:103-150).
-    "PE-Core-B16-224": dict(width=768, layers=12, heads=12, patch_size=16, image_size=224, embed_dim=1024),
-    "PE-Core-L14-336": dict(width=1024, layers=24, heads=16, patch_size=14, image_size=336, embed_dim=1024),
-    "PE-Core-G14-448": dict(width=1536, layers=50, heads=16, patch_size=14, image_size=448, embed_dim=1280),
+}
+# Meta Perception Encoder cores (reference PE_Encoder, utils/embedder.py:103-150
+# loads them via Meta's external perception_models repo). The real PE vision
+# tower differs from CLIP's: 2-D axial RoPE on q/k in every block, GELU MLPs,
+# and a probe attention-pooling head instead of the class-token readout
+# (G14 additionally drops the class token and widens the MLP to 8960).
+_PE = dict(act="gelu", use_rope2d=True, pool="attn", attn_pooler_heads=8)
+_PE_ARCHS = {
+    "PE-Core-B16-224": dict(width=768, layers=12, heads=12, patch_size=16,
+                            image_size=224, embed_dim=1024, **_PE),
+    "PE-Core-L14-336": dict(width=1024, layers=24, heads=16, patch_size=14,
+                            image_size=336, embed_dim=1024, **_PE),
+    "PE-Core-G14-448": dict(width=1536, layers=50, heads=16, patch_size=14,
+                            image_size=448, embed_dim=1280, mlp_hidden=8960,
+                            use_cls_token=False, **_PE),
 }
 MODEL_REGISTRY: dict[str, VitConfig] = {
     # tiny configs for tests / multi-chip dry runs (not real pretrained models)
@@ -80,16 +103,23 @@ MODEL_REGISTRY: dict[str, VitConfig] = {
     ),
 }
 for _arch, _kw in _ARCHS.items():
-    if _arch.startswith("PE-"):
-        MODEL_REGISTRY[_arch] = VitConfig(**_kw, **_OPEN)
-    else:
-        MODEL_REGISTRY[f"{_arch}/openai"] = VitConfig(**_kw, **_OPENAI)
-        for tag in ("laion2b_s32b_b82k", "laion2b_s34b_b79k", "laion400m_e32", "datacomp_xl_s13b_b90k"):
-            MODEL_REGISTRY[f"{_arch}/{tag}"] = VitConfig(**_kw, **_OPEN)
+    MODEL_REGISTRY[f"{_arch}/openai"] = VitConfig(**_kw, **_OPENAI)
+    for tag in ("laion2b_s32b_b82k", "laion2b_s34b_b79k", "laion400m_e32", "datacomp_xl_s13b_b90k"):
+        MODEL_REGISTRY[f"{_arch}/{tag}"] = VitConfig(**_kw, **_OPEN)
+for _arch, _kw in _PE_ARCHS.items():
+    MODEL_REGISTRY[_arch] = VitConfig(**_kw)
+
+# tiny PE config for tests (RoPE + attention pooling, no cls token)
+MODEL_REGISTRY["PE-Test/tiny"] = VitConfig(
+    width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16,
+    act="gelu", use_rope2d=True, pool="attn", attn_pooler_heads=2,
+    use_cls_token=False,
+)
 
 
 def resolve_config(model_name: str) -> VitConfig:
-    """Resolve 'Arch/pretrained' or 'PE-…' names (reference naming convention)."""
+    """Resolve 'Arch/pretrained' or 'PE-…' names (reference naming convention,
+    _1_embed_with_CLIP.py:69-75)."""
     if model_name in MODEL_REGISTRY:
         return MODEL_REGISTRY[model_name]
     arch = model_name.split("/", 1)[0]
@@ -98,7 +128,7 @@ def resolve_config(model_name: str) -> VitConfig:
         return VitConfig(**_ARCHS[arch], act=act)
     raise ValueError(
         f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
-        f"with Arch in {sorted(_ARCHS)}."
+        f"with Arch in {sorted(_ARCHS) + sorted(_PE_ARCHS)}."
     )
 
 
@@ -106,7 +136,7 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     """Random-init parameter pytree (open_clip-style scaled normal init)."""
     ks = jax.random.split(key, 12)
     w, L, e = cfg.width, cfg.layers, cfg.embed_dim
-    mlp = cfg.mlp_ratio * w
+    mlp = cfg.mlp_dim
     scale = w ** -0.5
 
     def nrm(k, shape, std):
@@ -118,9 +148,8 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     def ones(shape):
         return jnp.ones(shape, dtype)
 
-    return {
+    params = {
         "patch_kernel": nrm(ks[0], (cfg.patch_size * cfg.patch_size * 3, w), scale),
-        "class_emb": nrm(ks[1], (w,), scale),
         "pos_emb": nrm(ks[2], (cfg.seq_len, w), scale),
         "ln_pre_scale": ones((w,)),
         "ln_pre_bias": zeros((w,)),
@@ -142,6 +171,20 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
         "ln_post_bias": zeros((w,)),
         "proj": nrm(ks[7], (w, e), scale),
     }
+    if cfg.use_cls_token:
+        params["class_emb"] = nrm(ks[1], (w,), scale)
+    if cfg.pool == "attn":
+        # PE probe attention-pooling head: learned query + one MHA + layernorm
+        params.update({
+            "pool_probe": nrm(ks[8], (w,), 0.02),
+            "pool_in_kernel": nrm(ks[9], (w, 3 * w), scale),
+            "pool_in_bias": zeros((3 * w,)),
+            "pool_out_kernel": nrm(ks[10], (w, w), scale),
+            "pool_out_bias": zeros((w,)),
+            "pool_ln_scale": ones((w,)),
+            "pool_ln_bias": zeros((w,)),
+        })
+    return params
 
 
 def _layernorm(x, scale, bias, eps):
@@ -158,6 +201,55 @@ def _act(x, kind: str):
     return jax.nn.gelu(x, approximate=False)
 
 
+@functools.lru_cache(maxsize=8)
+def _rope2d_tables(grid: int, head_dim: int, theta: float, cls_token: bool):
+    """2-D axial RoPE cos/sin tables, shape [S, head_dim/2] each.
+
+    Follows the axial scheme PE adopts (RoPE-ViT's ``compute_axial_cis``): the
+    first head_dim/4 complex lanes rotate by the patch's x (column) position,
+    the next head_dim/4 by its y (row) position; a leading cls token (if any)
+    gets the identity rotation. Complex lanes pair consecutive real features
+    (q[2i], q[2i+1]). Returned as numpy so jit embeds them as constants.
+    """
+    quarter = head_dim // 4
+    freqs = 1.0 / (theta ** (np.arange(0, head_dim, 4)[:quarter] / head_dim))
+    idx = np.arange(grid * grid)
+    t_x, t_y = (idx % grid).astype(np.float64), (idx // grid).astype(np.float64)
+    ang = np.concatenate([np.outer(t_x, freqs), np.outer(t_y, freqs)], axis=-1)
+    if cls_token:
+        ang = np.concatenate([np.zeros((1, ang.shape[1])), ang], axis=0)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _apply_rope(x, cos, sin):
+    """Rotate interleaved feature pairs. x: [B, h, S, d]; cos/sin: [S, d/2]."""
+    x1, x2 = x[..., ::2], x[..., 1::2]
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    ro = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return ro.reshape(x.shape)
+
+
+def _attention_pool(x, p, heads: int, eps: float):
+    """PE probe attention pooling: a learned query attends over all tokens
+    (one torch nn.MultiheadAttention in the original), then layernorm.
+    x: [B, S, w] → [B, w]."""
+    B, S, w = x.shape
+    d = w // heads
+    dt = x.dtype
+    wq, wk, wv = jnp.split(p["pool_in_kernel"].astype(dt), 3, axis=1)
+    bq, bk, bv = jnp.split(p["pool_in_bias"].astype(dt), 3)
+    q = (p["pool_probe"].astype(dt) @ wq + bq).reshape(heads, 1, d)
+    k = (x @ wk + bk).reshape(B, S, heads, d).transpose(0, 2, 1, 3)
+    v = (x @ wv + bv).reshape(B, S, heads, d).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("hqd,bhsd->bhqs", q, k) * (d ** -0.5)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+    pooled = jnp.einsum("bhqs,bhsd->bhqd", probs, v).transpose(0, 2, 1, 3)
+    pooled = pooled.reshape(B, w) @ p["pool_out_kernel"].astype(dt)
+    pooled = pooled + p["pool_out_bias"].astype(dt)
+    return _layernorm(pooled, p["pool_ln_scale"], p["pool_ln_bias"], eps)
+
+
 def _linear(x, p, name: str, quantized: bool):
     """Block matmul: bf16, or dynamically-quantized W8A8 (ops/quant.py)."""
     bias = p[name.replace("_kernel", "_bias")]
@@ -168,14 +260,15 @@ def _linear(x, p, name: str, quantized: bool):
     return x @ p[name].astype(x.dtype) + bias.astype(x.dtype)
 
 
-def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool):
-    """One pre-LN transformer block. x: [B, S, w]."""
+def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
+           rope=None):
+    """One pre-LN transformer block. x: [B, S, w]; rope: (cos, sin) or None."""
     B, S, w = x.shape
     h, d = cfg.heads, cfg.head_dim
 
     y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
     qkv = _linear(y, p, "qkv_kernel", quantized)
-    if fused_attention:
+    if fused_attention and rope is None:
         # Packed-qkv Pallas kernel: consumes the projection's [B, S, 3w] output
         # as-is and emits [B, S, w] — zero layout copies around the kernel, and
         # no [B, h, S, S] score tensor ever touches HBM (the attention here is
@@ -190,6 +283,9 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool):
         q = q.reshape(B, S, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+        if rope is not None:  # PE family: 2-D axial RoPE on q/k, every layer
+            q = _apply_rope(q, *rope)
+            k = _apply_rope(k, *rope)
         attn = attention_xla(q, k, v, scale=d ** -0.5)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, w)
     x = x + _linear(attn, p, "out_kernel", quantized)
@@ -229,7 +325,8 @@ def vit_encode_image(
     unroll: bool = False,  # python-loop the layers (trades compile time)
 ) -> jnp.ndarray:
     """Full image-tower forward → [B, embed_dim] (L2-normalized like the
-    reference's encode_image, utils/embedder.py:98-99)."""
+    reference's encode_image, utils/embedder.py:98-99; PE pooling per the
+    reference's PE_Encoder family, utils/embedder.py:103-150)."""
     if fused_attention is None:
         fused_attention = default_fused_attention()
     quantized = "patch_kernel_scale" in params  # W8A8 fast mode (ops/quant.py)
@@ -241,27 +338,40 @@ def vit_encode_image(
                      out_dtype=compute_dtype)
     else:
         x = x @ params["patch_kernel"].astype(compute_dtype)
-    cls = jnp.broadcast_to(
-        params["class_emb"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
-    )
-    x = jnp.concatenate([cls, x], axis=1)
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(
+            params["class_emb"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_emb"].astype(compute_dtype)
     x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
+
+    rope = None
+    if cfg.use_rope2d:
+        cos, sin = _rope2d_tables(
+            cfg.grid, cfg.head_dim, cfg.rope_theta, cfg.use_cls_token
+        )
+        rope = (jnp.asarray(cos), jnp.asarray(sin))
 
     if unroll:
         for i in range(cfg.layers):
             layer = jax.tree.map(lambda a: a[i], params["blocks"])
-            x = _block(x, layer, cfg, fused_attention, quantized)
+            x = _block(x, layer, cfg, fused_attention, quantized, rope)
     else:
         def body(carry, block_params):
-            return _block(carry, block_params, cfg, fused_attention, quantized), None
+            return _block(carry, block_params, cfg, fused_attention, quantized, rope), None
 
         x, _ = jax.lax.scan(body, x, params["blocks"])
 
-    cls_tok = _layernorm(
-        x[:, 0], params["ln_post_scale"], params["ln_post_bias"], cfg.ln_eps
-    )
-    emb = (cls_tok @ params["proj"].astype(compute_dtype)).astype(jnp.float32)
+    if cfg.pool == "attn":
+        # PE readout: ln_post over ALL tokens, probe attention pooling, proj
+        x = _layernorm(x, params["ln_post_scale"], params["ln_post_bias"], cfg.ln_eps)
+        pooled = _attention_pool(x, params, cfg.attn_pooler_heads, cfg.ln_eps)
+    else:
+        pooled = _layernorm(
+            x[:, 0], params["ln_post_scale"], params["ln_post_bias"], cfg.ln_eps
+        )
+    emb = (pooled @ params["proj"].astype(compute_dtype)).astype(jnp.float32)
     if normalize:
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
     return emb

@@ -21,10 +21,23 @@ def device_count() -> int:
 
 
 def get_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
-    devices = jax.devices()
+    """1-D mesh over this process's LOCAL devices (single-process: all devices).
+
+    Per-host pipelines (embed) shard over local chips only — each host works an
+    independent file shard, so no cross-host program is involved. Cross-host
+    SPMD programs (the multi-host ring dedup) use :func:`get_global_mesh`.
+    """
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def get_global_mesh(axis: str = "data") -> Mesh:
+    """1-D mesh over EVERY device in the job (all hosts). Programs over this
+    mesh must run on all processes simultaneously (SPMD); collectives ride ICI
+    within a slice and DCN/gloo across hosts."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
 
 
 def get_mesh_2d(data: int, model: int) -> Mesh:
