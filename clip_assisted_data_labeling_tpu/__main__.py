@@ -10,6 +10,7 @@ Pipeline stages (python -m clip_assisted_data_labeling_tpu.pipeline.<stage>):
   predict         score every image, update the CSV database
   subset          export a score-filtered subset
   predict_simple  standalone per-image scorer
+  store           columnar-store management (rebuild from sidecars / info)
 
 Tools (python -m clip_assisted_data_labeling_tpu.tools.<tool>):
   find_similar_imgs, svm_similarity, merge_datasets, move_subset_of_files,

@@ -49,6 +49,43 @@ from clip_assisted_data_labeling_tpu.ops.similarity import (
 )
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices of other processes (multi-host SPMD:
+    every host must run this module's calls simultaneously with the same data)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _put_row_sharded(normed: np.ndarray, mesh: Mesh, axis: str):
+    """Row-shard the (host-complete) embedding panel over the mesh. On a
+    multi-host mesh each process feeds only its addressable shards."""
+    sharding = NamedSharding(mesh, P(axis, None))
+    if not _spans_processes(mesh):
+        return jax.device_put(jnp.asarray(normed), sharding)
+    arrays = [
+        jax.device_put(normed[idx], d)
+        for d, idx in sharding.addressable_devices_indices_map(normed.shape).items()
+    ]
+    return jax.make_array_from_single_device_arrays(normed.shape, sharding, arrays)
+
+
+def _put_replicated(x: np.ndarray, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    if not _spans_processes(mesh):
+        return jax.device_put(jnp.asarray(x), sharding)
+    arrays = [jax.device_put(x, d) for d in sharding.addressable_devices]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding, arrays)
+
+
+def _fetch(x, mesh: Mesh) -> np.ndarray:
+    """Device→host fetch of a (possibly cross-process-sharded) array."""
+    if _spans_processes(mesh):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 @functools.partial(
     jax.jit, static_argnames=("mesh", "n_devices", "euclidean", "axis")
 )
@@ -141,11 +178,9 @@ def find_duplicate_pairs_sharded(
 
     # fp16 over the wire and around the ring: halves H2D + ICI traffic (the
     # reference dedups in half precision too, _2_remove_duplicates.py:38)
-    sharded = jax.device_put(
-        jnp.asarray(normed), NamedSharding(mesh, P(axis, None))
-    )
-    counts = np.asarray(
-        _ring_counts(sharded, n, threshold, mesh, n_devices, euclidean, axis)
+    sharded = _put_row_sharded(normed, mesh, axis)
+    counts = _fetch(
+        _ring_counts(sharded, n, threshold, mesh, n_devices, euclidean, axis), mesh
     )
     hit = np.nonzero(counts > 0)[0]
     if hit.size == 0:
@@ -158,12 +193,12 @@ def find_duplicate_pairs_sharded(
     h_pad = len(hit_panel)
 
     vals, idx = _sharded_extract(
-        sharded, jnp.asarray(hit_panel), jnp.asarray(gidx), n, mesh, n_devices,
-        k, euclidean, axis,
+        sharded, _put_replicated(hit_panel, mesh), _put_replicated(gidx, mesh),
+        n, mesh, n_devices, k, euclidean, axis,
     )
     # merge the d per-device top-k lists: [d, H, k_tile] → [H, d*k_tile] → top-k
-    v = np.asarray(vals).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hit)]
-    j = np.asarray(idx).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hit)]
+    v = _fetch(vals, mesh).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hit)]
+    j = _fetch(idx, mesh).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hit)]
     order = np.argsort(-v, axis=1)[:, :k]
     v = np.take_along_axis(v, order, axis=1)
     j = np.take_along_axis(j, order, axis=1)

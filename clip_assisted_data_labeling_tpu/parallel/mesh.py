@@ -56,10 +56,33 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def multihost_init() -> None:
-    """Initialize jax.distributed when launched across hosts. Single-process
-    (the common case here) is a no-op."""
+def multihost_init(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> tuple[int, int]:
+    """Initialize jax.distributed for a multi-host run; returns
+    ``(process_index, process_count)``.
+
+    Launch one process per host with identical arguments except ``process_id``
+    (or set the standard env vars — ``COORDINATOR_ADDRESS``, plus
+    ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` or a cluster-env jax auto-detects).
+    Single-process with no coordinator configured is a no-op returning (0, 1).
+    Safe to call twice (returns the live state)."""
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    already = jax.distributed.is_initialized()
+    coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if not already:
+        if coordinator_address is None:
+            return 0, 1
+        if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+            num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+        if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+            process_id = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()

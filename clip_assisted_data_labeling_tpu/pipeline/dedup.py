@@ -98,7 +98,12 @@ def fix_duplicate(index: int, pair_paths, outdir: str, sim_value: float, mode: s
                 os.rename(src, dst)
 
 
-def run_dedup(root_dir: str, cfg: DedupConfig, use_mesh: bool | None = None) -> DedupResult:
+def run_dedup(root_dir: str, cfg: DedupConfig, use_mesh: bool | None = None,
+              global_mesh: bool = False) -> DedupResult:
+    """``global_mesh=True`` rings the similarity over EVERY host's devices —
+    all processes must call this simultaneously with jax.distributed up (the
+    multi-host recipe: embed per-host shards → 'store rebuild' → this); file
+    moves then happen on process 0 only."""
     paths, emb = load_embeddings(root_dir, cfg)
     print(f"Loaded {len(paths)} embeddings, computing similarities..")
     if len(paths) < 2:
@@ -108,16 +113,18 @@ def run_dedup(root_dir: str, cfg: DedupConfig, use_mesh: bool | None = None) -> 
     import jax
 
     if use_mesh is None:
-        use_mesh = jax.device_count() > 1
+        use_mesh = global_mesh or jax.local_device_count() > 1
     if use_mesh:
         from clip_assisted_data_labeling_tpu.parallel import (
             find_duplicate_pairs_sharded,
             get_mesh,
         )
+        from clip_assisted_data_labeling_tpu.parallel.mesh import get_global_mesh
 
         result = find_duplicate_pairs_sharded(
             emb, threshold=cfg.threshold, sim_type=cfg.sim_type,
-            mesh=get_mesh(), max_per_row=cfg.max_pairs_per_row,
+            mesh=get_global_mesh() if global_mesh else get_mesh(),
+            max_per_row=cfg.max_pairs_per_row,
         )
     else:
         result = find_duplicate_pairs(
@@ -132,6 +139,11 @@ def run_dedup(root_dir: str, cfg: DedupConfig, use_mesh: bool | None = None) -> 
         )
 
     print(f"Found {len(result.rows)} duplicates!")
+    if global_mesh:
+        import jax
+
+        if jax.process_index() != 0:
+            return result  # every process computed the pairs; rank 0 moves files
     if len(result.rows) and not cfg.test:
         output_dir = os.path.join(
             os.path.dirname(root_dir.rstrip("/")),
@@ -162,7 +174,23 @@ def main(argv=None):
                         "path searches the whole dataset globally")
     parser.add_argument("--max_pairs_per_row", type=int, default=16)
     parser.add_argument("--test", action="store_true")
+    parser.add_argument("--distributed", action="store_true",
+                        help="ring the similarity over ALL hosts' devices; "
+                        "launch this CLI on every host simultaneously "
+                        "(jax.distributed coordination as in embed "
+                        "--distributed); rank 0 handles the file moves")
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        from clip_assisted_data_labeling_tpu.parallel.mesh import multihost_init
+
+        rank, count = multihost_init(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
+        print(f"jax.distributed up: process {rank}/{count}")
 
     cfg = DedupConfig(
         threshold=args.threshold,
@@ -173,7 +201,7 @@ def main(argv=None):
         test=args.test,
         max_pairs_per_row=args.max_pairs_per_row,
     )
-    run_dedup(args.root_dir, cfg)
+    run_dedup(args.root_dir, cfg, global_mesh=args.distributed)
 
 
 if __name__ == "__main__":

@@ -144,12 +144,15 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
 
     sharded = None
     batch_size = cfg.batch_size
-    if jax.device_count() > 1:
+    # DP shards over this host's LOCAL chips: on a multi-host run each process
+    # embeds its own file shard as an independent program (merge via
+    # 'pipeline.store rebuild'), so cross-host devices never enter this mesh
+    if jax.local_device_count() > 1:
         from clip_assisted_data_labeling_tpu.parallel.embed_sharded import ShardedEmbedder
         from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh
 
         mesh = get_mesh()
-        n_dev = jax.device_count()
+        n_dev = jax.local_device_count()
         batch_size = ((cfg.batch_size + n_dev - 1) // n_dev) * n_dev
         sharded = ShardedEmbedder(
             encoder.params, encoder.cfg, mesh,
@@ -343,6 +346,16 @@ def main(argv=None):
     parser.add_argument("--host_count", type=int, default=1,
                         help="multi-host runs: total hosts; each embeds a "
                         "deterministic disjoint shard of the file list")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed (coordinator from "
+                        "--coordinator_address or $COORDINATOR_ADDRESS) and "
+                        "derive --host_index/--host_count from the process "
+                        "rank; run one launch per host, then merge with "
+                        "'pipeline.store rebuild'")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 for --distributed")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--debug_nans", action="store_true",
                         help="trap NaNs in device computations (jax_debug_nans)")
     args = parser.parse_args(argv)
@@ -350,6 +363,13 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    if args.distributed:
+        from clip_assisted_data_labeling_tpu.parallel.mesh import multihost_init
+
+        args.host_index, args.host_count = multihost_init(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
+        print(f"jax.distributed up: host {args.host_index}/{args.host_count}")
 
     cfg = EmbedConfig(
         models_to_use=args.models_to_use,
