@@ -77,3 +77,47 @@ def test_encoder_int8_mode(rng):
     emb = np.asarray(enc.encode(x))
     assert emb.shape == (2, 16)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-2)
+
+
+def test_int8_error_on_trained_weights(rng):
+    """VERDICT.md item 6: the int8 error budget was only ever measured on
+    random-init weights; trained weights have heavier-tailed activations.
+    Train a locally-instantiated HF CLIP vision tower for some Adam steps on
+    synthetic data (non-random activation scales), convert, and pin the
+    W8A8-vs-f32 embedding cosine error <= 1e-3."""
+    import torch
+
+    from tests.test_vit_parity import make_hf_model, our_config
+
+    model = make_hf_model("quick_gelu")
+    cfg = our_config("quick_gelu")
+    opt = torch.optim.Adam(model.parameters(), lr=3e-3)
+    gen = torch.Generator().manual_seed(0)
+    targets = torch.randn(8, cfg.embed_dim, generator=gen)
+    imgs = torch.randn(8, 3, cfg.image_size, cfg.image_size, generator=gen)
+    model.train()
+    for _ in range(40):  # enough to move weights well off the init distribution
+        opt.zero_grad()
+        out = model(pixel_values=imgs).image_embeds
+        loss = torch.mean((out - targets) ** 2)
+        loss.backward()
+        opt.step()
+    model.eval()
+
+    from clip_assisted_data_labeling_tpu.models.clip_weights import (
+        convert_torch_state_dict,
+    )
+
+    params = convert_torch_state_dict(model.state_dict(), cfg)
+    qparams = quantize_vit_params(params)
+
+    x = rng.normal(0, 1, (16, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    e32 = np.asarray(vit_encode_image(params, x, cfg, compute_dtype=jnp.float32))
+    e8 = np.asarray(vit_encode_image(qparams, x, cfg, compute_dtype=jnp.float32))
+    cos = np.sum(e32 * e8, axis=-1)
+    assert np.all(cos > 1 - 1e-3), f"int8 cosine error on trained weights: {1 - cos.min()}"
+
+    # sanity: the weights really moved (else this test proves nothing new)
+    init = make_hf_model("quick_gelu").state_dict()
+    delta = (model.state_dict()["visual_projection.weight"] - init["visual_projection.weight"]).abs().mean()
+    assert float(delta) > 1e-3
