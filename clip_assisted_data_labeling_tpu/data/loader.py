@@ -93,6 +93,7 @@ class BatchedImageLoader:
         prefetch_batches: int = 4,
         use_native: bool = True,
         bucketed: bool = False,
+        sort_by_size: bool = False,
     ):
         self.image_paths = list(image_paths)
         # even canvas so the native path's center slice into an (even-aligned)
@@ -115,9 +116,31 @@ class BatchedImageLoader:
             else [self.canvas_size]  # even-aligned, matching the decode target
         )
         self.skipped: list[str] = []
+        if sort_by_size and len(self.image_paths) > 1:
+            self.image_paths = self._sorted_by_size(self.image_paths, self.canvas_size)
 
     def __len__(self) -> int:
         return (len(self.image_paths) + self.batch_size - 1) // self.batch_size
+
+    def _sorted_by_size(self, paths: list[str], canvas_size: int) -> list[str]:
+        """Order files by post-downscale canvas footprint so each batch is
+        size-homogeneous and lands in the smallest bucket that fits it (mixed
+        batches pay for their single largest image). Header-only size probe —
+        PIL lazy-opens without decoding pixel data; unreadable files sort last
+        and get skipped by the decode stage as usual."""
+        def probe(p: str) -> int:
+            try:
+                from PIL import Image
+
+                with Image.open(p) as im:
+                    w, h = im.size
+                return min(max(w, h), canvas_size)
+            except Exception:
+                return canvas_size + 1
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            sizes = list(pool.map(probe, paths))
+        return [p for _s, p in sorted(zip(sizes, paths), key=lambda t: (t[0], t[1]))]
 
     def _decode_chunk(self, chunk: list[str], pool: ThreadPoolExecutor):
         """→ list of (path, source_array, w, h) where source_array is either a

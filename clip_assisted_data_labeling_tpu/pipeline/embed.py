@@ -191,6 +191,7 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         num_workers=cfg.num_workers,
         crop_names=cfg.crop_names,
         bucketed=True,  # small-image batches ship on small canvases
+        sort_by_size=True,  # size-homogeneous batches maximize bucket hits
     )
 
     def write_batch_sidecars(paths, emb_np, stats_arr):

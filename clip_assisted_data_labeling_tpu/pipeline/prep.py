@@ -70,43 +70,59 @@ def process_file(orig_path: str, new_path: str, mode: str, max_n_pixels: int,
     return converted, resized
 
 
+def plan_renames(root_dir: str, output_dir: str,
+                 shuffle_file_order: bool) -> list[tuple[str, str]]:
+    """Walk the tree and assign each basename-group its uuid destination.
+
+    Planning is separated from execution so the uuid assignment is decided
+    (and could be inspected) before any file is touched. Within a directory,
+    groups are visited in natural-sort order and uuids are themselves
+    natural-sorted before assignment — preserving the reference's property
+    that sorted-by-name order survives the rename (unless shuffled).
+    """
+    moves: list[tuple[str, str]] = []
+    for subdir, _dirs, files in os.walk(root_dir):
+        groups: dict[str, list[str]] = {}
+        for name in natural_sort(files):
+            stem, ext = os.path.splitext(name)
+            groups.setdefault(stem, []).append(ext)
+
+        uuids = natural_sort([new_uuid() for _ in groups])
+        if shuffle_file_order:
+            random.shuffle(uuids)
+
+        dest_dir = subdir.replace(root_dir, output_dir, 1)
+        for uid, (stem, exts) in zip(uuids, groups.items()):
+            for ext in exts:
+                moves.append(
+                    (os.path.join(subdir, stem + ext),
+                     os.path.join(dest_dir, uid + ext))
+                )
+    return moves
+
+
 def prep_dataset_directory(root_dir: str, output_dir: str, mode: str,
                            max_n_pixels: int, convert_imgs_to_jpg: bool,
                            shuffle_file_order: bool) -> dict:
     os.makedirs(output_dir, exist_ok=True)
+    moves = plan_renames(root_dir, output_dir, shuffle_file_order)
+    print(f"Prep: {len(moves)} files under {root_dir} -> {output_dir} ({mode})")
+
     stats = {"renamed": 0, "converted": 0, "resized": 0, "skipped": 0}
-    verb = "Copied" if mode == "copy" else "Renamed"
-
-    for subdir, dirs, files in os.walk(root_dir):
-        print(f"Parsing {subdir}, subdirs: {dirs}, n_files: {len(files)}..")
-        files = natural_sort(files)
-
-        unique: dict[str, list[str]] = {}
-        for file in files:
-            stem, ext = os.path.splitext(file)
-            unique.setdefault(stem, []).append(ext)
-
-        uuids = natural_sort([new_uuid() for _ in unique])
-        if shuffle_file_order:
-            random.shuffle(uuids)
-
-        for i, stem in enumerate(unique):
-            for ext in unique[stem]:
-                new_folder = subdir.replace(root_dir, output_dir, 1)
-                orig = os.path.join(subdir, stem + ext)
-                new = os.path.join(new_folder, uuids[i] + ext)
-                try:
-                    c, r = process_file(orig, new, mode, max_n_pixels, convert_imgs_to_jpg)
-                    stats["renamed"] += 1
-                    stats["converted"] += c
-                    stats["resized"] += r
-                except Exception as e:
-                    print(f"Error on {orig}: {e}")
-                    stats["skipped"] += 1
-        print(
-            f"{verb} {stats['renamed']} files (converted {stats['converted']}, "
-            f"resized {stats['resized']}), skipped {stats['skipped']}"
-        )
+    for orig, new in moves:
+        try:
+            c, r = process_file(orig, new, mode, max_n_pixels, convert_imgs_to_jpg)
+            stats["renamed"] += 1
+            stats["converted"] += c
+            stats["resized"] += r
+        except Exception as e:
+            print(f"Could not process {orig}: {e}")
+            stats["skipped"] += 1
+    print(
+        f"Prep done: {stats['renamed']} files processed "
+        f"({stats['converted']} jpg-converted, {stats['resized']} downscaled, "
+        f"{stats['skipped']} skipped)"
+    )
     return stats
 
 
@@ -129,8 +145,8 @@ def main(argv=None):
         args.mode = "rename"
 
     if args.mode == "rename" and not args.yes:
-        print("####### WARNING #######")
-        print(f"About to rename/resize all files inside {args.root_dir}. Sure?")
+        print(f"rename mode is DESTRUCTIVE: every file under {args.root_dir} "
+              "will be renamed in place (and possibly downscaled/converted).")
         if input("Type 'yes' to continue: ") != "yes":
             raise ValueError("Aborted")
 

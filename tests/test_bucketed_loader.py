@@ -78,3 +78,35 @@ def test_bucketed_native_matches_python(tmp_path, rng):
         batches[True].canvas.astype(int) - batches[False].canvas.astype(int)
     )
     assert diff.mean() < 1.0
+
+
+def test_sort_by_size_reduces_canvas_bytes(tmp_path, rng):
+    """Size-sorted batching (VERDICT item 10): interleaved small/large images
+    produce mixed batches that all pay for the large canvas; sorting groups
+    them so small batches ship small. Same images, fewer H2D bytes."""
+    from PIL import Image
+
+    from clip_assisted_data_labeling_tpu.data.loader import BatchedImageLoader
+
+    paths = []
+    for i in range(8):  # alternate tiny and large so every unsorted pair mixes
+        size = (64, 48) if i % 2 == 0 else (700, 500)
+        p = tmp_path / f"img_{i}.jpg"
+        Image.fromarray(rng.integers(0, 256, (size[1], size[0], 3)).astype(np.uint8)).save(p)
+        paths.append(str(p))
+
+    def total_bytes(sort):
+        loader = BatchedImageLoader(
+            paths, canvas_size=1024, out_size=56, batch_size=2,
+            bucketed=True, use_native=False, sort_by_size=sort,
+        )
+        seen = set()
+        n = 0
+        for batch in loader:
+            n += batch.canvas.nbytes
+            seen.update(batch.paths)
+        assert len(seen) == 8  # nothing dropped by reordering
+        return n
+
+    unsorted, sorted_ = total_bytes(False), total_bytes(True)
+    assert sorted_ < unsorted * 0.7, (sorted_, unsorted)

@@ -12,7 +12,7 @@ from clip_assisted_data_labeling_tpu.tools.fix_img_dir import quarantine_unreada
 from clip_assisted_data_labeling_tpu.tools.merge_datasets import merge_datasets
 from clip_assisted_data_labeling_tpu.tools.move_subset_of_files import (
     copy_files,
-    crawl_directory,
+    group_by_stem,
 )
 
 MODEL = "ViT-B-32/openai"
@@ -81,7 +81,7 @@ def test_move_subset(tmp_path, rng):
     for i in range(10):
         (root / "sub" / f"f{i}.jpg").write_bytes(b"x")
         (root / "sub" / f"f{i}.txt").write_bytes(b"y")
-    files = crawl_directory(str(root), [".jpg", ".txt"])
+    files = group_by_stem(str(root), [".jpg", ".txt"])
     assert len(files) == 10
     n = copy_files(files, str(root), str(tmp_path / "out"), fraction=1.0, seed=0)
     assert n == 10
