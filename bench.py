@@ -68,9 +68,13 @@ def main():
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--parity_preprocess", action="store_true",
                         help="uint8-exact preprocess (default: fast bf16 path)")
-    parser.add_argument("--compute_dtype", default="bfloat16",
+    parser.add_argument("--compute_dtype", default="int8",
                         choices=["bfloat16", "float32", "int8"],
-                        help="int8 = W8A8 fast mode (~+20%%, cos err ~9e-4)")
+                        help="headline default is the W8A8 int8 mode: it meets "
+                        "the <=1e-3 embedding-parity budget (cos err ~7e-4, "
+                        "pinned on trained weights in tests/test_quant.py) at "
+                        "+20%% over bf16; pass bfloat16 for the strict-parity "
+                        "path")
     args = parser.parse_args()
 
     print(

@@ -260,9 +260,117 @@ def _linear(x, p, name: str, quantized: bool):
     return x @ p[name].astype(x.dtype) + bias.astype(x.dtype)
 
 
+def _block_int8_fused(x, p, cfg: VitConfig):
+    """Hybrid W8A8 transformer block (TPU fast path).
+
+    The matmuls run in XLA — on this toolchain XLA's int8 dot hits ~2× the
+    bf16 MXU rate while Mosaic's tpu.matmul runs int8 at bf16 speed (measured;
+    see ops/quant_kernel.py) — and Pallas handles everything around them so no
+    elementwise HBM pass survives:
+
+      * rowquant: layernorm + per-token quantize, ONE pass (XLA spends 2-3),
+      * the packed attention kernel consumes the bf16 qkv in place and emits
+        its output pre-quantized (int8 + scales) from VMEM,
+      * gelu + re-quantize of the MLP hidden is one rowquant pass,
+      * dequant + bias + residual ride the XLA matmul epilogue fusion.
+
+    Per block, HBM wires are: x (bf16, ln reads + residuals), int8 ln-outs,
+    the bf16 qkv (attention input), int8 attention-out, bf16 MLP hidden once
+    each way around the fused gelu-quant. Everything else stays on-chip.
+    """
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        fused_attention_packed,
+    )
+    from clip_assisted_data_labeling_tpu.ops.quant_kernel import (
+        q_matmul_pre,
+        rowquant,
+    )
+
+    B, S, w = x.shape
+    x2 = x.reshape(B * S, w)
+    xq, xs = rowquant(x2, ln_scale=p["ln1_scale"], ln_bias=p["ln1_bias"],
+                      ln_eps=cfg.ln_eps)
+    qkv = q_matmul_pre(xq, xs, p["qkv_kernel"], p["qkv_kernel_scale"],
+                       p["qkv_bias"])
+    attn_q, attn_s = fused_attention_packed(
+        qkv.reshape(B, S, 3 * w), heads=cfg.heads, scale=cfg.head_dim ** -0.5,
+        quant_out=True,
+    )
+    x2 = q_matmul_pre(
+        attn_q.reshape(B * S, w), attn_s.reshape(B * S, 1),
+        p["out_kernel"], p["out_kernel_scale"], p["out_bias"], residual=x2,
+    )
+    hq, hs = rowquant(x2, ln_scale=p["ln2_scale"], ln_bias=p["ln2_bias"],
+                      ln_eps=cfg.ln_eps)
+    h = q_matmul_pre(hq, hs, p["fc1_kernel"], p["fc1_kernel_scale"],
+                     p["fc1_bias"])
+    gq, gs = rowquant(h, act=cfg.act)
+    x2 = q_matmul_pre(gq, gs, p["fc2_kernel"], p["fc2_kernel_scale"],
+                      p["fc2_bias"], residual=x2)
+    return x2.reshape(B, S, w)
+
+
+def _int8_block_mode() -> str:
+    """int8 block implementation (CTPU_INT8_BLOCK), measured on the round-2
+    chip at batch 32 ViT-L (BENCH_NOTES.md):
+
+      'xla-plain'  XLA int8 matmuls (2-D-flattened operands) + Pallas bf16
+                   attention — fastest (229 imgs/s) — the default;
+      'xla'        + attention quant_out epilogue (int8 attention-out wire);
+                   measured slightly slower (209) — the extra VMEM scratch
+                   accumulation costs more than the saved quantize pass;
+      'hybrid'     + Pallas rowquant ln/gelu+quantize passes and int8 qkv wire;
+                   slower still (~190) — XLA's elementwise fusions beat
+                   dedicated VPU kernels here, and Mosaic's tpu.matmul runs
+                   int8 at only the bf16 MXU rate so fully-fused Pallas GEMMs
+                   lose to XLA's native int8 lowering.
+    """
+    import os
+
+    return os.environ.get("CTPU_INT8_BLOCK", "xla-plain")
+
+
+def _block_int8_xla(x, p, cfg: VitConfig):
+    """W8A8 block with XLA int8 matmuls (the MXU-fast path on this toolchain)
+    and the Pallas attention kernel emitting its output pre-quantized from
+    VMEM, so the out-projection's activation quantize pass disappears. The
+    remaining quantizes (ln outs, gelu out) stay in XLA where its fusion
+    machinery measured faster than dedicated Pallas VPU kernels."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        fused_attention_packed,
+    )
+    from clip_assisted_data_labeling_tpu.ops.quant import q_matmul
+    from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_matmul_pre
+
+    B, S, w = x.shape
+    y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
+    qkv = q_matmul(y, p["qkv_kernel"], p["qkv_kernel_scale"], p["qkv_bias"],
+                   out_dtype=x.dtype)
+    attn_q, attn_s = fused_attention_packed(
+        qkv, heads=cfg.heads, scale=cfg.head_dim ** -0.5, quant_out=True,
+        s_real=cfg.seq_len,
+    )
+    x = q_matmul_pre(
+        attn_q.reshape(B * S, w), attn_s.reshape(B * S, 1),
+        p["out_kernel"], p["out_kernel_scale"], p["out_bias"],
+        residual=x.reshape(B * S, w),
+    ).reshape(B, S, w)
+    y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
+    y = _act(q_matmul(y, p["fc1_kernel"], p["fc1_kernel_scale"], p["fc1_bias"],
+                      out_dtype=x.dtype), cfg.act)
+    return x + q_matmul(y, p["fc2_kernel"], p["fc2_kernel_scale"],
+                        p["fc2_bias"], out_dtype=x.dtype)
+
+
 def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
            rope=None):
     """One pre-LN transformer block. x: [B, S, w]; rope: (cos, sin) or None."""
+    if quantized and fused_attention and rope is None:
+        mode = _int8_block_mode()
+        if mode == "hybrid":
+            return _block_int8_fused(x, p, cfg)
+        if mode == "xla":
+            return _block_int8_xla(x, p, cfg)
     B, S, w = x.shape
     h, d = cfg.heads, cfg.head_dim
 
@@ -275,7 +383,8 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
         # bandwidth-bound, not FLOP-bound).
         from clip_assisted_data_labeling_tpu.ops.attention import fused_attention_packed
 
-        attn = fused_attention_packed(qkv, heads=h, scale=d ** -0.5)
+        attn = fused_attention_packed(qkv, heads=h, scale=d ** -0.5,
+                                      s_real=cfg.seq_len)
     else:
         from clip_assisted_data_labeling_tpu.ops.attention import attention_xla
 
@@ -345,6 +454,10 @@ def vit_encode_image(
         x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_emb"].astype(compute_dtype)
     x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
+
+    if fused_attention and not cfg.use_rope2d and cfg.seq_len % 8 != 0:
+        s_pad = (cfg.seq_len + 7) // 8 * 8
+        x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))
 
     rope = None
     if cfg.use_rope2d:

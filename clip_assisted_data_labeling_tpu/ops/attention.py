@@ -84,54 +84,233 @@ def attention_xla(q, k, v, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def _packed_kernel(qkv_ref, o_ref, *, heads: int, scale: float, s_real: int):
-    """qkv packed [1, S_pad, 3w] exactly as the projection matmul wrote it —
-    per-head lane slices happen in VMEM, so the kernel needs NO layout copies on
-    either side."""
+def _packed_q8_kernel(qkv_ref, qs_ref, *out_refs, heads: int, scale: float,
+                      s_real: int, quant_out: bool):
+    """int8-wire variant: qkv arrives int8 with per-token f32 scales (written
+    by ops/quant_kernel's quant epilogues). Head slices are dequantized in
+    VMEM; attention math itself is identical to the bf16 kernel (f32 scores/
+    softmax) — only the HBM wire format is quantized, halving the dominant
+    [B, S, 3w] traffic of the block. With ``quant_out`` the kernel emits its
+    OWN output as int8 + per-token scales too (the out-projection consumes
+    int8 rows directly), so the bf16 tensor never exists in HBM."""
     s_pad = qkv_ref.shape[1]
-    w = o_ref.shape[2]
+    if quant_out:
+        o_ref, oscale_ref, acc_ref = out_refs
+        w = o_ref.shape[2]
+    else:
+        (o_ref,) = out_refs
+        acc_ref = None
+        w = o_ref.shape[2]
     d = w // heads
     col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    rs = qs_ref[0]  # [S_pad, 1] f32 per-token scales
     for h in range(heads):
-        q = qkv_ref[0, :, h * d : (h + 1) * d]
-        k = qkv_ref[0, :, w + h * d : w + (h + 1) * d]
-        v = qkv_ref[0, :, 2 * w + h * d : 2 * w + (h + 1) * d]
+        q = qkv_ref[0, :, h * d : (h + 1) * d].astype(jnp.float32) * rs
+        k = qkv_ref[0, :, w + h * d : w + (h + 1) * d].astype(jnp.float32) * rs
+        v = (qkv_ref[0, :, 2 * w + h * d : 2 * w + (h + 1) * d].astype(jnp.float32)
+             * rs).astype(jnp.bfloat16)
         scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         ) * scale
         scores = jnp.where(col < s_real, scores, -jnp.inf)
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         probs = jnp.exp(scores)
         probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-        o_ref[0, :, h * d : (h + 1) * d] = jax.lax.dot_general(
+        head_out = jax.lax.dot_general(
             probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        )
+        if quant_out:
+            acc_ref[:, h * d : (h + 1) * d] = head_out
+        else:
+            o_ref[0, :, h * d : (h + 1) * d] = head_out.astype(o_ref.dtype)
+    if quant_out:
+        full = acc_ref[:]
+        amax = jnp.maximum(jnp.max(jnp.abs(full), axis=1, keepdims=True), 1e-8)
+        o_ref[0] = jnp.clip(jnp.round(full * (127.0 / amax)), -127, 127).astype(
+            jnp.int8
+        )
+        oscale_ref[0] = amax * (1.0 / 127.0)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "interpret", "out_dtype", "quant_out",
+                     "s_real"),
+)
+def fused_attention_packed_q8(
+    qkv_q: jnp.ndarray,  # [B, S, 3w] int8 from the qkv projection's quant_out
+    qkv_scale: jnp.ndarray,  # [B, S, 1] f32 per-token scales
+    heads: int,
+    scale: float,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+    quant_out: bool = False,
+    s_real: int | None = None,
+):
+    b, s, w3 = qkv_q.shape
+    if s_real is None:
+        s_real = s
+    w = w3 // 3
+    s_pad = _round_up(s, 8)
+    if s_pad != s:
+        qkv_q = jnp.pad(qkv_q, [(0, 0), (0, s_pad - s), (0, 0)])
+        qkv_scale = jnp.pad(qkv_scale, [(0, 0), (0, s_pad - s), (0, 0)],
+                            constant_values=1.0)
+    spec_in = [
+        pl.BlockSpec((1, s_pad, w3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_pad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if quant_out:
+        out_shape = (
+            jax.ShapeDtypeStruct((b, s_pad, w), jnp.int8),
+            jax.ShapeDtypeStruct((b, s_pad, 1), jnp.float32),
+        )
+        out_specs = (
+            pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        )
+        scratch = [pltpu.VMEM((s_pad, w), jnp.float32)]
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, s_pad, w), out_dtype)
+        out_specs = pl.BlockSpec(
+            (1, s_pad, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = []
+    out = pl.pallas_call(
+        functools.partial(_packed_q8_kernel, heads=heads, scale=scale,
+                          s_real=s_real, quant_out=quant_out),
+        out_shape=out_shape,
+        grid=(b,),
+        in_specs=spec_in,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(qkv_q, qkv_scale)
+    if quant_out:
+        oq, oscale = out
+        return oq[:, :s, :], oscale[:, :s, :]
+    return out[:, :s, :]
+
+
+def attention_packed_q8_xla(qkv_q, qkv_scale, heads: int, scale: float):
+    """XLA reference for the int8-wire attention (CPU tests)."""
+    b, s, w3 = qkv_q.shape
+    w = w3 // 3
+    d = w // heads
+    qkv = qkv_q.astype(jnp.float32) * qkv_scale
+    q, k, v = jnp.split(qkv.astype(jnp.bfloat16), 3, axis=-1)
+    rs = lambda t: t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)  # noqa: E731
+    out = attention_xla(rs(q), rs(k), rs(v), scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, w)
+
+
+def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
+                   quant_out: bool):
+    """qkv packed [g, S_pad, 3w] exactly as the projection matmul wrote it —
+    per-head lane slices happen in VMEM, so the kernel needs NO layout copies on
+    either side. ``quant_out`` emits int8 + per-token scales instead of bf16
+    (the out-projection then runs the XLA int8 fast path with no extra pass)."""
+    g, s_pad = qkv_ref.shape[:2]
+    if quant_out:
+        o_ref, oscale_ref, acc_ref = out_refs
+    else:
+        (o_ref,) = out_refs
+        acc_ref = None
+    w = o_ref.shape[2]
+    d = w // heads
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    for i in range(g):
+        for h in range(heads):
+            q = qkv_ref[i, :, h * d : (h + 1) * d]
+            k = qkv_ref[i, :, w + h * d : w + (h + 1) * d]
+            v = qkv_ref[i, :, 2 * w + h * d : 2 * w + (h + 1) * d]
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            scores = jnp.where(col < s_real, scores, -jnp.inf)
+            scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+            probs = jnp.exp(scores)
+            probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+            head_out = jax.lax.dot_general(
+                probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if quant_out:
+                acc_ref[:, h * d : (h + 1) * d] = head_out
+            else:
+                o_ref[i, :, h * d : (h + 1) * d] = head_out.astype(o_ref.dtype)
+        if quant_out:
+            full = acc_ref[:]
+            amax = jnp.maximum(jnp.max(jnp.abs(full), axis=1, keepdims=True), 1e-8)
+            o_ref[i] = jnp.clip(jnp.round(full * (127.0 / amax)), -127, 127).astype(
+                jnp.int8
+            )
+            oscale_ref[i] = amax * (1.0 / 127.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "interpret", "quant_out", "s_real"),
+)
 def fused_attention_packed(
     qkv: jnp.ndarray,  # [B, S, 3w] straight from the qkv projection
     heads: int,
     scale: float,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Multi-head attention on the packed qkv tensor → [B, S, w]."""
+    quant_out: bool = False,
+    s_real: int | None = None,
+):
+    """Multi-head attention on the packed qkv tensor → [B, S, w] (or, with
+    quant_out, (int8 [B, S, w], f32 [B, S, 1] per-token scales)).
+
+    ``s_real``: number of REAL tokens when the caller already padded the
+    sequence dim (models/vit.py pads once before the layer scan — a per-layer
+    pad/slice here measured 0.6 ms/layer on the profile); padded key/value
+    columns are masked out of the softmax, padded rows compute garbage that
+    nothing reads."""
     b, s, w3 = qkv.shape
+    if s_real is None:
+        s_real = s
     w = w3 // 3
     s_pad = _round_up(s, 8)
     if s_pad != s:
         qkv = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)])
+    import os
+
+    g = int(os.environ.get("CTPU_ATTN_ITEMS", "1"))
+    if b % g != 0:
+        g = 1
+    if quant_out:
+        out_shape = (
+            jax.ShapeDtypeStruct((b, s_pad, w), jnp.int8),
+            jax.ShapeDtypeStruct((b, s_pad, 1), jnp.float32),
+        )
+        out_specs = (
+            pl.BlockSpec((g, s_pad, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s_pad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        )
+        scratch = [pltpu.VMEM((s_pad, w), jnp.float32)]
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype)
+        out_specs = pl.BlockSpec(
+            (g, s_pad, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = []
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, heads=heads, scale=scale, s_real=s),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype),
-        grid=(b,),
+        functools.partial(_packed_kernel, heads=heads, scale=scale,
+                          s_real=s_real, quant_out=quant_out),
+        out_shape=out_shape,
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, s_pad, w3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g, s_pad, w3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec(
-            (1, s_pad, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qkv)
+    if quant_out:
+        oq, oscale = out
+        return oq[:, :s, :], oscale[:, :s, :]
     return out[:, :s, :]

@@ -87,19 +87,23 @@ def q_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         out = q_linear_fused(flat, w_q, w_scale, bias, out_dtype=out_dtype)
         return out.reshape(lead + (w_q.shape[-1],))
 
-    xf = x.astype(jnp.float32)
+    # flatten leading dims: 2-D operands let XLA pick plain row-major layouts
+    # for the int8 activation tensor (3-D inputs got a transposed layout that
+    # cost the K=4096 matmul ~20% MXU rate on the round-2 profile)
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
     x_scale = amax / 127.0
     xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, w_q,
-        (((xq.ndim - 1,), (0,)), ((), ())),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     y = acc.astype(jnp.float32) * x_scale * w_scale.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
-    return y.astype(out_dtype)
+    return y.astype(out_dtype).reshape(lead + (w_q.shape[-1],))
 
 
 def is_quantized(params: dict) -> bool:

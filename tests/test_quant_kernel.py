@@ -50,8 +50,7 @@ def test_fused_non_divisible_dims(rng):
     wq, scale = quantize_weight(k)
     got = np.asarray(
         q_linear_fused(jnp.asarray(x), jnp.asarray(wq), jnp.asarray(scale),
-                       None, block_m=8, block_n=32, block_k=32,
-                       interpret=True, out_dtype=jnp.float32)
+                       None, block_m=8, interpret=True, out_dtype=jnp.float32)
     )
     assert got.shape == (20, 72)
     assert np.isfinite(got).all()
@@ -60,3 +59,116 @@ def test_fused_non_divisible_dims(rng):
                  out_dtype=jnp.float32)
     )
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_q_block_linear_variants(rng):
+    """Fully-fused block linear: ln prologue, act epilogue, quant_out, int8-in,
+    residual — each vs a float reference (interpret mode)."""
+    import jax
+
+    from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_block_linear
+
+    M, K, N = 20, 128, 256
+    x = rng.normal(0, 1, (M, K)).astype(np.float32)
+    w = rng.normal(0, 0.05, (K, N)).astype(np.float32)
+    b = rng.normal(0, 0.1, (N,)).astype(np.float32)
+    lns = rng.normal(1, 0.1, (K,)).astype(np.float32)
+    lnb = rng.normal(0, 0.1, (K,)).astype(np.float32)
+    res = rng.normal(0, 1, (M, N)).astype(np.float32)
+    wq, ws = quantize_weight(w)
+
+    def ref(x, ln=False, act=None, residual=None):
+        xx = x.astype(np.float64)
+        if ln:
+            mu = xx.mean(1, keepdims=True)
+            xx = (xx - mu) / np.sqrt(xx.var(1, keepdims=True) + 1e-5) * lns + lnb
+        amax = np.maximum(np.abs(xx).max(1, keepdims=True), 1e-8)
+        xq = np.clip(np.round(xx / (amax / 127)), -127, 127)
+        y = (xq @ wq.astype(np.float64)) * (amax / 127) * ws + b
+        if act == "quick_gelu":
+            y = y / (1 + np.exp(-1.702 * y))
+        if residual is not None:
+            y = y + residual
+        return y
+
+    got = np.asarray(q_block_linear(
+        jnp.asarray(x), jnp.asarray(wq), jnp.asarray(ws), jnp.asarray(b),
+        ln_scale=jnp.asarray(lns), ln_bias=jnp.asarray(lnb),
+        block_m=8, interpret=True, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref(x, ln=True), atol=2e-3, rtol=1e-3)
+
+    got = np.asarray(q_block_linear(
+        jnp.asarray(x), jnp.asarray(wq), jnp.asarray(ws), jnp.asarray(b),
+        residual=jnp.asarray(res), block_m=8, interpret=True,
+        out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref(x, residual=res), atol=2e-3, rtol=1e-3)
+
+    hq, hs = q_block_linear(
+        jnp.asarray(x), jnp.asarray(wq), jnp.asarray(ws), jnp.asarray(b),
+        act="quick_gelu", quant_out=True, block_m=8, interpret=True)
+    ref_act = ref(x, act="quick_gelu")
+    deq = np.asarray(hq, np.float64) * np.asarray(hs)
+    step = np.abs(ref_act).max(1, keepdims=True) / 127
+    assert np.all(np.abs(deq - ref_act) <= step + 2e-3)
+
+    w2 = rng.normal(0, 0.05, (N, K)).astype(np.float32)
+    w2q, w2s = quantize_weight(w2)
+    y2 = np.asarray(q_block_linear(
+        hq, jnp.asarray(w2q), jnp.asarray(w2s), None, x_scale=hs,
+        block_m=8, interpret=True, out_dtype=jnp.float32))
+    ref2 = (np.asarray(hq, np.float64) * np.asarray(hs)) @ w2q.astype(np.float64) * w2s
+    np.testing.assert_allclose(y2, ref2, atol=2e-3, rtol=1e-3)
+
+
+def test_rowquant_single_pass(rng):
+    from clip_assisted_data_labeling_tpu.ops.quant_kernel import rowquant
+
+    M, K = 18, 128
+    x = rng.normal(0, 2, (M, K)).astype(np.float32)
+    lns = rng.normal(1, 0.1, (K,)).astype(np.float32)
+    lnb = rng.normal(0, 0.1, (K,)).astype(np.float32)
+
+    # ln + quantize
+    xq, xs = rowquant(jnp.asarray(x), jnp.asarray(lns), jnp.asarray(lnb),
+                      block_m=8, interpret=True)
+    xx = x.astype(np.float64)
+    mu = xx.mean(1, keepdims=True)
+    ln = (xx - mu) / np.sqrt(xx.var(1, keepdims=True) + 1e-5) * lns + lnb
+    deq = np.asarray(xq, np.float64) * np.asarray(xs)
+    assert np.all(np.abs(deq - ln) <= np.abs(ln).max(1, keepdims=True) / 127 + 1e-6)
+
+    # gelu + quantize
+    xq, xs = rowquant(jnp.asarray(x), act="quick_gelu", block_m=8, interpret=True)
+    g = xx / (1 + np.exp(-1.702 * xx))
+    deq = np.asarray(xq, np.float64) * np.asarray(xs)
+    assert np.all(np.abs(deq - g) <= np.abs(g).max(1, keepdims=True) / 127 + 1e-6)
+
+
+def test_attention_quant_out_matches_bf16(rng):
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        attention_packed_q8_xla,
+        fused_attention_packed,
+        fused_attention_packed_q8,
+    )
+
+    B, S, w, heads = 2, 10, 64, 4
+    qkv = rng.normal(0, 1, (B, S, 3 * w)).astype(np.float32)
+    plain = np.asarray(
+        fused_attention_packed(jnp.asarray(qkv), heads=heads, scale=0.25,
+                               interpret=True)
+    )
+    oq, osc = fused_attention_packed(jnp.asarray(qkv), heads=heads, scale=0.25,
+                                     interpret=True, quant_out=True)
+    deq = np.asarray(oq, np.float32) * np.asarray(osc)
+    assert np.abs(deq - plain).max() < np.abs(plain).max() / 100
+
+    # int8-wire input kernel agrees with its XLA reference
+    amax = np.maximum(np.abs(qkv).max(-1, keepdims=True), 1e-8)
+    qkv_q = np.clip(np.round(qkv / (amax / 127)), -127, 127).astype(np.int8)
+    sc = (amax / 127).astype(np.float32)
+    a = np.asarray(fused_attention_packed_q8(
+        jnp.asarray(qkv_q), jnp.asarray(sc), heads=heads, scale=0.25,
+        interpret=True, out_dtype=jnp.float32))
+    b = np.asarray(attention_packed_q8_xla(jnp.asarray(qkv_q), jnp.asarray(sc),
+                                           heads, 0.25))
+    np.testing.assert_allclose(a, b, atol=5e-3)
