@@ -12,6 +12,12 @@ Strategies (reference parity):
   good_first  descending predicted_label
   middle      ascending |predicted_label − median| (max-uncertainty first)
   diversity   farthest-point ordering in CLIP space
+
+New beyond the reference:
+  review      already-labeled images whose model prediction disagrees most
+              with their human label, descending |label − predicted_label| —
+              a relabeling/QA pass over suspect ground truth (unlabeled rows
+              are excluded; needs a prior predict run)
 """
 from __future__ import annotations
 
@@ -19,7 +25,7 @@ import os
 
 import numpy as np
 
-SORT_OPTIONS = ("uuid", "bad_first", "good_first", "middle", "diversity")
+SORT_OPTIONS = ("uuid", "bad_first", "good_first", "middle", "diversity", "review")
 # reference dialog labels → our names, for drop-in familiarity
 SORT_ALIASES = {
     "Predicted bad first": "bad_first",
@@ -92,6 +98,15 @@ def re_order_images(image_files: list[str], database, root_dir: str, sort: str):
     elif sort == "middle":
         median = df["predicted_label"].median()
         sorted_idx = (df["predicted_label"] - median).abs().argsort().values
+    elif sort == "review":
+        disagreement = (df["label"] - df["predicted_label"]).abs().values
+        # rows without both a human label and a prediction are excluded
+        valid = ~np.isnan(disagreement)
+        sorted_idx = np.argsort(-np.where(valid, disagreement, -np.inf))
+        uuids = [df["uuid"].values[i] for i in sorted_idx if valid[i]]
+        available = set(image_files)
+        candidates = [os.path.join(root_dir, f"{u}.jpg") for u in uuids]
+        return [f for f in candidates if f in available]
     else:
         raise ValueError(f"unknown sort option {sort}; choose from {SORT_OPTIONS}")
 

@@ -89,3 +89,36 @@ def test_packed_attention_interpret_matches_xla(rng):
         fused_attention_packed(jnp.asarray(qkv), heads=h, scale=0.3, interpret=True)
     )
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_review_sort_orders_by_disagreement(tmp_path):
+    """'review' (new beyond the reference): labeled images sorted by descending
+    |label - predicted_label|; unlabeled/unpredicted rows excluded."""
+    import pandas as pd
+
+    from clip_assisted_data_labeling_tpu.store.database import LabelDatabase
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    rows = [
+        ("aaa", 0.9, 0.1),   # disagreement 0.8 -> first
+        ("bbb", 0.5, 0.45),  # 0.05 -> last of labeled
+        ("ccc", 0.2, 0.6),   # 0.4 -> middle
+        ("ddd", None, 0.7),  # unlabeled -> excluded
+        ("eee", 0.3, None),  # no prediction -> excluded
+    ]
+    for u, *_ in rows:
+        (root / f"{u}.jpg").write_bytes(b"x")
+    df = pd.DataFrame(
+        {
+            "uuid": [r[0] for r in rows],
+            "label": [r[1] for r in rows],
+            "timestamp": [0.0] * len(rows),
+            "predicted_label": [r[2] for r in rows],
+        }
+    )
+    db = LabelDatabase(df, str(tmp_path / "ds.csv"))
+    files = [str(root / f"{r[0]}.jpg") for r in rows]
+    ordered = re_order_images(files, db, str(root), "review")
+    names = [os.path.splitext(os.path.basename(f))[0] for f in ordered]
+    assert names == ["aaa", "ccc", "bbb"]
