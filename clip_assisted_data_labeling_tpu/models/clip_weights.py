@@ -13,6 +13,8 @@ converted weights round-trip without torch.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -164,6 +166,25 @@ def convert_torch_state_dict(state_dict: dict, cfg: VitConfig) -> dict:
     raise ValueError(
         "Unrecognized checkpoint layout; expected HF CLIP, open_clip, or PE keys"
     )
+
+
+def save_params_orbax(path: str, params: dict) -> None:
+    """Orbax checkpoint of the parameter pytree — the scale-out format: each
+    host saves only its addressable shards, so TP-sharded towers too big for
+    one host's memory (ViT-bigG/PE-G at f32) checkpoint without gathering.
+    ``.npz`` (below) remains the default at ViT-L scale."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
 
 
 def save_params_npz(path: str, params: dict) -> None:

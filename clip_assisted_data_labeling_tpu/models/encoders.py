@@ -92,6 +92,11 @@ class CLIPImageEncoder:
             return self._convert_torch_file(model_path)
         if model_path and os.path.isdir(model_path):
             safe = self.model_name.replace("/", "-")
+            if os.path.isdir(os.path.join(model_path, f"{safe}.orbax")):
+                # sharded checkpoint (towers too big to gather on one host)
+                orbax_dir = os.path.join(model_path, f"{safe}.orbax")
+                log.info("Loading %s weights from %s", self.model_name, orbax_dir)
+                return clip_weights.load_params_orbax(orbax_dir)
             npz = os.path.join(model_path, f"{safe}.npz")
             if os.path.exists(npz):
                 log.info("Loading %s weights from %s", self.model_name, npz)

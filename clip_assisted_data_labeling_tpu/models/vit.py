@@ -77,6 +77,9 @@ _ARCHS = {
     "ViT-L-14-336": dict(width=1024, layers=24, heads=16, patch_size=14, image_size=336, embed_dim=768),
     "ViT-H-14": dict(width=1280, layers=32, heads=16, patch_size=14, image_size=224, embed_dim=1024),
     "ViT-g-14": dict(width=1408, layers=40, heads=16, patch_size=14, image_size=224, embed_dim=1024),
+    # open_clip's bigG (laion2b): mlp is 4.9231x width = 8192, not the usual 4x
+    "ViT-bigG-14": dict(width=1664, layers=48, heads=16, patch_size=14,
+                        image_size=224, embed_dim=1280, mlp_hidden=8192),
 }
 # Meta Perception Encoder cores (reference PE_Encoder, utils/embedder.py:103-150
 # loads them via Meta's external perception_models repo). The real PE vision

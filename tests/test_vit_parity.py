@@ -160,3 +160,41 @@ def _flatten(d, prefix=""):
         else:
             out[prefix + k] = v
     return out
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    """Orbax save/restore of the parameter pytree (the sharded-checkpoint
+    format for towers too big for one host); encoder resolves `.orbax` dirs."""
+    import jax
+
+    from clip_assisted_data_labeling_tpu.models.clip_weights import (
+        load_params_orbax,
+        save_params_orbax,
+    )
+    from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        init_vit_params as init_p,
+        resolve_config as resolve_c,
+    )
+
+    cfg = resolve_c("ViT-Test/tiny")
+    params = init_p(cfg, jax.random.key(3))
+    ck = tmp_path / "ViT-Test-tiny.orbax"
+    save_params_orbax(str(ck), params)
+    restored = load_params_orbax(str(ck))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    enc = CLIPImageEncoder("ViT-Test/tiny", model_path=str(tmp_path),
+                           compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(enc.params["proj"]), np.asarray(params["proj"])
+    )
+
+
+def test_bigG_registry():
+    from clip_assisted_data_labeling_tpu.models.vit import resolve_config as rc
+
+    cfg = rc("ViT-bigG-14/laion2b_s39b_b160k")
+    assert cfg.width == 1664 and cfg.mlp_dim == 8192 and cfg.embed_dim == 1280
+    assert cfg.act == "gelu" and cfg.layers == 48
