@@ -171,4 +171,4 @@ def test_attention_quant_out_matches_bf16(rng):
         interpret=True, out_dtype=jnp.float32))
     b = np.asarray(attention_packed_q8_xla(jnp.asarray(qkv_q), jnp.asarray(sc),
                                            heads, 0.25))
-    np.testing.assert_allclose(a, b, atol=5e-3)
+    np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-2)  # bf16 ULP, fold associativity
