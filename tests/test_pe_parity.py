@@ -219,3 +219,33 @@ def test_pe_rope_shifts_are_position_sensitive():
     e2 = np.asarray(vit_encode_image(params, flipped, cfg, compute_dtype=np.float32,
                                      fused_attention=False))
     assert not np.allclose(e1, e2, atol=1e-3)
+
+
+def test_pe_through_embed_pipeline(tmp_path, rng):
+    """A PE-family model runs the whole embed stage: sidecars + columnar store
+    carry the PE embedding dims (the round-1 gap was a silently-wrong tower
+    under a correct-looking name; this pins the wiring end-to-end)."""
+    from PIL import Image
+
+    from clip_assisted_data_labeling_tpu.config import EmbedConfig
+    from clip_assisted_data_labeling_tpu.pipeline.embed import embed_dataset
+    from clip_assisted_data_labeling_tpu.store.sidecar import read_sidecar
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    for i in range(4):
+        arr = rng.integers(0, 256, (70, 90, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(root / f"u{i}.jpg", quality=95)
+
+    cfg = EmbedConfig(
+        models_to_use=("PE-Test/tiny",), batch_size=2, num_workers=1,
+        canvas_size=256, compute_dtype="float32", shuffle_filenames=False,
+    )
+    stores = embed_dataset(str(root), cfg)
+    store = stores["PE-Test/tiny"]
+    assert store.meta["dim"] == 16 and store.meta["n"] == 4
+    emb = np.asarray(store.embeddings[:, 0], np.float32)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=5e-3)
+
+    d = read_sidecar(str(root / "u0.pt"))["PE-Test/tiny"]
+    assert np.asarray(d["centre_crop"]).shape == (1, 16)
