@@ -171,6 +171,7 @@ def _embed_crops_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity_
         out_size=cfg.image_size,
         parity=parity_preprocess,
         dtype=compute_dtype,
+        patch_size=cfg.patch_size,  # emit ViT patch layout straight away
     )
     b, n = crops.shape[:2]
     emb = vit_encode_image(

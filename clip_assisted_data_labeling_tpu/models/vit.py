@@ -253,14 +253,17 @@ def _attention_pool(x, p, heads: int, eps: float):
     return _layernorm(pooled, p["pool_ln_scale"], p["pool_ln_bias"], eps)
 
 
-def _linear(x, p, name: str, quantized: bool):
-    """Block matmul: bf16, or dynamically-quantized W8A8 (ops/quant.py)."""
+def _linear(x, p, name: str, quantized: bool, residual=None):
+    """Block matmul: bf16, or dynamically-quantized W8A8 (ops/quant.py).
+    ``residual`` rides the dequant/bias epilogue (one fused HBM pass)."""
     bias = p[name.replace("_kernel", "_bias")]
     if quantized:
         from clip_assisted_data_labeling_tpu.ops.quant import q_matmul
 
-        return q_matmul(x, p[name], p[name + "_scale"], bias, out_dtype=x.dtype)
-    return x @ p[name].astype(x.dtype) + bias.astype(x.dtype)
+        return q_matmul(x, p[name], p[name + "_scale"], bias, out_dtype=x.dtype,
+                        residual=residual)
+    y = x @ p[name].astype(x.dtype) + bias.astype(x.dtype)
+    return y if residual is None else residual + y
 
 
 def _block_int8_fused(x, p, cfg: VitConfig):
@@ -297,7 +300,7 @@ def _block_int8_fused(x, p, cfg: VitConfig):
                        p["qkv_bias"])
     attn_q, attn_s = fused_attention_packed(
         qkv.reshape(B, S, 3 * w), heads=cfg.heads, scale=cfg.head_dim ** -0.5,
-        quant_out=True,
+        quant_out=True, s_real=cfg.seq_len,
     )
     x2 = q_matmul_pre(
         attn_q.reshape(B * S, w), attn_s.reshape(B * S, 1),
@@ -400,6 +403,10 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
             k = _apply_rope(k, *rope)
         attn = attention_xla(q, k, v, scale=d ** -0.5)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, w)
+    # NOTE: residuals deliberately stay OUTSIDE the q_matmul epilogue — fusing
+    # them there (q_matmul residual=) made XLA materialize a standalone f32
+    # convert of the carry and re-shuffle the out-proj fusion for a net -40
+    # imgs/s on the round-3 profile. XLA's own placement wins here.
     x = x + _linear(attn, p, "out_kernel", quantized)
 
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
@@ -442,12 +449,20 @@ def vit_encode_image(
     if fused_attention is None:
         fused_attention = default_fused_attention()
     quantized = "patch_kernel_scale" in params  # W8A8 fast mode (ops/quant.py)
-    x = patchify(images.astype(compute_dtype), cfg.patch_size)
+    if images.ndim == 3:
+        # pre-patchified [B, N, p*p*3] (ops/crops.py patch_size= output)
+        x = images.astype(compute_dtype)
+    else:
+        x = patchify(images.astype(compute_dtype), cfg.patch_size)
+    # The patch embedding always runs as a bf16 matmul: it is <2% of the
+    # encoder's FLOPs, and quantizing its activations cost more in f32
+    # layout copies than the int8 matmul saved (round-3 profile: 1.5 ms/step
+    # at quant.py's reshape). int8-quantized checkpoints dequantize the tiny
+    # [p*p*3, w] kernel on the fly.
     if quantized:
-        from clip_assisted_data_labeling_tpu.ops.quant import q_matmul
-
-        x = q_matmul(x, params["patch_kernel"], params["patch_kernel_scale"],
-                     out_dtype=compute_dtype)
+        w_patch = (params["patch_kernel"].astype(jnp.float32)
+                   * params["patch_kernel_scale"].astype(jnp.float32))
+        x = x @ w_patch.astype(compute_dtype)
     else:
         x = x @ params["patch_kernel"].astype(compute_dtype)
     if cfg.use_cls_token:

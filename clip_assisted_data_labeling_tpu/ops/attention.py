@@ -217,7 +217,13 @@ def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
     """qkv packed [g, S_pad, 3w] exactly as the projection matmul wrote it —
     per-head lane slices happen in VMEM, so the kernel needs NO layout copies on
     either side. ``quant_out`` emits int8 + per-token scales instead of bf16
-    (the out-projection then runs the XLA int8 fast path with no extra pass)."""
+    (the out-projection then runs the XLA int8 fast path with no extra pass).
+
+    Padded tokens (s_real < S_pad): the padded k/v ROWS are zeroed in VMEM
+    ([S, d] selects — 2·d/S of the old [S, S] score-mask pass), so padded key
+    columns score exactly 0; their softmax-sum contribution is subtracted in
+    O(S) (n_pad·exp(-max)), and padded v rows being zero the AV matmul ignores
+    them for free."""
     g, s_pad = qkv_ref.shape[:2]
     if quant_out:
         o_ref, oscale_ref, acc_ref = out_refs
@@ -226,7 +232,8 @@ def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
         acc_ref = None
     w = o_ref.shape[2]
     d = w // heads
-    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    n_pad = s_pad - s_real
+    row_ok = jax.lax.broadcasted_iota(jnp.int32, (s_pad, d), 0) < s_real
     for i in range(g):
         for h in range(heads):
             # scale folded into q ([S,d] muls, not [S,S]); softmax kept
@@ -237,13 +244,23 @@ def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
             )
             k = qkv_ref[i, :, w + h * d : w + (h + 1) * d]
             v = qkv_ref[i, :, 2 * w + h * d : 2 * w + (h + 1) * d]
+            if n_pad:
+                zero = jnp.zeros((), k.dtype)
+                k = jnp.where(row_ok, k, zero)
+                v = jnp.where(row_ok, v, zero)
             scores = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            scores = jnp.where(col < s_real, scores, -jnp.inf)
-            scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-            probs = jnp.exp(scores)
-            inv_norm = 1.0 / jnp.sum(probs, axis=-1, keepdims=True)
+            # max includes the padded columns' exact 0.0 — softmax is invariant
+            # to the subtracted constant, so any consistent m is correct
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            probs = jnp.exp(scores - m)
+            denom = jnp.sum(probs, axis=-1, keepdims=True)
+            if n_pad:
+                # guard: if every real score were < ~-88 the subtraction would
+                # cancel to 0 (exact-zero probs) — clamp instead of NaN-ing
+                denom = jnp.maximum(denom - n_pad * jnp.exp(-m), 1e-30)
+            inv_norm = 1.0 / denom
             head_out = jax.lax.dot_general(
                 probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

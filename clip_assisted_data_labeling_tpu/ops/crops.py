@@ -187,6 +187,7 @@ def _resample_one_crop(
     params: jnp.ndarray,  # [2, 4]
     out_size: int,
     parity: bool,
+    patch_size: int | None = None,
 ) -> jnp.ndarray:
     canvas_size = img_f32.shape[0]
     wx = _axis_weights(params[0], canvas_size, out_size)  # [R, Cx]
@@ -194,28 +195,56 @@ def _resample_one_crop(
     prec = jax.lax.Precision.HIGHEST if parity else jax.lax.Precision.DEFAULT
     # Horizontal pass first (PIL order), then vertical; uint8 rounding between
     # passes when parity mode is on.
-    t = jnp.einsum("ux,yxc->yuc", wx, img_f32, precision=prec)
+    if patch_size is None:
+        t = jnp.einsum("ux,yxc->yuc", wx, img_f32, precision=prec)
+        if parity:
+            t = _clip8(t)
+        out = jnp.einsum("vy,yuc->vuc", wy, t, precision=prec)
+        if parity:
+            out = _clip8(out)
+        return out  # [R, R, 3]
+    # Patch-layout output: splitting each resample weight matrix's output axis
+    # into (grid, within-patch) makes the einsums emit the ViT patch order
+    # [gh, gw, pv, pu, c] directly — identical arithmetic, and the downstream
+    # patchify transpose (a 154 MB HBM copy chain per ViT-L batch on the
+    # round-3 profile) vanishes into the resample contraction's output layout.
+    g = out_size // patch_size
+    wxr = wx.reshape(g, patch_size, canvas_size)
+    wyr = wy.reshape(g, patch_size, canvas_size)
+    t = jnp.einsum("gpx,yxc->ygpc", wxr, img_f32, precision=prec)
     if parity:
         t = _clip8(t)
-    out = jnp.einsum("vy,yuc->vuc", wy, t, precision=prec)
+    out = jnp.einsum("hqy,ygpc->hgqpc", wyr, t, precision=prec)
     if parity:
         out = _clip8(out)
-    return out
+    return out  # [gh, gw, pv, pu, 3]
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "parity", "dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "parity", "dtype", "patch_size")
+)
 def fused_crop_resize_normalize(
     canvas_u8: jnp.ndarray,  # [B, C, C, 3] uint8, image centered, zeros elsewhere
     params: jnp.ndarray,  # [B, n_crops, 2, 4] float32
     out_size: int,
     parity: bool = True,
     dtype: jnp.dtype = jnp.float32,
+    patch_size: int | None = None,
 ) -> jnp.ndarray:
-    """All crops of all images → normalized [B, n_crops, R, R, 3] in one jit."""
+    """All crops of all images → normalized [B, n_crops, R, R, 3] in one jit.
+
+    With ``patch_size`` the output is emitted pre-patchified as
+    [B, n_crops, (R/p)², p·p·3] in exactly ``models.vit.patchify`` order —
+    same numbers, no separate patchify transpose pass on the device.
+    """
     img = canvas_u8.astype(jnp.float32)
-    per_crop = jax.vmap(_resample_one_crop, in_axes=(None, 0, None, None))
-    per_image = jax.vmap(per_crop, in_axes=(0, 0, None, None))
-    out = per_image(img, params, out_size, parity)  # [B, n, R, R, 3] in 0..255
+    per_crop = jax.vmap(_resample_one_crop, in_axes=(None, 0, None, None, None))
+    per_image = jax.vmap(per_crop, in_axes=(0, 0, None, None, None))
+    out = per_image(img, params, out_size, parity, patch_size)  # 0..255
     mean = jnp.asarray(CLIP_MEAN, dtype=jnp.float32) * 255.0
     std = jnp.asarray(CLIP_STD, dtype=jnp.float32) * 255.0
-    return ((out - mean) / std).astype(dtype)
+    out = ((out - mean) / std).astype(dtype)
+    if patch_size is not None:
+        b, n, gh, gw, pv, pu, c = out.shape
+        out = out.reshape(b, n, gh * gw, pv * pu * c)
+    return out

@@ -64,10 +64,14 @@ def quantize_vit_params(params: dict) -> dict:
 
 
 def q_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
-             bias: jnp.ndarray | None = None, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+             bias: jnp.ndarray | None = None, out_dtype=jnp.bfloat16,
+             residual: jnp.ndarray | None = None) -> jnp.ndarray:
     """Dynamic per-row int8 × per-channel int8 → dequantized matmul.
 
-    x: [..., K] float; w_q: [K, N] int8; w_scale: [N] f32.
+    x: [..., K] float; w_q: [K, N] int8; w_scale: [N] f32; residual (optional,
+    [..., N]) is added INSIDE the dequant epilogue so XLA fuses it into the
+    matmul's output fusion — a standalone residual add measured 0.21 ms/layer
+    (a full extra HBM pass over [33k, 1024]) on the round-3 ViT-L profile.
 
     An experimental fully-fused Pallas version exists (ops/quant_kernel.py,
     quantize→matmul→dequant in VMEM) behind CTPU_FUSED_QMATMUL=1; measured
@@ -85,7 +89,8 @@ def q_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
         out = q_linear_fused(flat, w_q, w_scale, bias, out_dtype=out_dtype)
-        return out.reshape(lead + (w_q.shape[-1],))
+        out = out.reshape(lead + (w_q.shape[-1],))
+        return out if residual is None else residual + out
 
     # flatten leading dims: 2-D operands let XLA pick plain row-major layouts
     # for the int8 activation tensor (3-D inputs got a transposed layout that
@@ -103,6 +108,8 @@ def q_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     y = acc.astype(jnp.float32) * x_scale * w_scale.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
+    if residual is not None:
+        y = y + residual.reshape(-1, w_q.shape[-1]).astype(jnp.float32)
     return y.astype(out_dtype).reshape(lead + (w_q.shape[-1],))
 
 

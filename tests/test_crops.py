@@ -237,3 +237,36 @@ def test_torch_golden_agrees(w, h):
     # stays float); a misread spec would blow far past this
     assert np.abs(pil_golden - torch_golden).max() < 0.06
     assert np.abs(device - torch_golden).max() < 0.06
+
+
+def test_patch_layout_matches_patchify():
+    """patch_size= output must equal patchify(image-layout output) exactly —
+    same resample arithmetic, only the einsum output layout differs."""
+    import jax.numpy as jnp
+
+    from clip_assisted_data_labeling_tpu.models.vit import patchify
+    from clip_assisted_data_labeling_tpu.ops.crops import (
+        fused_crop_resize_normalize,
+        make_crop_params,
+    )
+
+    rng = np.random.default_rng(7)
+    canvas = 64
+    out_size = 32
+    p = 8
+    canv = rng.integers(0, 256, (2, canvas, canvas, 3), dtype=np.uint8)
+    params = np.stack([make_crop_params(50, 40, canvas, out_size),
+                       make_crop_params(64, 30, canvas, out_size)])
+    for parity in (True, False):
+        img_layout = fused_crop_resize_normalize(
+            jnp.asarray(canv), jnp.asarray(params), out_size=out_size,
+            parity=parity, dtype=jnp.float32)
+        ref = np.asarray(patchify(
+            jnp.asarray(np.asarray(img_layout).reshape((-1, out_size, out_size, 3))), p
+        )).reshape(2, -1, (out_size // p) ** 2, p * p * 3)
+        got = np.asarray(fused_crop_resize_normalize(
+            jnp.asarray(canv), jnp.asarray(params), out_size=out_size,
+            parity=parity, dtype=jnp.float32, patch_size=p))
+        # identical arithmetic up to f32 einsum associativity (~5e-7); a
+        # layout mistake would scramble whole patches, far beyond this bound
+        np.testing.assert_allclose(got, ref, atol=5e-5)

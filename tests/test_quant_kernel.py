@@ -172,3 +172,33 @@ def test_attention_quant_out_matches_bf16(rng):
     b = np.asarray(attention_packed_q8_xla(jnp.asarray(qkv_q), jnp.asarray(sc),
                                            heads, 0.25))
     np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-2)  # bf16 ULP, fold associativity
+
+
+def test_packed_attention_prepadded_zero_rows_contract(rng):
+    """Caller-side padding contract (ops/attention.py _packed_kernel): when qkv
+    arrives pre-padded with ZERO token rows and s_real < S, the O(S) denominator
+    correction must reproduce the exact masked softmax over the real tokens."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        fused_attention_packed,
+    )
+
+    b, s, h, d = 2, 9, 3, 8
+    w = h * d
+    qkv = rng.normal(0, 1, (b, s, 3 * w)).astype(np.float32)
+    ref = np.asarray(
+        fused_attention_packed(jnp.asarray(qkv), heads=h, scale=0.3,
+                               interpret=True)
+    )
+    padded = np.zeros((b, 16, 3 * w), np.float32)
+    padded[:, :s] = qkv
+    got = np.asarray(
+        fused_attention_packed(jnp.asarray(padded), heads=h, scale=0.3,
+                               s_real=s, interpret=True)
+    )
+    np.testing.assert_allclose(got[:, :s], ref, atol=1e-5)
+
+    # quant_out variant under the same contract
+    oq, osc = fused_attention_packed(jnp.asarray(padded), heads=h, scale=0.3,
+                                     s_real=s, quant_out=True, interpret=True)
+    deq = np.asarray(oq, np.float32)[:, :s] * np.asarray(osc)[:, :s]
+    assert np.abs(deq - ref).max() < np.abs(ref).max() / 90
