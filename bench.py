@@ -69,7 +69,7 @@ def main():
     parser.add_argument("--parity_preprocess", action="store_true",
                         help="uint8-exact preprocess (default: fast bf16 path)")
     parser.add_argument("--compute_dtype", default="int8",
-                        choices=["bfloat16", "float32", "int8"],
+                        choices=["bfloat16", "float32", "int8", "int8_static"],
                         help="headline default is the W8A8 int8 mode: it meets "
                         "the <=1e-3 embedding-parity budget (cos err ~7e-4, "
                         "pinned on trained weights in tests/test_quant.py) at "

@@ -57,7 +57,13 @@ class CLIPImageEncoder:
         self.cfg: VitConfig = resolve_config(model_name)
         # compute_dtype "int8" selects the W8A8 fast mode: matmul weights are
         # quantized once here, activations dynamically per token (ops/quant.py);
-        # non-matmul compute stays bf16.
+        # non-matmul compute stays bf16. "int8_static" additionally calibrates
+        # per-layer STATIC activation scales on the first batch it sees (one
+        # extra forward), after which every quantize fuses into its producer's
+        # epilogue — the fastest mode (models/vit.vit_act_amax).
+        self.static_quant = compute_dtype == "int8_static"
+        if self.static_quant:
+            compute_dtype = "int8"
         self.quantized = np.dtype(compute_dtype) == np.dtype(np.int8)
         self.compute_dtype = jnp.bfloat16 if self.quantized else compute_dtype
         self.parity_preprocess = parity_preprocess
@@ -142,15 +148,40 @@ class CLIPImageEncoder:
     def save_npz(self, path: str) -> None:
         clip_weights.save_params_npz(path, self.params)
 
+    def _maybe_calibrate(self, images: jnp.ndarray) -> None:
+        """int8_static mode: derive per-layer static activation scales from the
+        FIRST (real-data) batch — one extra forward, then every later batch
+        runs the fully-static path. ``images`` may be [B, R, R, 3] or
+        pre-patchified [B, N, p·p·3]."""
+        if not self.static_quant or "act_amax" in self.params["blocks"]:
+            return
+        from clip_assisted_data_labeling_tpu.models.vit import (
+            attach_act_amax,
+            vit_act_amax,
+        )
+
+        log.info("Calibrating static int8 activation scales on the first batch")
+        amax = vit_act_amax(self.params, images, self.cfg,
+                            compute_dtype=self.compute_dtype)
+        self.params = attach_act_amax(self.params, np.asarray(amax))
+
     def encode(self, preprocessed: jnp.ndarray) -> jnp.ndarray:
         """[..., R, R, 3] CLIP-normalized images → [..., embed_dim] unit vectors."""
         lead = preprocessed.shape[:-3]
         flat = preprocessed.reshape((-1,) + preprocessed.shape[-3:])
+        self._maybe_calibrate(flat)
         emb = vit_encode_image(self.params, flat, self.cfg, compute_dtype=self.compute_dtype)
         return emb.reshape(lead + (self.cfg.embed_dim,))
 
     def embed_crops(self, canvas_u8: jnp.ndarray, crop_params: jnp.ndarray) -> jnp.ndarray:
         """[B, C, C, 3] uint8 + [B, n_crops, 2, 4] → [B, n_crops, D]; one jit."""
+        if self.static_quant and "act_amax" not in self.params["blocks"]:
+            crops = fused_crop_resize_normalize(
+                canvas_u8, crop_params, out_size=self.cfg.image_size,
+                parity=self.parity_preprocess, dtype=self.compute_dtype,
+                patch_size=self.cfg.patch_size,
+            )
+            self._maybe_calibrate(crops.reshape((-1,) + crops.shape[2:]))
         return _embed_crops_jit(
             self.params,
             canvas_u8,

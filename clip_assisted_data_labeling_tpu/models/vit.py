@@ -253,11 +253,25 @@ def _attention_pool(x, p, heads: int, eps: float):
     return _layernorm(pooled, p["pool_ln_scale"], p["pool_ln_bias"], eps)
 
 
-def _linear(x, p, name: str, quantized: bool, residual=None):
-    """Block matmul: bf16, or dynamically-quantized W8A8 (ops/quant.py).
+def _linear(x, p, name: str, quantized: bool, residual=None, act_amax=None):
+    """Block matmul: bf16, or W8A8 (ops/quant.py).
+
+    ``act_amax`` (a calibrated scalar, see :func:`vit_act_amax`) switches the
+    activation quantization from dynamic per-row to STATIC — the quantize then
+    fuses into the producer's epilogue instead of costing its own HBM pass.
     ``residual`` rides the dequant/bias epilogue (one fused HBM pass)."""
     bias = p[name.replace("_kernel", "_bias")]
     if quantized:
+        if act_amax is not None:
+            from clip_assisted_data_labeling_tpu.ops.quant import quant_static
+            from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_matmul_pre
+
+            lead = x.shape[:-1]
+            xq = quant_static(x, act_amax).reshape(-1, x.shape[-1])
+            y = q_matmul_pre(xq, act_amax * (1.0 / 127.0), p[name],
+                             p[name + "_scale"], bias, out_dtype=x.dtype)
+            y = y.reshape(lead + (p[name].shape[-1],))
+            return y if residual is None else residual + y
         from clip_assisted_data_labeling_tpu.ops.quant import q_matmul
 
         return q_matmul(x, p[name], p[name + "_scale"], bias, out_dtype=x.dtype,
@@ -370,8 +384,13 @@ def _block_int8_xla(x, p, cfg: VitConfig):
 
 def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
            rope=None):
-    """One pre-LN transformer block. x: [B, S, w]; rope: (cos, sin) or None."""
-    if quantized and fused_attention and rope is None:
+    """One pre-LN transformer block. x: [B, S, w]; rope: (cos, sin) or None.
+
+    When ``p`` carries calibrated ``act_amax`` scales ([4] per layer, attached
+    by :func:`attach_act_amax`), activation quantization is static (fused into
+    producer epilogues); otherwise dynamic per-row."""
+    a = p.get("act_amax") if quantized else None
+    if quantized and fused_attention and rope is None and a is None:
         mode = _int8_block_mode()
         if mode == "hybrid":
             return _block_int8_fused(x, p, cfg)
@@ -381,7 +400,8 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     h, d = cfg.heads, cfg.head_dim
 
     y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
-    qkv = _linear(y, p, "qkv_kernel", quantized)
+    qkv = _linear(y, p, "qkv_kernel", quantized,
+                  act_amax=None if a is None else a[0])
     if fused_attention and rope is None:
         # Packed-qkv Pallas kernel: consumes the projection's [B, S, 3w] output
         # as-is and emits [B, S, w] — zero layout copies around the kernel, and
@@ -407,11 +427,14 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     # them there (q_matmul residual=) made XLA materialize a standalone f32
     # convert of the carry and re-shuffle the out-proj fusion for a net -40
     # imgs/s on the round-3 profile. XLA's own placement wins here.
-    x = x + _linear(attn, p, "out_kernel", quantized)
+    x = x + _linear(attn, p, "out_kernel", quantized,
+                    act_amax=None if a is None else a[1])
 
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
-    y = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act)
-    x = x + _linear(y, p, "fc2_kernel", quantized)
+    y = _act(_linear(y, p, "fc1_kernel", quantized,
+                     act_amax=None if a is None else a[2]), cfg.act)
+    x = x + _linear(y, p, "fc2_kernel", quantized,
+                    act_amax=None if a is None else a[3])
     return x
 
 
@@ -506,6 +529,93 @@ def vit_encode_image(
     if normalize:
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
     return emb
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def vit_act_amax(
+    params: dict,
+    images: jnp.ndarray,  # [B, R, R, 3] or pre-patchified [B, N, p*p*3]
+    cfg: VitConfig,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Calibration forward: per-layer per-tensor activation amax, [layers, 4].
+
+    Columns are the four quantized-activation sites of a transformer block:
+    (qkv input, attention output, fc1 input, gelu output). Runs the XLA
+    attention path on UNPADDED tokens so padded-token garbage can't inflate
+    the scales. One batch of real data is enough — LN'd and gelu'd activation
+    ranges are stable across batches; attach_act_amax adds a safety margin.
+    """
+    quantized = "patch_kernel_scale" in params
+    if images.ndim == 3:
+        x = images.astype(compute_dtype)
+    else:
+        x = patchify(images.astype(compute_dtype), cfg.patch_size)
+    if quantized:
+        w_patch = (params["patch_kernel"].astype(jnp.float32)
+                   * params["patch_kernel_scale"].astype(jnp.float32))
+        x = x @ w_patch.astype(compute_dtype)
+    else:
+        x = x @ params["patch_kernel"].astype(compute_dtype)
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(
+            params["class_emb"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_emb"].astype(compute_dtype)
+    x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
+
+    rope = None
+    if cfg.use_rope2d:
+        cos, sin = _rope2d_tables(
+            cfg.grid, cfg.head_dim, cfg.rope_theta, cfg.use_cls_token
+        )
+        rope = (jnp.asarray(cos), jnp.asarray(sin))
+    B, S, w = x.shape
+    h, d = cfg.heads, cfg.head_dim
+
+    def body(carry, p):
+        from clip_assisted_data_labeling_tpu.ops.attention import attention_xla
+
+        x = carry
+        y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
+        s_qkv = jnp.max(jnp.abs(y.astype(jnp.float32)))
+        qkv = _linear(y, p, "qkv_kernel", quantized)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+        if rope is not None:
+            q = _apply_rope(q, *rope)
+            k = _apply_rope(k, *rope)
+        attn = attention_xla(q, k, v, scale=d ** -0.5)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, w)
+        s_attn = jnp.max(jnp.abs(attn.astype(jnp.float32)))
+        x = x + _linear(attn, p, "out_kernel", quantized)
+        y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
+        s_fc1 = jnp.max(jnp.abs(y.astype(jnp.float32)))
+        g = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act)
+        s_act = jnp.max(jnp.abs(g.astype(jnp.float32)))
+        x = x + _linear(g, p, "fc2_kernel", quantized)
+        return x, jnp.stack([s_qkv, s_attn, s_fc1, s_act])
+
+    blocks = {k: v for k, v in params["blocks"].items() if k != "act_amax"}
+    _, stats = jax.lax.scan(body, x, blocks)
+    return stats.astype(jnp.float32)
+
+
+def attach_act_amax(params: dict, amax, margin: float = 1.1) -> dict:
+    """Return params with calibrated static-activation scales attached.
+
+    ``amax``: [layers, 4] from :func:`vit_act_amax`. The margin covers
+    batch-to-batch range drift (values beyond it clip — symmetric int8
+    saturation, graceful). Blocks with ``act_amax`` take the static-quant
+    path in :func:`_block`."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    blocks["act_amax"] = jnp.asarray(amax, jnp.float32) * margin
+    out["blocks"] = blocks
+    return out
 
 
 def count_params(params: dict) -> int:

@@ -121,3 +121,86 @@ def test_int8_error_on_trained_weights(rng):
     init = make_hf_model("quick_gelu").state_dict()
     delta = (model.state_dict()["visual_projection.weight"] - init["visual_projection.weight"]).abs().mean()
     assert float(delta) > 1e-3
+
+
+def test_static_scale_int8_close_to_dynamic(rng):
+    """int8_static mode: calibrated per-tensor static activation scales must
+    track the dynamic per-row path closely (both within the fast-mode budget
+    vs f32)."""
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        attach_act_amax,
+        vit_act_amax,
+    )
+
+    cfg = resolve_config("ViT-Test/tiny")
+    params = init_vit_params(cfg, jax.random.key(0))
+    qparams = quantize_vit_params(params)
+
+    calib = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    amax = vit_act_amax(qparams, calib, cfg, compute_dtype=jnp.float32)
+    assert amax.shape == (cfg.layers, 4) and np.all(np.asarray(amax) > 0)
+    sparams = attach_act_amax(qparams, amax)
+
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(vit_encode_image(params, x, cfg, compute_dtype=jnp.float32))
+    dyn = np.asarray(vit_encode_image(qparams, x, cfg, compute_dtype=jnp.float32))
+    stat = np.asarray(vit_encode_image(sparams, x, cfg, compute_dtype=jnp.float32))
+    assert np.all(np.sum(ref * stat, axis=-1) > 0.995)
+    assert np.all(np.sum(dyn * stat, axis=-1) > 0.995)
+
+
+def test_encoder_int8_static_lazy_calibration(rng):
+    enc = CLIPImageEncoder("ViT-Test/tiny", compute_dtype="int8_static")
+    assert enc.static_quant and enc.quantized
+    assert "act_amax" not in enc.params["blocks"]
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    emb = np.asarray(enc.encode(x))
+    assert "act_amax" in enc.params["blocks"]  # calibrated on first batch
+    assert emb.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-2)
+    # second call reuses the attached scales (no shape/structure change)
+    emb2 = np.asarray(enc.encode(x))
+    np.testing.assert_allclose(emb, emb2, atol=1e-6)
+
+
+def test_int8_static_error_on_trained_weights(rng):
+    """Static scales must hold the <=2e-3 budget on trained (converted)
+    weights, calibrated on one batch and evaluated on ANOTHER."""
+    from tests.test_quant import test_int8_error_on_trained_weights  # noqa: F401
+    from tests.test_vit_parity import make_hf_model, our_config
+
+    import torch
+
+    from clip_assisted_data_labeling_tpu.models.clip_weights import (
+        convert_torch_state_dict,
+    )
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        attach_act_amax,
+        vit_act_amax,
+    )
+
+    model = make_hf_model("quick_gelu")
+    cfg = our_config("quick_gelu")
+    opt = torch.optim.Adam(model.parameters(), lr=3e-3)
+    gen = torch.Generator().manual_seed(1)
+    targets = torch.randn(8, cfg.embed_dim, generator=gen)
+    imgs = torch.randn(8, 3, cfg.image_size, cfg.image_size, generator=gen)
+    model.train()
+    for _ in range(40):
+        opt.zero_grad()
+        loss = torch.mean((model(pixel_values=imgs).image_embeds - targets) ** 2)
+        loss.backward()
+        opt.step()
+    model.eval()
+
+    params = convert_torch_state_dict(model.state_dict(), cfg)
+    qparams = quantize_vit_params(params)
+    calib = rng.normal(0, 1, (8, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    amax = vit_act_amax(qparams, jnp.asarray(calib), cfg, compute_dtype=jnp.float32)
+    sparams = attach_act_amax(qparams, amax)
+
+    x = rng.normal(0, 1, (16, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    e32 = np.asarray(vit_encode_image(params, jnp.asarray(x), cfg, compute_dtype=jnp.float32))
+    e8s = np.asarray(vit_encode_image(sparams, jnp.asarray(x), cfg, compute_dtype=jnp.float32))
+    cos = np.sum(e32 * e8s, axis=-1)
+    assert np.all(cos > 1 - 2e-3), f"static-int8 cosine error: {1 - cos.min()}"
