@@ -161,9 +161,20 @@ class CLIPImageEncoder:
         )
 
         log.info("Calibrating static int8 activation scales on the first batch")
-        amax = vit_act_amax(self.params, images, self.cfg,
-                            compute_dtype=self.compute_dtype)
-        self.params = attach_act_amax(self.params, np.asarray(amax))
+        amax = jax.tree.map(
+            np.asarray,
+            vit_act_amax(self.params, images, self.cfg,
+                         compute_dtype=self.compute_dtype),
+        )
+        # The int8 attention wire (per-channel qkv_amax + the q8s kernel) is
+        # measured-neutral at ViT-L scale — the attention kernel and the qkv
+        # matmul are both compute-bound, so halving their HBM wire buys
+        # nothing (263 vs 266 imgs/s, round-3 bench) — but it halves the
+        # block's largest tensor, which matters when VMEM/HBM pressure does
+        # (bigger towers or sequences). Opt in via CTPU_INT8_WIRE=1.
+        if os.environ.get("CTPU_INT8_WIRE") != "1":
+            amax = {"act_amax": amax["act_amax"]}
+        self.params = attach_act_amax(self.params, amax)
 
     def encode(self, preprocessed: jnp.ndarray) -> jnp.ndarray:
         """[..., R, R, 3] CLIP-normalized images → [..., embed_dim] unit vectors."""

@@ -330,6 +330,57 @@ def _block_int8_fused(x, p, cfg: VitConfig):
     return x2.reshape(B, S, w)
 
 
+def _block_int8_static_wire(x, p, cfg: VitConfig):
+    """Static-scale W8A8 block with an int8 attention wire (the int8_static
+    fast path on TPU).
+
+    Every activation quantize uses a calibrated FIXED scale, so it is purely
+    elementwise and fuses into its producer's epilogue: the qkv projection
+    writes int8 directly (per-CHANNEL scales — the block's largest inter-op
+    wire, halved), the attention kernel dequantizes per head in VMEM and emits
+    int8 under the attn-out scale, and fc1+gelu+quantize+fc2 collapse into one
+    XLA fusion whose MLP hidden never touches HBM."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        fused_attention_packed_q8s,
+    )
+    from clip_assisted_data_labeling_tpu.ops.quant import quant_static
+    from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_matmul_pre
+
+    B, S, w = x.shape
+    a = p["act_amax"]  # [4] f32 scalars
+    qa = p["qkv_amax"]  # [3w] f32 per-channel
+    y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
+    yq = quant_static(y, a[0]).reshape(B * S, w)
+    acc = jax.lax.dot_general(
+        yq, p["qkv_kernel"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    qkv_f = (acc.astype(jnp.float32)
+             * ((a[0] * (1.0 / 127.0)) * p["qkv_kernel_scale"].astype(jnp.float32))
+             + p["qkv_bias"].astype(jnp.float32))
+    qkv_q = quant_static(qkv_f, qa).reshape(B, S, 3 * w)
+    # scale folding for the kernel (see _packed_q8s_kernel): q section also
+    # carries the attention scale, v section the 127/attn_out_amax requant
+    inv127 = 1.0 / 127.0
+    cs = jnp.concatenate([
+        qa[:w] * (inv127 * cfg.head_dim ** -0.5),
+        qa[w : 2 * w] * inv127,
+        qa[2 * w :] / a[1],
+    ])
+    attn_q = fused_attention_packed_q8s(
+        qkv_q, cs, heads=cfg.heads, scale=cfg.head_dim ** -0.5,
+        s_real=cfg.seq_len,
+    )
+    x = x + q_matmul_pre(
+        attn_q.reshape(B * S, w), a[1] * inv127, p["out_kernel"],
+        p["out_kernel_scale"], p["out_bias"], out_dtype=x.dtype,
+    ).reshape(B, S, w)
+
+    y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
+    y = _act(_linear(y, p, "fc1_kernel", True, act_amax=a[2]), cfg.act)
+    return x + _linear(y, p, "fc2_kernel", True, act_amax=a[3])
+
+
 def _int8_block_mode() -> str:
     """int8 block implementation (CTPU_INT8_BLOCK), measured on the round-2
     chip at batch 32 ViT-L (BENCH_NOTES.md):
@@ -390,12 +441,15 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     by :func:`attach_act_amax`), activation quantization is static (fused into
     producer epilogues); otherwise dynamic per-row."""
     a = p.get("act_amax") if quantized else None
-    if quantized and fused_attention and rope is None and a is None:
-        mode = _int8_block_mode()
-        if mode == "hybrid":
-            return _block_int8_fused(x, p, cfg)
-        if mode == "xla":
-            return _block_int8_xla(x, p, cfg)
+    if quantized and fused_attention and rope is None:
+        if a is not None and "qkv_amax" in p:
+            return _block_int8_static_wire(x, p, cfg)
+        if a is None:
+            mode = _int8_block_mode()
+            if mode == "hybrid":
+                return _block_int8_fused(x, p, cfg)
+            if mode == "xla":
+                return _block_int8_xla(x, p, cfg)
     B, S, w = x.shape
     h, d = cfg.heads, cfg.head_dim
 
@@ -537,14 +591,17 @@ def vit_act_amax(
     images: jnp.ndarray,  # [B, R, R, 3] or pre-patchified [B, N, p*p*3]
     cfg: VitConfig,
     compute_dtype=jnp.bfloat16,
-) -> jnp.ndarray:
-    """Calibration forward: per-layer per-tensor activation amax, [layers, 4].
+) -> dict:
+    """Calibration forward for static W8A8. Returns per-layer activation
+    amaxes: {"act_amax": [layers, 4], "qkv_amax": [layers, 3·width]}.
 
-    Columns are the four quantized-activation sites of a transformer block:
-    (qkv input, attention output, fc1 input, gelu output). Runs the XLA
-    attention path on UNPADDED tokens so padded-token garbage can't inflate
-    the scales. One batch of real data is enough — LN'd and gelu'd activation
-    ranges are stable across batches; attach_act_amax adds a safety margin.
+    act_amax columns are the four per-tensor quantized-activation sites of a
+    transformer block (qkv input, attention output, fc1 input, gelu output);
+    qkv_amax is the PER-CHANNEL amax of the qkv projection output (the int8
+    attention wire). Runs the XLA attention path on UNPADDED tokens so
+    padded-token garbage can't inflate the scales. One batch of real data is
+    enough — LN'd and gelu'd activation ranges are stable across batches;
+    attach_act_amax adds a safety margin.
     """
     quantized = "patch_kernel_scale" in params
     if images.ndim == 3:
@@ -581,6 +638,7 @@ def vit_act_amax(
         y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
         s_qkv = jnp.max(jnp.abs(y.astype(jnp.float32)))
         qkv = _linear(y, p, "qkv_kernel", quantized)
+        s_qkv_ch = jnp.max(jnp.abs(qkv.astype(jnp.float32)), axis=(0, 1))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, S, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, h, d).transpose(0, 2, 1, 3)
@@ -597,23 +655,32 @@ def vit_act_amax(
         g = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act)
         s_act = jnp.max(jnp.abs(g.astype(jnp.float32)))
         x = x + _linear(g, p, "fc2_kernel", quantized)
-        return x, jnp.stack([s_qkv, s_attn, s_fc1, s_act])
+        return x, {
+            "act_amax": jnp.stack([s_qkv, s_attn, s_fc1, s_act]),
+            "qkv_amax": s_qkv_ch,
+        }
 
-    blocks = {k: v for k, v in params["blocks"].items() if k != "act_amax"}
+    blocks = {k: v for k, v in params["blocks"].items()
+              if k not in ("act_amax", "qkv_amax")}
     _, stats = jax.lax.scan(body, x, blocks)
-    return stats.astype(jnp.float32)
+    return jax.tree.map(lambda t: t.astype(jnp.float32), stats)
 
 
 def attach_act_amax(params: dict, amax, margin: float = 1.1) -> dict:
     """Return params with calibrated static-activation scales attached.
 
-    ``amax``: [layers, 4] from :func:`vit_act_amax`. The margin covers
-    batch-to-batch range drift (values beyond it clip — symmetric int8
+    ``amax``: the dict from :func:`vit_act_amax` (a bare [layers, 4] array is
+    also accepted — per-tensor sites only, bf16 attention wire). The margin
+    covers batch-to-batch range drift (values beyond it clip — symmetric int8
     saturation, graceful). Blocks with ``act_amax`` take the static-quant
     path in :func:`_block`."""
     out = dict(params)
     blocks = dict(params["blocks"])
-    blocks["act_amax"] = jnp.asarray(amax, jnp.float32) * margin
+    if isinstance(amax, dict):
+        for key, v in amax.items():
+            blocks[key] = jnp.asarray(v, jnp.float32) * margin
+    else:
+        blocks["act_amax"] = jnp.asarray(amax, jnp.float32) * margin
     out["blocks"] = blocks
     return out
 

@@ -212,6 +212,91 @@ def attention_packed_q8_xla(qkv_q, qkv_scale, heads: int, scale: float):
     return out.transpose(0, 2, 1, 3).reshape(b, s, w)
 
 
+def _packed_q8s_kernel(qkv_ref, cs_ref, o_ref, *, heads: int, s_real: int):
+    """Static-scale int8 attention wire (int8_static mode, models/vit.py).
+
+    qkv arrives int8, quantized by the projection epilogue with per-CHANNEL
+    static scales; the output leaves int8 under the calibrated attn-out scale.
+    All scale folding happens OUTSIDE the kernel in cs_ref [1, 3w] f32:
+      cs[:w]   = q channel scales × attention scale,
+      cs[w:2w] = k channel scales,
+      cs[2w:]  = v channel scales × 127/attn_out_amax (so quantizing the
+                 output is a bare round/clip).
+    Per-head dequant is an [S, d]·[d] VPU broadcast — trivial next to the
+    halved HBM wire (int8 qkv is the block's largest inter-op tensor)."""
+    s_pad = qkv_ref.shape[1]
+    w = o_ref.shape[2]
+    d = w // heads
+    n_pad = s_pad - s_real
+    row_ok = jax.lax.broadcasted_iota(jnp.int32, (s_pad, d), 0) < s_real
+    for h in range(heads):
+        qs = cs_ref[0, h * d : (h + 1) * d]
+        ks = cs_ref[0, w + h * d : w + (h + 1) * d]
+        vs = cs_ref[0, 2 * w + h * d : 2 * w + (h + 1) * d]
+        q = (qkv_ref[0, :, h * d : (h + 1) * d].astype(jnp.float32) * qs
+             ).astype(jnp.bfloat16)
+        k = (qkv_ref[0, :, w + h * d : w + (h + 1) * d].astype(jnp.float32)
+             * ks).astype(jnp.bfloat16)
+        v = (qkv_ref[0, :, 2 * w + h * d : 2 * w + (h + 1) * d].astype(
+            jnp.float32) * vs).astype(jnp.bfloat16)
+        if n_pad:
+            zero = jnp.zeros((), jnp.bfloat16)
+            k = jnp.where(row_ok, k, zero)
+            v = jnp.where(row_ok, v, zero)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores - m)
+        denom = jnp.sum(probs, axis=-1, keepdims=True)
+        if n_pad:
+            denom = jnp.maximum(denom - n_pad * jnp.exp(-m), 1e-30)
+        head_out = jax.lax.dot_general(
+            probs.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / denom
+        o_ref[0, :, h * d : (h + 1) * d] = jnp.clip(
+            jnp.round(head_out), -127, 127
+        ).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "interpret", "s_real")
+)
+def fused_attention_packed_q8s(
+    qkv_q: jnp.ndarray,  # [B, S, 3w] int8 (per-channel static quantization)
+    ch_scale: jnp.ndarray,  # [3w] f32, pre-folded (see kernel docstring)
+    heads: int,
+    scale: float,  # kept for API symmetry; already folded into ch_scale[:w]
+    interpret: bool = False,
+    s_real: int | None = None,
+):
+    """Static-wire attention: int8 in (per-channel scales), int8 out
+    (attn-out static scale pre-folded into ch_scale's v section)."""
+    del scale
+    b, s, w3 = qkv_q.shape
+    if s_real is None:
+        s_real = s
+    w = w3 // 3
+    s_pad = _round_up(s, 8)
+    if s_pad != s:
+        qkv_q = jnp.pad(qkv_q, [(0, 0), (0, s_pad - s), (0, 0)])
+    out = pl.pallas_call(
+        functools.partial(_packed_q8s_kernel, heads=heads, s_real=s_real),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), jnp.int8),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, w3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv_q, ch_scale.reshape(1, w3).astype(jnp.float32))
+    return out[:, :s, :]
+
+
 def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
                    quant_out: bool):
     """qkv packed [g, S_pad, 3w] exactly as the projection matmul wrote it —

@@ -138,7 +138,9 @@ def test_static_scale_int8_close_to_dynamic(rng):
 
     calib = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32))
     amax = vit_act_amax(qparams, calib, cfg, compute_dtype=jnp.float32)
-    assert amax.shape == (cfg.layers, 4) and np.all(np.asarray(amax) > 0)
+    assert amax["act_amax"].shape == (cfg.layers, 4)
+    assert amax["qkv_amax"].shape == (cfg.layers, 3 * cfg.width)
+    assert all(np.all(np.asarray(v) > 0) for v in amax.values())
     sparams = attach_act_amax(qparams, amax)
 
     x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32))

@@ -202,3 +202,51 @@ def test_packed_attention_prepadded_zero_rows_contract(rng):
                                      s_real=s, quant_out=True, interpret=True)
     deq = np.asarray(oq, np.float32)[:, :s] * np.asarray(osc)[:, :s]
     assert np.abs(deq - ref).max() < np.abs(ref).max() / 90
+
+
+def test_q8s_static_wire_attention_matches_reference(rng):
+    """int8_static attention wire: per-channel-quantized int8 qkv in, int8 out
+    under a static attn-out scale — must match dequantize->softmax->requantize
+    computed in plain XLA."""
+    import jax
+
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        attention_xla,
+        fused_attention_packed_q8s,
+    )
+
+    b, s, h, d = 2, 9, 3, 8
+    w = h * d
+    qkv = rng.normal(0, 1.5, (b, s, 3 * w)).astype(np.float32)
+    ch_amax = np.maximum(np.abs(qkv).reshape(-1, 3 * w).max(0), 1e-6)
+    qkv_q = np.clip(np.round(qkv * (127.0 / ch_amax)), -127, 127).astype(np.int8)
+    # attention outputs are convex combinations of v rows, so max|v| bounds them
+    out_amax = float(np.abs(qkv[..., 2 * w :]).max())
+    scale = d ** -0.5
+    cs = np.concatenate([
+        ch_amax[:w] / 127.0 * scale,
+        ch_amax[w : 2 * w] / 127.0,
+        ch_amax[2 * w :] / out_amax,
+    ]).astype(np.float32)
+
+    got_q = np.asarray(fused_attention_packed_q8s(
+        jnp.asarray(qkv_q), jnp.asarray(cs), heads=h, scale=scale,
+        interpret=True))
+    got = got_q.astype(np.float32) * (out_amax / 127.0)
+
+    deq = (qkv_q.astype(np.float32) * (ch_amax / 127.0)).astype(np.float32)
+    rs = lambda t: t.reshape(b, s, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+    q, k, v = np.split(deq, 3, axis=-1)
+    ref = np.asarray(attention_xla(
+        jnp.asarray(rs(q)), jnp.asarray(rs(k)), jnp.asarray(rs(v)), scale
+    )).transpose(0, 2, 1, 3).reshape(b, s, w)
+    # bf16 matmuls + one int8 requant step of error budget
+    assert np.abs(got - ref).max() < out_amax / 90 + 2e-2 * np.abs(ref).max()
+
+    # pre-padded variant under the zero-row contract
+    padded = np.zeros((b, 16, 3 * w), np.int8)
+    padded[:, :s] = qkv_q
+    got_pad = np.asarray(fused_attention_packed_q8s(
+        jnp.asarray(padded), jnp.asarray(cs), heads=h, scale=scale,
+        s_real=s, interpret=True))
+    np.testing.assert_array_equal(got_pad[:, :s], got_q)
