@@ -267,11 +267,13 @@ def _linear(x, p, name: str, quantized: bool, residual=None, act_amax=None):
             from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_matmul_pre
 
             lead = x.shape[:-1]
+            n = p[name].shape[-1]
             xq = quant_static(x, act_amax).reshape(-1, x.shape[-1])
+            res = None if residual is None else residual.reshape(-1, n)
             y = q_matmul_pre(xq, act_amax * (1.0 / 127.0), p[name],
-                             p[name + "_scale"], bias, out_dtype=x.dtype)
-            y = y.reshape(lead + (p[name].shape[-1],))
-            return y if residual is None else residual + y
+                             p[name + "_scale"], bias, residual=res,
+                             out_dtype=x.dtype)
+            return y.reshape(lead + (n,))
         from clip_assisted_data_labeling_tpu.ops.quant import q_matmul
 
         return q_matmul(x, p[name], p[name + "_scale"], bias, out_dtype=x.dtype,
@@ -378,7 +380,7 @@ def _block_int8_static_wire(x, p, cfg: VitConfig):
 
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
     y = _act(_linear(y, p, "fc1_kernel", True, act_amax=a[2]), cfg.act)
-    return x + _linear(y, p, "fc2_kernel", True, act_amax=a[3])
+    return _linear(y, p, "fc2_kernel", True, act_amax=a[3], residual=x)
 
 
 def _int8_block_mode() -> str:
@@ -477,18 +479,23 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
             k = _apply_rope(k, *rope)
         attn = attention_xla(q, k, v, scale=d ** -0.5)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, w)
-    # NOTE: residuals deliberately stay OUTSIDE the q_matmul epilogue — fusing
-    # them there (q_matmul residual=) made XLA materialize a standalone f32
-    # convert of the carry and re-shuffle the out-proj fusion for a net -40
-    # imgs/s on the round-3 profile. XLA's own placement wins here.
+    # NOTE: residual placement is measured, not guessed (round-3 profile):
+    # the fc2 residual fuses into the static MLP mega-fusion's epilogue
+    # (+4 imgs/s), but BOTH the dynamic-path epilogue residuals (-40: XLA
+    # materializes a standalone f32 carry convert) and the static attn-out
+    # one (-13) lose to XLA's own placement. Only fc2-static rides inside.
     x = x + _linear(attn, p, "out_kernel", quantized,
                     act_amax=None if a is None else a[1])
 
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
     y = _act(_linear(y, p, "fc1_kernel", quantized,
                      act_amax=None if a is None else a[2]), cfg.act)
-    x = x + _linear(y, p, "fc2_kernel", quantized,
-                    act_amax=None if a is None else a[3])
+    if a is not None:
+        # static path: the residual rides the fc1+gelu+quant+fc2 mega-fusion's
+        # dequant epilogue (the dynamic path measured better with XLA's own
+        # residual placement — see the NOTE above)
+        return _linear(y, p, "fc2_kernel", quantized, act_amax=a[3], residual=x)
+    x = x + _linear(y, p, "fc2_kernel", quantized)
     return x
 
 
