@@ -136,7 +136,9 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
     encoder = create_encoder(
         model_name,
         model_path=cfg.model_path,
-        compute_dtype=jnp.dtype(cfg.compute_dtype),
+        # "int8"/"int8_static" are mode strings, not numpy dtypes
+        compute_dtype=(cfg.compute_dtype if cfg.compute_dtype.startswith("int8")
+                       else jnp.dtype(cfg.compute_dtype)),
     )
 
     # data-parallel path: shard the batch over all visible devices
@@ -159,6 +161,10 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
             compute_dtype=encoder.compute_dtype,  # int8 mode pre-quantizes params
             parity_preprocess=encoder.parity_preprocess,
         )
+        if encoder.static_quant:
+            # static calibration is wired through the single-device encoder;
+            # the DP path quantizes dynamically per row (same int8 weights)
+            print("int8_static: DP path uses dynamic activation quantization")
         print(f"Data-parallel embedding over {n_dev} devices (batch {batch_size})")
 
     uuids_all = [_uuid_of(p) for p in img_paths]
@@ -331,9 +337,12 @@ def main(argv=None):
                         help="Local directory with model weights (.npz or torch)")
     parser.add_argument("--canvas_size", type=int, default=1024)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
-                        choices=["bfloat16", "float32", "int8"],
+                        choices=["bfloat16", "float32", "int8", "int8_static"],
                         help="int8 = W8A8 dynamic-quantized fast mode (~2x, "
-                        "embedding cosine ~1e-3 off the bf16 path)")
+                        "embedding cosine ~1e-3 off the bf16 path); int8_static "
+                        "additionally calibrates fixed activation scales on the "
+                        "first batch (fastest; cosine ~1e-4 on the trained-"
+                        "weights harness)")
     parser.add_argument("--no_sidecars", action="store_true",
                         help="Skip per-image .pt sidecars (columnar store only)")
     parser.add_argument("--no_image_stats", action="store_true")
