@@ -383,6 +383,45 @@ def _block_int8_static_wire(x, p, cfg: VitConfig):
     return _linear(y, p, "fc2_kernel", True, act_amax=a[3], residual=x)
 
 
+def _block_int8_static_lnk(x, p, cfg: VitConfig):
+    """int8_static block with the ln+quantize steps as single-pass Pallas
+    kernels (ops/quant_kernel.rowquant_static) instead of XLA's multi-pass ln
+    chain. Experimental: CTPU_LN_KERNEL=1."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        fused_attention_packed,
+    )
+    from clip_assisted_data_labeling_tpu.ops.quant import quant_static
+    from clip_assisted_data_labeling_tpu.ops.quant_kernel import (
+        q_matmul_pre,
+        rowquant_static,
+    )
+
+    B, S, w = x.shape
+    a = p["act_amax"]
+    inv127 = 1.0 / 127.0
+    x2 = x.reshape(B * S, w)
+    xq = rowquant_static(x2, p["ln1_scale"], p["ln1_bias"], a[0],
+                         ln_eps=cfg.ln_eps)
+    qkv = q_matmul_pre(xq, a[0] * inv127, p["qkv_kernel"],
+                       p["qkv_kernel_scale"], p["qkv_bias"])
+    attn = fused_attention_packed(
+        qkv.reshape(B, S, 3 * w), heads=cfg.heads,
+        scale=cfg.head_dim ** -0.5, s_real=cfg.seq_len,
+    )
+    x2 = x2 + q_matmul_pre(
+        quant_static(attn, a[1]).reshape(B * S, w), a[1] * inv127,
+        p["out_kernel"], p["out_kernel_scale"], p["out_bias"],
+    )
+    hq = rowquant_static(x2, p["ln2_scale"], p["ln2_bias"], a[2],
+                         ln_eps=cfg.ln_eps)
+    h = q_matmul_pre(hq, a[2] * inv127, p["fc1_kernel"],
+                     p["fc1_kernel_scale"], p["fc1_bias"])
+    g = _act(h, cfg.act)
+    x2 = q_matmul_pre(quant_static(g, a[3]), a[3] * inv127, p["fc2_kernel"],
+                      p["fc2_kernel_scale"], p["fc2_bias"], residual=x2)
+    return x2.reshape(B, S, w)
+
+
 def _int8_block_mode() -> str:
     """int8 block implementation (CTPU_INT8_BLOCK), measured on the round-2
     chip at batch 32 ViT-L (BENCH_NOTES.md):
@@ -446,6 +485,15 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     if quantized and fused_attention and rope is None:
         if a is not None and "qkv_amax" in p:
             return _block_int8_static_wire(x, p, cfg)
+        if a is not None:
+            import os
+
+            # default static path: Pallas single-pass ln+quantize (bit-identical
+            # to the XLA chain, +23 imgs/s — BENCH_NOTES round 3). Env kill
+            # switch CTPU_LN_KERNEL=0; widths not divisible by 128 fall back.
+            if (os.environ.get("CTPU_LN_KERNEL", "1") == "1"
+                    and cfg.width % 128 == 0):
+                return _block_int8_static_lnk(x, p, cfg)
         if a is None:
             mode = _int8_block_mode()
             if mode == "hybrid":

@@ -396,6 +396,65 @@ def rowquant(
     return oq[:m], oscale[:m]
 
 
+def _rowquant_static_kernel(x_ref, ln_scale_ref, ln_bias_ref, inv_ref, o_ref,
+                            *, ln_eps: float):
+    x = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=1, keepdims=True)
+    x = (x - mu) * jax.lax.rsqrt(var + ln_eps)
+    x = x * ln_scale_ref[:] + ln_bias_ref[:]
+    o_ref[:] = jnp.clip(jnp.round(x * inv_ref[0, 0]), -127, 127).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "interpret", "ln_eps")
+)
+def rowquant_static(
+    x: jnp.ndarray,  # [M, K] bf16/f32
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    amax,  # calibrated static activation amax (scalar, traced)
+    block_m: int = 512,
+    interpret: bool = False,
+    ln_eps: float = 1e-5,
+):
+    """layernorm + STATIC-scale int8 quantization in one HBM pass.
+
+    The static-scale sibling of :func:`rowquant`: with the quantization scale
+    known up front there is no amax reduction at all — read the tile, ln in
+    f32, scale/round/clip, write int8. Returns int8 [M, K] (dequant scale is
+    ``amax/127``, held by the caller)."""
+    m, k = x.shape
+    if k % 128 != 0:
+        raise ValueError("rowquant_static requires K % 128 == 0 (exact stats)")
+    block_m = min(block_m, max(128, (12 * 2**20) // (10 * k) // 8 * 8))
+    block_m = min(block_m, _round_up(m, 8))
+    m_pad = _round_up(m, block_m)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    const = lambda i: (0, 0)  # noqa: E731
+    row = lambda i: (i, 0)  # noqa: E731
+    inv = jnp.reshape(127.0 / jnp.asarray(amax, jnp.float32), (1, 1))
+    out = pl.pallas_call(
+        functools.partial(_rowquant_static_kernel, ln_eps=ln_eps),
+        out_shape=jax.ShapeDtypeStruct((m_pad, k), jnp.int8),
+        grid=(m_pad // block_m,),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        in_specs=[
+            pl.BlockSpec((block_m, k), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, k), row, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, k).astype(jnp.float32),
+      ln_bias.reshape(1, k).astype(jnp.float32), inv)
+    return out[:m]
+
+
 def q_matmul_pre(
     xq: jnp.ndarray,  # [M, K] int8
     x_scale: jnp.ndarray,  # [M, 1] f32

@@ -250,3 +250,21 @@ def test_q8s_static_wire_attention_matches_reference(rng):
         jnp.asarray(padded), jnp.asarray(cs), heads=h, scale=scale,
         s_real=s, interpret=True))
     np.testing.assert_array_equal(got_pad[:, :s], got_q)
+
+
+def test_rowquant_static_matches_ln_plus_quant(rng):
+    from clip_assisted_data_labeling_tpu.ops.quant_kernel import rowquant_static
+
+    M, K = 18, 128
+    x = rng.normal(0, 2, (M, K)).astype(np.float32)
+    lns = rng.normal(1, 0.1, (K,)).astype(np.float32)
+    lnb = rng.normal(0, 0.1, (K,)).astype(np.float32)
+    amax = 6.0
+    xq = np.asarray(rowquant_static(jnp.asarray(x), jnp.asarray(lns),
+                                    jnp.asarray(lnb), amax, block_m=8,
+                                    interpret=True))
+    xx = x.astype(np.float64)
+    mu = xx.mean(1, keepdims=True)
+    ln = (xx - mu) / np.sqrt(xx.var(1, keepdims=True) + 1e-5) * lns + lnb
+    ref = np.clip(np.round(ln * (127.0 / amax)), -127, 127)
+    assert np.abs(xq.astype(np.float64) - ref).max() <= 1  # f32-vs-f64 rounding edge
