@@ -429,6 +429,14 @@ def rowquant_static(
         raise ValueError("rowquant_static requires K % 128 == 0 (exact stats)")
     block_m = min(block_m, max(128, (12 * 2**20) // (10 * k) // 8 * 8))
     block_m = min(block_m, _round_up(m, 8))
+    # prefer a block that divides M exactly: an M-pad here copies the WHOLE
+    # tensor (0.26 ms/layer on the round-3 ViT-L profile) just to round the
+    # grid, which costs more than slightly smaller tiles
+    if m % block_m:
+        for cand in range(block_m - block_m % 8, 7, -8):
+            if m % cand == 0:
+                block_m = cand
+                break
     m_pad = _round_up(m, block_m)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
