@@ -392,7 +392,10 @@ def fused_attention_packed(
         qkv = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)])
     import os
 
-    g = int(os.environ.get("CTPU_ATTN_ITEMS", "1"))
+    # two batch items per grid step amortizes the per-program launch/DMA
+    # overhead (+4 imgs/s on the round-3 bench); 4 overflows the ~16 MB VMEM
+    # scoped budget at ViT-L shapes
+    g = int(os.environ.get("CTPU_ATTN_ITEMS", "2"))
     if b % g != 0:
         g = 1
     if quant_out:
