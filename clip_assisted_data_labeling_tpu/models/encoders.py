@@ -214,6 +214,7 @@ def _embed_crops_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity_
         parity=parity_preprocess,
         dtype=compute_dtype,
         patch_size=cfg.patch_size,  # emit ViT patch layout straight away
+        patch_flatten=False,  # patch-embed einsum contracts the grid in place
     )
     b, n = crops.shape[:2]
     emb = vit_encode_image(

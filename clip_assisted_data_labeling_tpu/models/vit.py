@@ -547,6 +547,38 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     return x
 
 
+def _patch_embed(params, images, cfg: VitConfig, compute_dtype,
+                 quantized: bool) -> jnp.ndarray:
+    """images (any accepted layout) → patch-embedded [B, N, width].
+
+    Accepted layouts: [B, R, R, 3] images (patchified here), [B, N, p·p·3]
+    pre-patchified rows, or [B, gh, gw, p, p, 3] unflattened patch grid
+    (ops/crops.py patch_flatten=False) — the last contracts the patch dims
+    directly in the embed einsum so NO host-visible reshape/copy of the big
+    crop tensor ever happens (the flatten-then-matmul path cost 2.4 ms/step
+    of layout copies on the round-3 profile).
+
+    The patch embedding always runs as a bf16 matmul: it is <2% of the
+    encoder's FLOPs, and quantizing its activations cost more in f32 layout
+    copies than the int8 matmul saved; int8-quantized checkpoints dequantize
+    the tiny [p*p*3, w] kernel on the fly."""
+    if quantized:
+        w_patch = (params["patch_kernel"].astype(jnp.float32)
+                   * params["patch_kernel_scale"].astype(jnp.float32)
+                   ).astype(compute_dtype)
+    else:
+        w_patch = params["patch_kernel"].astype(compute_dtype)
+    if images.ndim == 3:
+        # pre-patchified [B, N, p*p*3] (ops/crops.py patch_size= output)
+        return images.astype(compute_dtype) @ w_patch
+    if images.ndim == 6:
+        b, gh, gw, pv, pu, c = images.shape
+        kern = w_patch.reshape(pv, pu, c, -1)  # row-major == patchify order
+        x = jnp.einsum("byxqpc,qpcw->byxw", images.astype(compute_dtype), kern)
+        return x.reshape(b, gh * gw, -1)
+    return patchify(images.astype(compute_dtype), cfg.patch_size) @ w_patch
+
+
 def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     """[B, H, W, 3] → [B, N, p*p*3]; flatten order (row, col, channel) matches the
     torch Conv2d weight conversion in clip_weights.py."""
@@ -581,22 +613,7 @@ def vit_encode_image(
     if fused_attention is None:
         fused_attention = default_fused_attention()
     quantized = "patch_kernel_scale" in params  # W8A8 fast mode (ops/quant.py)
-    if images.ndim == 3:
-        # pre-patchified [B, N, p*p*3] (ops/crops.py patch_size= output)
-        x = images.astype(compute_dtype)
-    else:
-        x = patchify(images.astype(compute_dtype), cfg.patch_size)
-    # The patch embedding always runs as a bf16 matmul: it is <2% of the
-    # encoder's FLOPs, and quantizing its activations cost more in f32
-    # layout copies than the int8 matmul saved (round-3 profile: 1.5 ms/step
-    # at quant.py's reshape). int8-quantized checkpoints dequantize the tiny
-    # [p*p*3, w] kernel on the fly.
-    if quantized:
-        w_patch = (params["patch_kernel"].astype(jnp.float32)
-                   * params["patch_kernel_scale"].astype(jnp.float32))
-        x = x @ w_patch.astype(compute_dtype)
-    else:
-        x = x @ params["patch_kernel"].astype(compute_dtype)
+    x = _patch_embed(params, images, cfg, compute_dtype, quantized)
     if cfg.use_cls_token:
         cls = jnp.broadcast_to(
             params["class_emb"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
@@ -659,16 +676,7 @@ def vit_act_amax(
     attach_act_amax adds a safety margin.
     """
     quantized = "patch_kernel_scale" in params
-    if images.ndim == 3:
-        x = images.astype(compute_dtype)
-    else:
-        x = patchify(images.astype(compute_dtype), cfg.patch_size)
-    if quantized:
-        w_patch = (params["patch_kernel"].astype(jnp.float32)
-                   * params["patch_kernel_scale"].astype(jnp.float32))
-        x = x @ w_patch.astype(compute_dtype)
-    else:
-        x = x @ params["patch_kernel"].astype(compute_dtype)
+    x = _patch_embed(params, images, cfg, compute_dtype, quantized)
     if cfg.use_cls_token:
         cls = jnp.broadcast_to(
             params["class_emb"].astype(compute_dtype), (x.shape[0], 1, cfg.width)

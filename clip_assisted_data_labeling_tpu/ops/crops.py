@@ -193,13 +193,26 @@ def _resample_one_crop(
     wx = _axis_weights(params[0], canvas_size, out_size)  # [R, Cx]
     wy = _axis_weights(params[1], canvas_size, out_size)  # [R, Cy]
     prec = jax.lax.Precision.HIGHEST if parity else jax.lax.Precision.DEFAULT
+    if not parity:
+        # fast path: the resample contractions run bf16 on the MXU (f32
+        # matmuls run at half rate). Weights and 0..255 pixels both fit bf16's
+        # 8-bit mantissa to within the uint8 rounding the parity path applies
+        # anyway; accumulation stays f32 via preferred_element_type.
+        img_f32 = img_f32.astype(jnp.bfloat16)
+        wx = wx.astype(jnp.bfloat16)
+        wy = wy.astype(jnp.bfloat16)
     # Horizontal pass first (PIL order), then vertical; uint8 rounding between
     # passes when parity mode is on.
+    def ein(spec, a, b):
+        out = jnp.einsum(spec, a, b, precision=prec,
+                         preferred_element_type=jnp.float32)
+        return out if parity else out.astype(jnp.bfloat16)
+
     if patch_size is None:
-        t = jnp.einsum("ux,yxc->yuc", wx, img_f32, precision=prec)
+        t = ein("ux,yxc->yuc", wx, img_f32)
         if parity:
             t = _clip8(t)
-        out = jnp.einsum("vy,yuc->vuc", wy, t, precision=prec)
+        out = ein("vy,yuc->vuc", wy, t)
         if parity:
             out = _clip8(out)
         return out  # [R, R, 3]
@@ -211,17 +224,19 @@ def _resample_one_crop(
     g = out_size // patch_size
     wxr = wx.reshape(g, patch_size, canvas_size)
     wyr = wy.reshape(g, patch_size, canvas_size)
-    t = jnp.einsum("gpx,yxc->ygpc", wxr, img_f32, precision=prec)
+    t = ein("gpx,yxc->ygpc", wxr, img_f32)
     if parity:
         t = _clip8(t)
-    out = jnp.einsum("hqy,ygpc->hgqpc", wyr, t, precision=prec)
+    out = ein("hqy,ygpc->hgqpc", wyr, t)
     if parity:
         out = _clip8(out)
     return out  # [gh, gw, pv, pu, 3]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_size", "parity", "dtype", "patch_size")
+    jax.jit,
+    static_argnames=("out_size", "parity", "dtype", "patch_size",
+                     "patch_flatten"),
 )
 def fused_crop_resize_normalize(
     canvas_u8: jnp.ndarray,  # [B, C, C, 3] uint8, image centered, zeros elsewhere
@@ -230,12 +245,16 @@ def fused_crop_resize_normalize(
     parity: bool = True,
     dtype: jnp.dtype = jnp.float32,
     patch_size: int | None = None,
+    patch_flatten: bool = True,
 ) -> jnp.ndarray:
     """All crops of all images → normalized [B, n_crops, R, R, 3] in one jit.
 
     With ``patch_size`` the output is emitted pre-patchified as
     [B, n_crops, (R/p)², p·p·3] in exactly ``models.vit.patchify`` order —
     same numbers, no separate patchify transpose pass on the device.
+    ``patch_flatten=False`` keeps the grid unflattened,
+    [B, n_crops, gh, gw, p, p, 3], so the patch-embed einsum can contract the
+    patch dims in place (models.vit._patch_embed) with no reshape copy.
     """
     img = canvas_u8.astype(jnp.float32)
     per_crop = jax.vmap(_resample_one_crop, in_axes=(None, 0, None, None, None))
@@ -244,7 +263,7 @@ def fused_crop_resize_normalize(
     mean = jnp.asarray(CLIP_MEAN, dtype=jnp.float32) * 255.0
     std = jnp.asarray(CLIP_STD, dtype=jnp.float32) * 255.0
     out = ((out - mean) / std).astype(dtype)
-    if patch_size is not None:
+    if patch_size is not None and patch_flatten:
         b, n, gh, gw, pv, pu, c = out.shape
         out = out.reshape(b, n, gh * gw, pv * pu * c)
     return out

@@ -270,3 +270,26 @@ def test_patch_layout_matches_patchify():
         # identical arithmetic up to f32 einsum associativity (~5e-7); a
         # layout mistake would scramble whole patches, far beyond this bound
         np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_patch_unflattened_embed_matches_flattened():
+    """vit._patch_embed on the unflattened [B,gh,gw,p,p,3] grid must equal the
+    flattened-rows matmul path."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        _patch_embed,
+        init_vit_params,
+        resolve_config,
+    )
+
+    cfg = resolve_config("ViT-Test/tiny")
+    params = init_vit_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(11)
+    g = cfg.image_size // cfg.patch_size
+    grid = rng.normal(0, 1, (3, g, g, cfg.patch_size, cfg.patch_size, 3)).astype(np.float32)
+    flat = grid.reshape(3, g * g, cfg.patch_size * cfg.patch_size * 3)
+    a = np.asarray(_patch_embed(params, jnp.asarray(grid), cfg, jnp.float32, False))
+    b = np.asarray(_patch_embed(params, jnp.asarray(flat), cfg, jnp.float32, False))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
