@@ -207,13 +207,21 @@ class CLIPImageEncoder:
     jax.jit, static_argnames=("cfg", "compute_dtype", "parity_preprocess")
 )
 def _embed_crops_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity_preprocess):
+    import os
+
+    # two measured layouts for handing crops to the patch embed (round-3):
+    #  grid  — resample einsums emit [gh,gw,p,p,3] directly (no patchify copy,
+    #          but the 5-D vertical pass runs at ~23 TFLOP/s)
+    #  image — classic [R,R,3] resample (vertical pass is a clean matmul) +
+    #          in-place strided patch contraction in _patch_embed
+    patch_mode = os.environ.get("CTPU_PREPROC", "image")  # image measured +3
     crops = fused_crop_resize_normalize(
         canvas_u8,
         crop_params,
         out_size=cfg.image_size,
         parity=parity_preprocess,
         dtype=compute_dtype,
-        patch_size=cfg.patch_size,  # emit ViT patch layout straight away
+        patch_size=cfg.patch_size if patch_mode == "grid" else None,
         patch_flatten=False,  # patch-embed einsum contracts the grid in place
     )
     b, n = crops.shape[:2]

@@ -576,7 +576,16 @@ def _patch_embed(params, images, cfg: VitConfig, compute_dtype,
         kern = w_patch.reshape(pv, pu, c, -1)  # row-major == patchify order
         x = jnp.einsum("byxqpc,qpcw->byxw", images.astype(compute_dtype), kern)
         return x.reshape(b, gh * gw, -1)
-    return patchify(images.astype(compute_dtype), cfg.patch_size) @ w_patch
+    # [B, R, R, 3]: split the spatial dims (a free reshape) and contract the
+    # patch dims in place — materializing patchify's transpose before a 2-D
+    # matmul measured 1.5-2.4 ms/step in copies
+    p = cfg.patch_size
+    b, H, W, c = images.shape
+    gh, gw = H // p, W // p
+    x = images.astype(compute_dtype).reshape(b, gh, p, gw, p, c)
+    kern = w_patch.reshape(p, p, c, -1)
+    x = jnp.einsum("bhqgpc,qpcw->bhgw", x, kern)
+    return x.reshape(b, gh * gw, -1)
 
 
 def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:

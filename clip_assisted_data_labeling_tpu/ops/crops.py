@@ -194,11 +194,10 @@ def _resample_one_crop(
     wy = _axis_weights(params[1], canvas_size, out_size)  # [R, Cy]
     prec = jax.lax.Precision.HIGHEST if parity else jax.lax.Precision.DEFAULT
     if not parity:
-        # fast path: the resample contractions run bf16 on the MXU (f32
-        # matmuls run at half rate). Weights and 0..255 pixels both fit bf16's
-        # 8-bit mantissa to within the uint8 rounding the parity path applies
-        # anyway; accumulation stays f32 via preferred_element_type.
-        img_f32 = img_f32.astype(jnp.bfloat16)
+        # fast path: bf16 resample weights (MXU-native; f32 matmuls run at
+        # half rate). The canvas itself arrives bf16 from the caller — each
+        # crop re-reads the whole canvas, so its dtype sets the preprocess's
+        # HBM bill. Accumulation stays f32 via preferred_element_type.
         wx = wx.astype(jnp.bfloat16)
         wy = wy.astype(jnp.bfloat16)
     # Horizontal pass first (PIL order), then vertical; uint8 rounding between
@@ -256,7 +255,10 @@ def fused_crop_resize_normalize(
     [B, n_crops, gh, gw, p, p, 3], so the patch-embed einsum can contract the
     patch dims in place (models.vit._patch_embed) with no reshape copy.
     """
-    img = canvas_u8.astype(jnp.float32)
+    # uint8 pixels are exact in bf16 (8-bit mantissa covers 0..255); the fast
+    # path materializes the canvas at 2 B/px instead of 4 — every crop re-reads
+    # it, so this halves the preprocess's dominant HBM traffic
+    img = canvas_u8.astype(jnp.float32 if parity else jnp.bfloat16)
     per_crop = jax.vmap(_resample_one_crop, in_axes=(None, 0, None, None, None))
     per_image = jax.vmap(per_crop, in_axes=(0, 0, None, None, None))
     out = per_image(img, params, out_size, parity, patch_size)  # 0..255
