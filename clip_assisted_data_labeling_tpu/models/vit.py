@@ -353,13 +353,9 @@ def _block_int8_static_wire(x, p, cfg: VitConfig):
     qa = p["qkv_amax"]  # [3w] f32 per-channel
     y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
     yq = quant_static(y, a[0]).reshape(B * S, w)
-    acc = jax.lax.dot_general(
-        yq, p["qkv_kernel"], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    qkv_f = (acc.astype(jnp.float32)
-             * ((a[0] * (1.0 / 127.0)) * p["qkv_kernel_scale"].astype(jnp.float32))
-             + p["qkv_bias"].astype(jnp.float32))
+    qkv_f = q_matmul_pre(yq, a[0] * (1.0 / 127.0), p["qkv_kernel"],
+                         p["qkv_kernel_scale"], p["qkv_bias"],
+                         out_dtype=jnp.float32)
     qkv_q = quant_static(qkv_f, qa).reshape(B, S, 3 * w)
     # scale folding for the kernel (see _packed_q8s_kernel): q section also
     # carries the attention scale, v section the 127/attn_out_amax requant

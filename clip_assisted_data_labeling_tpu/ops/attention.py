@@ -227,8 +227,7 @@ def _packed_q8s_kernel(qkv_ref, cs_ref, o_ref, *, heads: int, s_real: int):
     s_pad = qkv_ref.shape[1]
     w = o_ref.shape[2]
     d = w // heads
-    n_pad = s_pad - s_real
-    row_ok = jax.lax.broadcasted_iota(jnp.int32, (s_pad, d), 0) < s_real
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
     for h in range(heads):
         qs = cs_ref[0, h * d : (h + 1) * d]
         ks = cs_ref[0, w + h * d : w + (h + 1) * d]
@@ -239,18 +238,16 @@ def _packed_q8s_kernel(qkv_ref, cs_ref, o_ref, *, heads: int, s_real: int):
              * ks).astype(jnp.bfloat16)
         v = (qkv_ref[0, :, 2 * w + h * d : 2 * w + (h + 1) * d].astype(
             jnp.float32) * vs).astype(jnp.bfloat16)
-        if n_pad:
-            zero = jnp.zeros((), jnp.bfloat16)
-            k = jnp.where(row_ok, k, zero)
-            v = jnp.where(row_ok, v, zero)
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        # exact -inf mask: see _packed_kernel's docstring for why the O(S)
+        # denominator-correction alternative is rejected (f32 cancellation)
+        if s_real < s_pad:
+            scores = jnp.where(col < s_real, scores, -jnp.inf)
         m = jnp.max(scores, axis=-1, keepdims=True)
         probs = jnp.exp(scores - m)
         denom = jnp.sum(probs, axis=-1, keepdims=True)
-        if n_pad:
-            denom = jnp.maximum(denom - n_pad * jnp.exp(-m), 1e-30)
         head_out = jax.lax.dot_general(
             probs.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -304,11 +301,12 @@ def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
     either side. ``quant_out`` emits int8 + per-token scales instead of bf16
     (the out-projection then runs the XLA int8 fast path with no extra pass).
 
-    Padded tokens (s_real < S_pad): the padded k/v ROWS are zeroed in VMEM
-    ([S, d] selects — 2·d/S of the old [S, S] score-mask pass), so padded key
-    columns score exactly 0; their softmax-sum contribution is subtracted in
-    O(S) (n_pad·exp(-max)), and padded v rows being zero the AV matmul ignores
-    them for free."""
+    Padded tokens (s_real < S_pad) are excluded with an exact -inf score mask.
+    (An O(S) denominator-correction variant — zero the padded k/v rows, then
+    subtract n_pad·exp(-max) from the softmax sum — measured perf-NEUTRAL here
+    (the kernel is matmul/exp-bound, not select-bound) and catastrophically
+    cancels in f32 once a query row's real scores all sit ≲ -18 below the
+    padded columns' exact 0.0, so the exact mask stays.)"""
     g, s_pad = qkv_ref.shape[:2]
     if quant_out:
         o_ref, oscale_ref, acc_ref = out_refs
@@ -317,8 +315,7 @@ def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
         acc_ref = None
     w = o_ref.shape[2]
     d = w // heads
-    n_pad = s_pad - s_real
-    row_ok = jax.lax.broadcasted_iota(jnp.int32, (s_pad, d), 0) < s_real
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
     for i in range(g):
         for h in range(heads):
             # scale folded into q ([S,d] muls, not [S,S]); softmax kept
@@ -329,23 +326,14 @@ def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
             )
             k = qkv_ref[i, :, w + h * d : w + (h + 1) * d]
             v = qkv_ref[i, :, 2 * w + h * d : 2 * w + (h + 1) * d]
-            if n_pad:
-                zero = jnp.zeros((), k.dtype)
-                k = jnp.where(row_ok, k, zero)
-                v = jnp.where(row_ok, v, zero)
             scores = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            # max includes the padded columns' exact 0.0 — softmax is invariant
-            # to the subtracted constant, so any consistent m is correct
+            if s_real < s_pad:
+                scores = jnp.where(col < s_real, scores, -jnp.inf)
             m = jnp.max(scores, axis=-1, keepdims=True)
             probs = jnp.exp(scores - m)
-            denom = jnp.sum(probs, axis=-1, keepdims=True)
-            if n_pad:
-                # guard: if every real score were < ~-88 the subtraction would
-                # cancel to 0 (exact-zero probs) — clamp instead of NaN-ing
-                denom = jnp.maximum(denom - n_pad * jnp.exp(-m), 1e-30)
-            inv_norm = 1.0 / denom
+            inv_norm = 1.0 / jnp.sum(probs, axis=-1, keepdims=True)
             head_out = jax.lax.dot_general(
                 probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

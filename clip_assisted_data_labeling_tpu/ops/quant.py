@@ -123,7 +123,9 @@ def quant_static(x: jnp.ndarray, amax) -> jnp.ndarray:
     for the gelu output alone). Values beyond ±amax clip; the calibration
     margin in models/vit.attach_act_amax covers batch-to-batch drift.
     """
-    inv = 127.0 / amax
+    # floor like every dynamic sibling: a dead channel/site calibrating to
+    # amax==0 must quantize to zeros, not round(0*inf)=NaN
+    inv = 127.0 / jnp.maximum(jnp.asarray(amax, jnp.float32), 1e-8)
     return jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(
         jnp.int8
     )

@@ -168,7 +168,6 @@ def test_encoder_int8_static_lazy_calibration(rng):
 def test_int8_static_error_on_trained_weights(rng):
     """Static scales must hold the <=2e-3 budget on trained (converted)
     weights, calibrated on one batch and evaluated on ANOTHER."""
-    from tests.test_quant import test_int8_error_on_trained_weights  # noqa: F401
     from tests.test_vit_parity import make_hf_model, our_config
 
     import torch
