@@ -90,3 +90,40 @@ def test_label_navigation_and_overwrite(tmp_path, rng):
     db2 = label_dataset(str(root), backend2, sort="uuid", skip_labeled_files=False)
     assert db2.get_label("u0") == 0.7
     assert len(db2.df) == 3  # upsert, no duplicate rows
+
+
+def test_embed_int8_static_mode(tmp_path):
+    """int8_static end-to-end through embed_dataset: lazy first-batch
+    calibration engages, embeddings are unit-norm and close to the f32 run."""
+    import numpy as np
+    from PIL import Image
+
+    from clip_assisted_data_labeling_tpu.config import EmbedConfig
+    from clip_assisted_data_labeling_tpu.pipeline.embed import embed_dataset
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        Image.fromarray(
+            rng.integers(0, 255, (90, 110, 3), dtype=np.uint8)
+        ).save(root / f"img_{i:02d}.jpg", quality=95)
+
+    base = dict(models_to_use=("ViT-Test/tiny",), batch_size=3, num_workers=1,
+                canvas_size=128, shuffle_filenames=False,
+                with_image_stats=False)
+    s32 = embed_dataset(str(root), EmbedConfig(compute_dtype="float32", **base))["ViT-Test/tiny"]
+    e32 = np.asarray(s32.embeddings[:])
+    for f in root.glob("*.pt"):
+        f.unlink()
+    (root.parent / "ds_embeddings").exists()
+    s8 = embed_dataset(
+        str(root), EmbedConfig(compute_dtype="int8_static",
+                               force_reencode=True, **base)
+    )["ViT-Test/tiny"]
+    e8 = np.asarray(s8.embeddings[:])
+    assert e8.shape == e32.shape
+    norms = np.linalg.norm(e8, axis=-1)
+    np.testing.assert_allclose(norms[np.asarray(s8.valid)], 1.0, atol=2e-2)
+    cos = np.sum(e8 * e32, axis=-1)[np.asarray(s8.valid)]
+    assert np.all(cos > 0.99), cos.min()
