@@ -315,33 +315,58 @@ def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
         acc_ref = None
     w = o_ref.shape[2]
     d = w // heads
-    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    # Long sequences (ViT-L-336's 584 tokens): the full [S, S] f32 score/prob
+    # working set overflows the ~16 MB scoped VMEM budget — Mosaic's stack
+    # allocator does NOT reuse temporaries across unrolled python loops, so
+    # the tiling below runs as a lax.fori_loop over QUERY-row tiles (one
+    # shared set of temps by construction). Each row's softmax runs over
+    # complete key columns, so row tiles are exact; the final tile clamps
+    # backwards to an 8-aligned start (idempotent rewrites) instead of
+    # masking a ragged remainder.
+    q_tile = s_pad if s_pad <= 448 else 256
+    n_tiles = -(-s_pad // q_tile)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, s_pad), 1)
     for i in range(g):
         for h in range(heads):
             # scale folded into q ([S,d] muls, not [S,S]); softmax kept
             # unnormalized through the AV matmul and divided on [S,d] after —
             # mathematically identical, ~25% less VPU work per head
-            q = qkv_ref[i, :, h * d : (h + 1) * d] * jnp.asarray(
-                scale, qkv_ref.dtype
-            )
             k = qkv_ref[i, :, w + h * d : w + (h + 1) * d]
             v = qkv_ref[i, :, 2 * w + h * d : 2 * w + (h + 1) * d]
-            scores = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            if s_real < s_pad:
-                scores = jnp.where(col < s_real, scores, -jnp.inf)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            probs = jnp.exp(scores - m)
-            inv_norm = 1.0 / jnp.sum(probs, axis=-1, keepdims=True)
-            head_out = jax.lax.dot_general(
-                probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * inv_norm
-            if quant_out:
-                acc_ref[:, h * d : (h + 1) * d] = head_out
+
+            def tile_body(t, _, k=k, v=v, h=h, i=i):
+                # both candidates are 8-aligned; the hint makes it provable
+                r0 = pl.multiple_of(
+                    jnp.minimum(t * q_tile, s_pad - q_tile), 8
+                )
+                q = qkv_ref[i, pl.ds(r0, q_tile), h * d : (h + 1) * d] * (
+                    jnp.asarray(scale, qkv_ref.dtype)
+                )
+                scores = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if s_real < s_pad:
+                    scores = jnp.where(col < s_real, scores, -jnp.inf)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                probs = jnp.exp(scores - m)
+                inv_norm = 1.0 / jnp.sum(probs, axis=-1, keepdims=True)
+                head_out = jax.lax.dot_general(
+                    probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * inv_norm
+                if quant_out:
+                    acc_ref[pl.ds(r0, q_tile), h * d : (h + 1) * d] = head_out
+                else:
+                    o_ref[i, pl.ds(r0, q_tile), h * d : (h + 1) * d] = (
+                        head_out.astype(o_ref.dtype)
+                    )
+                return 0
+
+            if n_tiles == 1:
+                tile_body(0, 0)
             else:
-                o_ref[i, :, h * d : (h + 1) * d] = head_out.astype(o_ref.dtype)
+                jax.lax.fori_loop(0, n_tiles, tile_body, 0)
         if quant_out:
             full = acc_ref[:]
             amax = jnp.maximum(jnp.max(jnp.abs(full), axis=1, keepdims=True), 1e-8)
@@ -381,11 +406,17 @@ def fused_attention_packed(
     import os
 
     # two batch items per grid step amortizes the per-program launch/DMA
-    # overhead (+4 imgs/s on the round-3 bench); 4 overflows the ~16 MB VMEM
-    # scoped budget at ViT-L shapes
+    # overhead (+4 imgs/s on the round-3 bench) — but the block must fit the
+    # ~16 MB scoped VMEM budget (double-buffered in/out blocks + per-head
+    # f32 score/prob working set), which g=2 already exceeds at ViT-L-336's
+    # S=584. Fall back until the estimate fits.
     g = int(os.environ.get("CTPU_ATTN_ITEMS", "2"))
-    if b % g != 0:
-        g = 1
+    while g > 1 and (
+        b % g != 0
+        or 2 * (g * s_pad * (w3 + w) * qkv.dtype.itemsize) + 8 * s_pad * s_pad
+        > 14 * 2**20
+    ):
+        g -= 1
     if quant_out:
         out_shape = (
             jax.ShapeDtypeStruct((b, s_pad, w), jnp.int8),

@@ -268,3 +268,28 @@ def test_rowquant_static_matches_ln_plus_quant(rng):
     ln = (xx - mu) / np.sqrt(xx.var(1, keepdims=True) + 1e-5) * lns + lnb
     ref = np.clip(np.round(ln * (127.0 / amax)), -127, 127)
     assert np.abs(xq.astype(np.float64) - ref).max() <= 1  # f32-vs-f64 rounding edge
+
+
+def test_packed_attention_long_sequence_row_tiling(rng):
+    """S > 448 engages the query-row tiling path (VMEM budget at ViT-L-336's
+    584 tokens); results must match the XLA reference exactly, including the
+    overlapping final tile."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        attention_xla,
+        fused_attention_packed,
+    )
+
+    b, s, h, d = 1, 584, 2, 8
+    w = h * d
+    qkv = rng.normal(0, 1, (b, s, 3 * w)).astype(np.float32)
+    got = np.asarray(fused_attention_packed(
+        jnp.asarray(qkv), heads=h, scale=0.25, s_real=577, interpret=True))
+    rs = lambda t: t.reshape(b, s, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+    q, k, v = np.split(qkv, 3, axis=-1)
+    q2 = rs(q)[:, :, :, :] * 0.25
+    scores = np.einsum("bhqd,bhkd->bhqk", q2, rs(k))
+    scores[..., 577:] = -np.inf
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, rs(v)).transpose(0, 2, 1, 3).reshape(b, s, w)
+    np.testing.assert_allclose(got[:, :577], ref[:, :577], atol=1e-5)
