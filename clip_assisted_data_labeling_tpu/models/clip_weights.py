@@ -140,6 +140,22 @@ def convert_pe_visual(state_dict: dict, cfg: VitConfig) -> dict:
     if not sd:
         sd = dict(state_dict)
 
+    # RoPE feature-pair layout: PE rotates INTERLEAVED pairs (q[2i], q[2i+1])
+    # as complex lanes; our kernels rotate contiguous HALVES (q[i], q[i+d/2]),
+    # which VMEM/XLA handle without strided-lane copies (the interleaved form
+    # cost 4.5 ms/layer in layout copies on the PE profile). Attention scores
+    # are invariant under any permutation applied to BOTH q and k of the same
+    # head, so re-ordering the projection's output columns here makes the two
+    # conventions exactly equivalent (models/vit._apply_rope pairs halves).
+    d = cfg.head_dim
+    w = cfg.width
+    perm_head = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    perm = np.concatenate([h * d + perm_head for h in range(cfg.heads)])
+    qkv_perm = np.concatenate([perm, w + perm, 2 * w + np.arange(w)])
+    blocks = base["blocks"]
+    blocks["qkv_kernel"] = blocks["qkv_kernel"][:, :, qkv_perm]
+    blocks["qkv_bias"] = blocks["qkv_bias"][:, qkv_perm]
+
     if not cfg.use_cls_token:
         base.pop("class_emb", None)
     if cfg.pool == "attn":

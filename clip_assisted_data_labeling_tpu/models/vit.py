@@ -198,9 +198,15 @@ def _layernorm(x, scale, bias, eps):
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def _act(x, kind: str):
+def _act(x, kind: str, quantized: bool = False):
     if kind == "quick_gelu":  # OpenAI CLIP's x * sigmoid(1.702 x)
         return x * jax.nn.sigmoid(1.702 * x)
+    if quantized:
+        # tanh-approximate gelu in int8 paths: exact erf ran the PE fc1 fusion
+        # at 104 TOP/s vs 352 for quick_gelu (VPU-bound on [33k, 4096]); the
+        # approximation's <=1e-3 absolute error is far below the int8
+        # quantization step the output immediately suffers (~amax/127)
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
@@ -225,12 +231,18 @@ def _rope2d_tables(grid: int, head_dim: int, theta: float, cls_token: bool):
 
 
 def _apply_rope(x, cos, sin):
-    """Rotate interleaved feature pairs. x: [B, h, S, d]; cos/sin: [S, d/2]."""
-    x1, x2 = x[..., ::2], x[..., 1::2]
+    """Rotate feature pairs (i, i+d/2) — HALF-SPLIT RoPE convention.
+
+    x: [B, h, S, d]; cos/sin: [S, d/2]. PE checkpoints pair interleaved
+    features; conversion permutes each head's q/k projection columns to this
+    layout (clip_weights.convert_pe_visual — scores are permutation-
+    invariant), because half slices stay contiguous in lane tiles while
+    interleaved ``[..., ::2]`` slicing materializes strided copies."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
     cos = cos.astype(x.dtype)
     sin = sin.astype(x.dtype)
-    ro = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
-    return ro.reshape(x.shape)
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
 
 
 def _attention_pool(x, p, heads: int, eps: float):
@@ -375,14 +387,16 @@ def _block_int8_static_wire(x, p, cfg: VitConfig):
     ).reshape(B, S, w)
 
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
-    y = _act(_linear(y, p, "fc1_kernel", True, act_amax=a[2]), cfg.act)
+    y = _act(_linear(y, p, "fc1_kernel", True, act_amax=a[2]), cfg.act,
+             quantized=True)
     return _linear(y, p, "fc2_kernel", True, act_amax=a[3], residual=x)
 
 
-def _block_int8_static_lnk(x, p, cfg: VitConfig):
+def _block_int8_static_lnk(x, p, cfg: VitConfig, rope=None):
     """int8_static block with the ln+quantize steps as single-pass Pallas
     kernels (ops/quant_kernel.rowquant_static) instead of XLA's multi-pass ln
-    chain. Experimental: CTPU_LN_KERNEL=1."""
+    chain (the default static path; CTPU_LN_KERNEL=0 disables). ``rope``
+    rides inside the attention kernel (PE family)."""
     from clip_assisted_data_labeling_tpu.ops.attention import (
         fused_attention_packed,
     )
@@ -402,7 +416,7 @@ def _block_int8_static_lnk(x, p, cfg: VitConfig):
                        p["qkv_kernel_scale"], p["qkv_bias"])
     attn = fused_attention_packed(
         qkv.reshape(B, S, 3 * w), heads=cfg.heads,
-        scale=cfg.head_dim ** -0.5, s_real=cfg.seq_len,
+        scale=cfg.head_dim ** -0.5, s_real=cfg.seq_len, rope=rope,
     )
     x2 = x2 + q_matmul_pre(
         quant_static(attn, a[1]).reshape(B * S, w), a[1] * inv127,
@@ -412,7 +426,7 @@ def _block_int8_static_lnk(x, p, cfg: VitConfig):
                          ln_eps=cfg.ln_eps)
     h = q_matmul_pre(hq, a[2] * inv127, p["fc1_kernel"],
                      p["fc1_kernel_scale"], p["fc1_bias"])
-    g = _act(h, cfg.act)
+    g = _act(h, cfg.act, quantized=True)
     x2 = q_matmul_pre(quant_static(g, a[3]), a[3] * inv127, p["fc2_kernel"],
                       p["fc2_kernel_scale"], p["fc2_bias"], residual=x2)
     return x2.reshape(B, S, w)
@@ -465,7 +479,7 @@ def _block_int8_xla(x, p, cfg: VitConfig):
     ).reshape(B, S, w)
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
     y = _act(q_matmul(y, p["fc1_kernel"], p["fc1_kernel_scale"], p["fc1_bias"],
-                      out_dtype=x.dtype), cfg.act)
+                      out_dtype=x.dtype), cfg.act, quantized=True)
     return x + q_matmul(y, p["fc2_kernel"], p["fc2_kernel_scale"],
                         p["fc2_bias"], out_dtype=x.dtype)
 
@@ -478,8 +492,8 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     by :func:`attach_act_amax`), activation quantization is static (fused into
     producer epilogues); otherwise dynamic per-row."""
     a = p.get("act_amax") if quantized else None
-    if quantized and fused_attention and rope is None:
-        if a is not None and "qkv_amax" in p:
+    if quantized and fused_attention:
+        if a is not None and "qkv_amax" in p and rope is None:
             return _block_int8_static_wire(x, p, cfg)
         if a is not None:
             import os
@@ -489,8 +503,8 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
             # switch CTPU_LN_KERNEL=0; widths not divisible by 128 fall back.
             if (os.environ.get("CTPU_LN_KERNEL", "1") == "1"
                     and cfg.width % 128 == 0):
-                return _block_int8_static_lnk(x, p, cfg)
-        if a is None:
+                return _block_int8_static_lnk(x, p, cfg, rope)
+        if a is None and rope is None:
             mode = _int8_block_mode()
             if mode == "hybrid":
                 return _block_int8_fused(x, p, cfg)
@@ -502,15 +516,16 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
     qkv = _linear(y, p, "qkv_kernel", quantized,
                   act_amax=None if a is None else a[0])
-    if fused_attention and rope is None:
+    if fused_attention:
         # Packed-qkv Pallas kernel: consumes the projection's [B, S, 3w] output
         # as-is and emits [B, S, w] — zero layout copies around the kernel, and
         # no [B, h, S, S] score tensor ever touches HBM (the attention here is
-        # bandwidth-bound, not FLOP-bound).
+        # bandwidth-bound, not FLOP-bound). RoPE (PE family) rotates q/k per
+        # head INSIDE the kernel, in VMEM.
         from clip_assisted_data_labeling_tpu.ops.attention import fused_attention_packed
 
         attn = fused_attention_packed(qkv, heads=h, scale=d ** -0.5,
-                                      s_real=cfg.seq_len)
+                                      s_real=cfg.seq_len, rope=rope)
     else:
         from clip_assisted_data_labeling_tpu.ops.attention import attention_xla
 
@@ -533,7 +548,8 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
 
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
     y = _act(_linear(y, p, "fc1_kernel", quantized,
-                     act_amax=None if a is None else a[2]), cfg.act)
+                     act_amax=None if a is None else a[2]), cfg.act,
+             quantized=quantized)
     if a is not None:
         # static path: the residual rides the fc1+gelu+quant+fc2 mega-fusion's
         # dequant epilogue (the dynamic path measured better with XLA's own
@@ -627,16 +643,30 @@ def vit_encode_image(
     x = x + params["pos_emb"].astype(compute_dtype)
     x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
 
-    if fused_attention and not cfg.use_rope2d and cfg.seq_len % 8 != 0:
-        s_pad = (cfg.seq_len + 7) // 8 * 8
-        x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))
-
     rope = None
     if cfg.use_rope2d:
         cos, sin = _rope2d_tables(
             cfg.grid, cfg.head_dim, cfg.rope_theta, cfg.use_cls_token
         )
         rope = (jnp.asarray(cos), jnp.asarray(sin))
+
+    if fused_attention:
+        # towers whose packed block overflows scoped VMEM even at grid
+        # granularity 1 (PE-G14-448: S=1024, w=1536) use the XLA path
+        from clip_assisted_data_labeling_tpu.ops.attention import (
+            packed_attention_fits,
+        )
+
+        fused_attention = packed_attention_fits(cfg.seq_len, cfg.width)
+    if fused_attention and cfg.seq_len % 8 != 0:
+        s_pad = (cfg.seq_len + 7) // 8 * 8
+        x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))
+        if rope is not None:  # identity rotation on padded rows
+            pad_n = s_pad - cfg.seq_len
+            rope = (
+                jnp.pad(rope[0], ((0, pad_n), (0, 0)), constant_values=1.0),
+                jnp.pad(rope[1], ((0, pad_n), (0, 0))),
+            )
 
     if unroll:
         for i in range(cfg.layers):
@@ -649,7 +679,12 @@ def vit_encode_image(
         x, _ = jax.lax.scan(body, x, params["blocks"])
 
     if cfg.pool == "attn":
-        # PE readout: ln_post over ALL tokens, probe attention pooling, proj
+        # PE readout: ln_post over ALL tokens, probe attention pooling, proj.
+        # Drop the attention-padding rows first — the probe attends over every
+        # row it is given, so padded-token garbage would pollute the pool
+        # (cls readout below is immune: it reads row 0 only).
+        if x.shape[1] != cfg.seq_len:
+            x = x[:, : cfg.seq_len]
         x = _layernorm(x, params["ln_post_scale"], params["ln_post_bias"], cfg.ln_eps)
         pooled = _attention_pool(x, params, cfg.attn_pooler_heads, cfg.ln_eps)
     else:
@@ -720,7 +755,8 @@ def vit_act_amax(
         x = x + _linear(attn, p, "out_kernel", quantized)
         y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
         s_fc1 = jnp.max(jnp.abs(y.astype(jnp.float32)))
-        g = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act)
+        g = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act,
+                 quantized=quantized)
         s_act = jnp.max(jnp.abs(g.astype(jnp.float32)))
         x = x + _linear(g, p, "fc2_kernel", quantized)
         return x, {

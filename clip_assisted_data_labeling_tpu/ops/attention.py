@@ -78,6 +78,18 @@ def fused_attention(
     return out[:, :, :s, :]
 
 
+def packed_attention_fits(s: int, width: int, itemsize: int = 2) -> bool:
+    """Can the packed kernel's per-step block fit the ~16 MB scoped VMEM
+    budget at grid granularity 1? (Double-buffered [S_pad, 3w] in +
+    [S_pad, w] out, plus the row-tiled score working set.) PE-G14-448
+    (S=1024, w=1536) overflows — callers fall back to the XLA path."""
+    s_pad = _round_up(s, 8)
+    q_tile = s_pad if s_pad <= 448 else 256
+    blocks = 2 * s_pad * 4 * width * itemsize
+    working = 2 * q_tile * s_pad * 4 + 4 * s_pad * width
+    return blocks + working <= 14 * 2**20
+
+
 def attention_xla(q, k, v, scale):
     """Reference XLA path (materializes scores); used on CPU and in tests."""
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -294,8 +306,18 @@ def fused_attention_packed_q8s(
     return out[:, :s, :]
 
 
-def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
-                   quant_out: bool):
+def _rot_half(x, cos, sin):
+    """Half-split RoPE rotation in VMEM: pairs (i, i+d/2), tables [S, d/2]."""
+    half = x.shape[-1] // 2
+    x1 = x[:, :half]
+    x2 = x[:, half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    ).astype(x.dtype)
+
+
+def _packed_kernel(qkv_ref, *refs, heads: int, scale: float, s_real: int,
+                   quant_out: bool, has_rope: bool):
     """qkv packed [g, S_pad, 3w] exactly as the projection matmul wrote it —
     per-head lane slices happen in VMEM, so the kernel needs NO layout copies on
     either side. ``quant_out`` emits int8 + per-token scales instead of bf16
@@ -308,6 +330,10 @@ def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
     cancels in f32 once a query row's real scores all sit ≲ -18 below the
     padded columns' exact 0.0, so the exact mask stays.)"""
     g, s_pad = qkv_ref.shape[:2]
+    it = iter(refs)
+    cos_ref = next(it) if has_rope else None
+    sin_ref = next(it) if has_rope else None
+    out_refs = list(it)
     if quant_out:
         o_ref, oscale_ref, acc_ref = out_refs
     else:
@@ -333,6 +359,8 @@ def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
             # mathematically identical, ~25% less VPU work per head
             k = qkv_ref[i, :, w + h * d : w + (h + 1) * d]
             v = qkv_ref[i, :, 2 * w + h * d : 2 * w + (h + 1) * d]
+            if has_rope:  # PE family: rotate k once per head, in VMEM
+                k = _rot_half(k, cos_ref[:], sin_ref[:])
 
             def tile_body(t, _, k=k, v=v, h=h, i=i):
                 # both candidates are 8-aligned; the hint makes it provable
@@ -342,6 +370,12 @@ def _packed_kernel(qkv_ref, *out_refs, heads: int, scale: float, s_real: int,
                 q = qkv_ref[i, pl.ds(r0, q_tile), h * d : (h + 1) * d] * (
                     jnp.asarray(scale, qkv_ref.dtype)
                 )
+                if has_rope:  # rotation commutes with the scalar scale
+                    q = _rot_half(
+                        q,
+                        cos_ref[pl.ds(r0, q_tile), :],
+                        sin_ref[pl.ds(r0, q_tile), :],
+                    )
                 scores = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -387,6 +421,7 @@ def fused_attention_packed(
     interpret: bool = False,
     quant_out: bool = False,
     s_real: int | None = None,
+    rope: tuple | None = None,  # ([S, d/2] cos, [S, d/2] sin) — half-split
 ):
     """Multi-head attention on the packed qkv tensor → [B, S, w] (or, with
     quant_out, (int8 [B, S, w], f32 [B, S, 1] per-token scales)).
@@ -395,7 +430,12 @@ def fused_attention_packed(
     sequence dim (models/vit.py pads once before the layer scan — a per-layer
     pad/slice here measured 0.6 ms/layer on the profile); padded key/value
     columns are masked out of the softmax, padded rows compute garbage that
-    nothing reads."""
+    nothing reads.
+
+    ``rope``: 2-D axial RoPE tables in the HALF-SPLIT pairing (PE family,
+    models/vit._apply_rope). Rotation happens per head IN VMEM — applying it
+    to the packed tensor in XLA materialized ~4.5 ms/layer of strided-lane
+    copies on the PE profile."""
     b, s, w3 = qkv.shape
     if s_real is None:
         s_real = s
@@ -403,6 +443,18 @@ def fused_attention_packed(
     s_pad = _round_up(s, 8)
     if s_pad != s:
         qkv = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)])
+    rope_in, rope_specs = [], []
+    if rope is not None:
+        half = w // heads // 2
+        for t in rope:
+            t = jnp.asarray(t, jnp.float32)
+            if t.shape[0] != s_pad:
+                t = jnp.pad(t, [(0, s_pad - t.shape[0]), (0, 0)])
+            rope_in.append(t.astype(qkv.dtype))
+            rope_specs.append(
+                pl.BlockSpec((s_pad, half), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
     import os
 
     # two batch items per grid step amortizes the per-program launch/DMA
@@ -435,16 +487,17 @@ def fused_attention_packed(
         scratch = []
     out = pl.pallas_call(
         functools.partial(_packed_kernel, heads=heads, scale=scale,
-                          s_real=s_real, quant_out=quant_out),
+                          s_real=s_real, quant_out=quant_out,
+                          has_rope=rope is not None),
         out_shape=out_shape,
         grid=(b // g,),
         in_specs=[
             pl.BlockSpec((g, s_pad, w3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        ],
+        ] + rope_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(qkv)
+    )(qkv, *rope_in)
     if quant_out:
         oq, oscale = out
         return oq[:, :s, :], oscale[:, :s, :]

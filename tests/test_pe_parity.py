@@ -249,3 +249,35 @@ def test_pe_through_embed_pipeline(tmp_path, rng):
 
     d = read_sidecar(str(root / "u0.pt"))["PE-Test/tiny"]
     assert np.asarray(d["centre_crop"]).shape == (1, 16)
+
+
+def test_kernel_rope_matches_xla_rope_path():
+    """The packed kernel's in-VMEM half-split RoPE must match _apply_rope +
+    attention_xla (the CPU/capture path) exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_assisted_data_labeling_tpu.models.vit import _apply_rope
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        attention_xla,
+        fused_attention_packed,
+    )
+
+    rng = np.random.default_rng(3)
+    B, S, h, d = 2, 10, 3, 8
+    w = h * d
+    qkv = rng.normal(0, 1, (B, S, 3 * w)).astype(np.float32)
+    cos = rng.normal(0, 1, (S, d // 2)).astype(np.float32)
+    sin = rng.normal(0, 1, (S, d // 2)).astype(np.float32)
+
+    got = np.asarray(fused_attention_packed(
+        jnp.asarray(qkv), heads=h, scale=0.3, s_real=S,
+        rope=(jnp.asarray(cos), jnp.asarray(sin)), interpret=True))
+
+    rs = lambda t: t.reshape(B, S, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+    q, k, v = np.split(qkv, 3, axis=-1)
+    qr = _apply_rope(jnp.asarray(rs(q)), jnp.asarray(cos), jnp.asarray(sin))
+    kr = _apply_rope(jnp.asarray(rs(k)), jnp.asarray(cos), jnp.asarray(sin))
+    ref = np.asarray(attention_xla(qr, kr, jnp.asarray(rs(v)), 0.3))
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, S, w)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
