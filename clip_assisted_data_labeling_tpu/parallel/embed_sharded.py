@@ -1,11 +1,15 @@
 """Data-parallel embedding over the device mesh.
 
-The reference is single-device by construction (SURVEY §2b); this wraps the fused
-canvas → crops → ViT → embeddings program in batch sharding over the 1-D
-``data`` mesh: canvases/crop-params sharded on their leading axis, ViT params
-replicated, XLA/GSPMD handles the rest. One host feeds all local devices; for
-multi-host slices, run one process per host over its own file shard (the stores
-are keyed by uuid so shards merge trivially).
+The reference is single-device by construction (SURVEY §2b); this shards the
+fused canvas → crops → ViT → embeddings program over the ``data`` mesh axis:
+canvases/crop-params split on their leading axis, ViT params replicated. The
+1-D DP mesh uses ``shard_map`` — each shard runs the ordinary single-device
+program, so the Pallas kernels (attention, ln+quantize) work untouched
+(GSPMD cannot partition opaque custom calls). The 2-D (data, model) mesh
+keeps the GSPMD path with tensor-parallel param sharding (parallel/tp.py);
+XLA inserts the TP collectives there. One host feeds all local devices; for
+multi-host slices, run one process per host over its own file shard (the
+stores are keyed by uuid so shards merge trivially).
 """
 from __future__ import annotations
 
@@ -33,7 +37,8 @@ class ShardedEmbedder:
         self.parity_preprocess = parity_preprocess
         self._repl = NamedSharding(mesh, P())
         self._data = NamedSharding(mesh, P("data"))
-        if "model" in mesh.axis_names:
+        self._dp_only = "model" not in mesh.axis_names
+        if not self._dp_only:
             # 2-D (data, model) mesh: tensor-parallel param layout for towers
             # too big to replicate per chip (rules in parallel/tp.py)
             from clip_assisted_data_labeling_tpu.parallel.tp import apply_tp_sharding
@@ -45,12 +50,47 @@ class ShardedEmbedder:
             )
         self.n_devices = mesh.shape["data"]
 
+    def calibrate_static(self, canvas_u8, crop_params) -> None:
+        """int8_static on the mesh: run the (pure-XLA) calibration forward on
+        this sharded batch — jnp.max over the sharded batch dim reduces across
+        shards — and attach the scales replicated. Later ``embed`` calls take
+        the static path per shard."""
+        from clip_assisted_data_labeling_tpu.models.vit import (
+            attach_act_amax,
+            vit_act_amax,
+        )
+
+        if "act_amax" in self.params.get("blocks", {}):
+            return
+        canvas = jax.device_put(canvas_u8, self._data)
+        cp = jax.device_put(crop_params, self._data)
+        crops = fused_crop_resize_normalize(
+            canvas, cp, out_size=self.cfg.image_size,
+            parity=self.parity_preprocess, dtype=self.compute_dtype,
+        )
+        flat = crops.reshape((-1,) + crops.shape[2:])
+        amax = jax.tree.map(np.asarray, vit_act_amax(
+            self.params, flat, self.cfg, compute_dtype=self.compute_dtype))
+        self.params = attach_act_amax(
+            self.params, {"act_amax": amax["act_amax"]})
+        self.params = jax.tree.map(
+            lambda x: jax.device_put(x, self._repl), self.params
+        )
+
     def embed(self, canvas_u8, crop_params, stat_params=None):
         assert canvas_u8.shape[0] % self.n_devices == 0, (
             f"batch {canvas_u8.shape[0]} must divide over {self.n_devices} devices"
         )
         canvas = jax.device_put(canvas_u8, self._data)
         cp = jax.device_put(crop_params, self._data)
+        if self._dp_only:
+            emb_fn, stats_fn = _shard_mapped(
+                self.mesh, self.cfg, self.compute_dtype, self.parity_preprocess
+            )
+            if stat_params is not None:
+                sp = jax.device_put(stat_params, self._data)
+                return stats_fn(self.params, canvas, cp, sp)
+            return emb_fn(self.params, canvas, cp)
         if stat_params is not None:
             sp = jax.device_put(stat_params, self._data)
             return _embed_stats_jit(
@@ -61,6 +101,30 @@ class ShardedEmbedder:
             self.params, canvas, cp, self.cfg, self.compute_dtype,
             self.parity_preprocess,
         )
+
+
+@functools.lru_cache(maxsize=8)
+def _shard_mapped(mesh: Mesh, cfg: VitConfig, compute_dtype, parity: bool):
+    """jit(shard_map) DP programs: per-shard single-device bodies (Pallas-safe)."""
+    from jax.experimental.shard_map import shard_map
+
+    def body(params, canvas, cp):
+        return _embed_jit(params, canvas, cp, cfg, compute_dtype, parity)
+
+    def body_stats(params, canvas, cp, sp):
+        return _embed_stats_jit(params, canvas, cp, sp, cfg, compute_dtype,
+                                parity)
+
+    emb = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P(), P("data"), P("data")),
+        out_specs=P("data"), check_rep=False,
+    ))
+    stats = jax.jit(shard_map(
+        body_stats, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_rep=False,
+    ))
+    return emb, stats
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "parity"))

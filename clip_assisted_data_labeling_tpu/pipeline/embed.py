@@ -161,10 +161,6 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
             compute_dtype=encoder.compute_dtype,  # int8 mode pre-quantizes params
             parity_preprocess=encoder.parity_preprocess,
         )
-        if encoder.static_quant:
-            # static calibration is wired through the single-device encoder;
-            # the DP path quantizes dynamically per row (same int8 weights)
-            print("int8_static: DP path uses dynamic activation quantization")
         print(f"Data-parallel embedding over {n_dev} devices (batch {batch_size})")
 
     uuids_all = [_uuid_of(p) for p in img_paths]
@@ -220,6 +216,9 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
     def dispatch(batch):
         """Enqueue the batch's device work; returns device arrays (async)."""
         if sharded is not None:
+            if encoder.static_quant:
+                # one extra (pure-XLA) forward on the first batch, then no-op
+                sharded.calibrate_static(batch.canvas, batch.crop_params)
             if device_stats:
                 return sharded.embed(batch.canvas, batch.crop_params, batch.stat_params)
             return sharded.embed(batch.canvas, batch.crop_params), None

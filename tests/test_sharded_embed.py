@@ -94,3 +94,42 @@ def test_apply_tp_sharding_requires_model_axis():
     params = init_vit_params(cfg, jax.random.key(0))
     with pytest.raises(ValueError, match="model"):
         apply_tp_sharding(params, get_mesh())
+
+
+def test_sharded_static_calibration_matches_single_device(rng):
+    """DP int8_static: calibrate_static on the mesh (cross-shard amax via the
+    sharded batch reduction), then embeddings match the single-device static
+    path."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        attach_act_amax,
+        resolve_config,
+        init_vit_params,
+        vit_act_amax,
+        vit_encode_image,
+    )
+    from clip_assisted_data_labeling_tpu.ops.quant import quantize_vit_params
+    from clip_assisted_data_labeling_tpu.parallel.embed_sharded import ShardedEmbedder
+    from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh
+    from clip_assisted_data_labeling_tpu.ops.crops import fused_crop_resize_normalize
+
+    cfg = resolve_config("ViT-Test/tiny")
+    qparams = quantize_vit_params(init_vit_params(cfg, jax.random.key(1)))
+    canvases, crop_params = _example_batch(8, 128, cfg.image_size, seed=9)
+
+    emb_sharded = ShardedEmbedder(qparams, cfg, get_mesh())
+    emb_sharded.calibrate_static(canvases, crop_params)
+    assert "act_amax" in emb_sharded.params["blocks"]
+    got = np.asarray(emb_sharded.embed(canvases, crop_params))
+
+    crops = fused_crop_resize_normalize(
+        jnp.asarray(canvases), jnp.asarray(crop_params),
+        out_size=cfg.image_size, parity=False, dtype=jnp.bfloat16)
+    flat = crops.reshape((-1,) + crops.shape[2:])
+    amax = jax.tree.map(np.asarray, vit_act_amax(qparams, flat, cfg))
+    sp = attach_act_amax(qparams, {"act_amax": amax["act_amax"]})
+    ref = np.asarray(vit_encode_image(sp, flat, cfg)).reshape(8, 4, -1)
+    np.testing.assert_allclose(got, ref, atol=5e-3)
