@@ -457,12 +457,13 @@ def fused_attention_packed(
             )
     import os
 
-    # two batch items per grid step amortizes the per-program launch/DMA
-    # overhead (+4 imgs/s on the round-3 bench) — but the block must fit the
-    # ~16 MB scoped VMEM budget (double-buffered in/out blocks + per-head
-    # f32 score/prob working set), which g=2 already exceeds at ViT-L-336's
-    # S=584. Fall back until the estimate fits.
-    g = int(os.environ.get("CTPU_ATTN_ITEMS", "2"))
+    # CTPU_ATTN_ITEMS>1 packs several batch items per grid step. Measured
+    # neutral at ViT-L shapes after the round-3 preprocess/ln work (335.1 vs
+    # 335.6), and Mosaic's ACTUAL scoped-VMEM use runs ~1.8x this estimate,
+    # varying with the surrounding program (g=2 compiled in the int8_static
+    # program but OOM'd by 116 KB in the bf16 one at identical shapes) — so
+    # the robust default is 1.
+    g = int(os.environ.get("CTPU_ATTN_ITEMS", "1"))
     while g > 1 and (
         b % g != 0
         or 2 * (g * s_pad * (w3 + w) * qkv.dtype.itemsize) + 8 * s_pad * s_pad
