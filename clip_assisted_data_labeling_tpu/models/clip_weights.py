@@ -147,14 +147,7 @@ def convert_pe_visual(state_dict: dict, cfg: VitConfig) -> dict:
     # are invariant under any permutation applied to BOTH q and k of the same
     # head, so re-ordering the projection's output columns here makes the two
     # conventions exactly equivalent (models/vit._apply_rope pairs halves).
-    d = cfg.head_dim
-    w = cfg.width
-    perm_head = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
-    perm = np.concatenate([h * d + perm_head for h in range(cfg.heads)])
-    qkv_perm = np.concatenate([perm, w + perm, 2 * w + np.arange(w)])
-    blocks = base["blocks"]
-    blocks["qkv_kernel"] = blocks["qkv_kernel"][:, :, qkv_perm]
-    blocks["qkv_bias"] = blocks["qkv_bias"][:, qkv_perm]
+    base = rope_interleaved_to_half(base, cfg)
 
     if not cfg.use_cls_token:
         base.pop("class_emb", None)
@@ -169,6 +162,38 @@ def convert_pe_visual(state_dict: dict, cfg: VitConfig) -> dict:
             "pool_ln_bias": _t(sd["attn_pool.layernorm.bias"]),
         })
     return base
+
+
+def rope_interleaved_to_half(params: dict, cfg: VitConfig) -> dict:
+    """Permute each head's q/k projection columns from interleaved RoPE
+    pairing to the half-split convention and mark the pytree with a
+    ``rope_half`` sentinel leaf.
+
+    The sentinel round-trips through npz/orbax/quantization like any other
+    leaf, so checkpoints SAVED before the convention switch (no sentinel) are
+    detected at load and permuted here — without it they would silently
+    rotate the wrong feature pairs (models/vit._apply_rope pairs halves).
+    """
+    d = cfg.head_dim
+    w = cfg.width
+    perm_head = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    perm = np.concatenate([h * d + perm_head for h in range(cfg.heads)])
+    qkv_perm = np.concatenate([perm, w + perm, 2 * w + np.arange(w)])
+    out = dict(params)
+    blocks = dict(out["blocks"])
+    blocks["qkv_kernel"] = np.asarray(blocks["qkv_kernel"])[:, :, qkv_perm]
+    blocks["qkv_bias"] = np.asarray(blocks["qkv_bias"])[:, qkv_perm]
+    out["blocks"] = blocks
+    out["rope_half"] = np.ones((), np.int8)
+    return out
+
+
+def ensure_rope_half(params: dict, cfg: VitConfig) -> dict:
+    """Upgrade a loaded checkpoint to the half-split RoPE convention if it
+    predates the sentinel (no-op for non-RoPE configs and marked pytrees)."""
+    if not cfg.use_rope2d or "rope_half" in params:
+        return params
+    return rope_interleaved_to_half(params, cfg)
 
 
 def convert_torch_state_dict(state_dict: dict, cfg: VitConfig) -> dict:

@@ -93,7 +93,8 @@ class CLIPImageEncoder:
             raise FileNotFoundError(f"--model_path {model_path} does not exist")
         if model_path and os.path.isfile(model_path):
             if model_path.endswith(".npz"):
-                return clip_weights.load_params_npz(model_path)
+                return clip_weights.ensure_rope_half(
+                    clip_weights.load_params_npz(model_path), self.cfg)
             log.info("Converting torch checkpoint %s", model_path)
             return self._convert_torch_file(model_path)
         if model_path and os.path.isdir(model_path):
@@ -102,11 +103,13 @@ class CLIPImageEncoder:
                 # sharded checkpoint (towers too big to gather on one host)
                 orbax_dir = os.path.join(model_path, f"{safe}.orbax")
                 log.info("Loading %s weights from %s", self.model_name, orbax_dir)
-                return clip_weights.load_params_orbax(orbax_dir)
+                return clip_weights.ensure_rope_half(
+                    clip_weights.load_params_orbax(orbax_dir), self.cfg)
             npz = os.path.join(model_path, f"{safe}.npz")
             if os.path.exists(npz):
                 log.info("Loading %s weights from %s", self.model_name, npz)
-                return clip_weights.load_params_npz(npz)
+                return clip_weights.ensure_rope_half(
+                    clip_weights.load_params_npz(npz), self.cfg)
             ckpt_exts = (".pt", ".pth", ".bin", ".safetensors")
             candidates = [
                 f for f in sorted(os.listdir(model_path)) if f.endswith(ckpt_exts)

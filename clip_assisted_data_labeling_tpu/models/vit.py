@@ -176,6 +176,10 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     }
     if cfg.use_cls_token:
         params["class_emb"] = nrm(ks[1], (w,), scale)
+    if cfg.use_rope2d:
+        # random init has no pairing convention; mark half-split so save/load
+        # round-trips skip the legacy-checkpoint upgrade (clip_weights)
+        params["rope_half"] = jnp.ones((), jnp.int8)
     if cfg.pool == "attn":
         # PE probe attention-pooling head: learned query + one MHA + layernorm
         params.update({
@@ -217,8 +221,12 @@ def _rope2d_tables(grid: int, head_dim: int, theta: float, cls_token: bool):
     Follows the axial scheme PE adopts (RoPE-ViT's ``compute_axial_cis``): the
     first head_dim/4 complex lanes rotate by the patch's x (column) position,
     the next head_dim/4 by its y (row) position; a leading cls token (if any)
-    gets the identity rotation. Complex lanes pair consecutive real features
-    (q[2i], q[2i+1]). Returned as numpy so jit embeds them as constants.
+    gets the identity rotation. Complex lane i pairs features (q[i], q[i+d/2])
+    — the HALF-SPLIT convention every consumer here uses (_apply_rope and the
+    kernel's _rot_half); PE checkpoints' interleaved (q[2i], q[2i+1]) pairing
+    is erased at conversion by permuting the q/k projection columns
+    (clip_weights.convert_pe_visual). Returned as numpy so jit embeds them as
+    constants.
     """
     quarter = head_dim // 4
     freqs = 1.0 / (theta ** (np.arange(0, head_dim, 4)[:quarter] / head_dim))
@@ -421,6 +429,7 @@ def _block_int8_static_lnk(x, p, cfg: VitConfig, rope=None):
     x2 = x2 + q_matmul_pre(
         quant_static(attn, a[1]).reshape(B * S, w), a[1] * inv127,
         p["out_kernel"], p["out_kernel_scale"], p["out_bias"],
+        out_dtype=x.dtype,
     )
     hq = rowquant_static(x2, p["ln2_scale"], p["ln2_bias"], a[2],
                          ln_eps=cfg.ln_eps)
@@ -428,7 +437,8 @@ def _block_int8_static_lnk(x, p, cfg: VitConfig, rope=None):
                      p["fc1_kernel_scale"], p["fc1_bias"])
     g = _act(h, cfg.act, quantized=True)
     x2 = q_matmul_pre(quant_static(g, a[3]), a[3] * inv127, p["fc2_kernel"],
-                      p["fc2_kernel_scale"], p["fc2_bias"], residual=x2)
+                      p["fc2_kernel_scale"], p["fc2_bias"], residual=x2,
+                      out_dtype=x.dtype)
     return x2.reshape(B, S, w)
 
 
@@ -493,7 +503,10 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     producer epilogues); otherwise dynamic per-row."""
     a = p.get("act_amax") if quantized else None
     if quantized and fused_attention:
-        if a is not None and "qkv_amax" in p and rope is None:
+        if (a is not None and "qkv_amax" in p and rope is None
+                and x.shape[1] <= 448):
+            # the q8s wire kernel has no query-row tiling; long sequences
+            # (ViT-L-336+) would overflow scoped VMEM -> take the lnk path
             return _block_int8_static_wire(x, p, cfg)
         if a is not None:
             import os
@@ -657,7 +670,9 @@ def vit_encode_image(
             packed_attention_fits,
         )
 
-        fused_attention = packed_attention_fits(cfg.seq_len, cfg.width)
+        fused_attention = packed_attention_fits(
+            cfg.seq_len, cfg.width, jnp.dtype(compute_dtype).itemsize
+        )
     if fused_attention and cfg.seq_len % 8 != 0:
         s_pad = (cfg.seq_len + 7) // 8 * 8
         x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))

@@ -73,7 +73,7 @@ def fused_attention(
         grid=(b,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        interpret=interpret,
+        interpret=_env_interpret(interpret),
     )(q, k, v)
     return out[:, :, :s, :]
 
@@ -82,12 +82,22 @@ def packed_attention_fits(s: int, width: int, itemsize: int = 2) -> bool:
     """Can the packed kernel's per-step block fit the ~16 MB scoped VMEM
     budget at grid granularity 1? (Double-buffered [S_pad, 3w] in +
     [S_pad, w] out, plus the row-tiled score working set.) PE-G14-448
-    (S=1024, w=1536) overflows — callers fall back to the XLA path."""
+    (S=1024, w=1536) overflows — callers fall back to the XLA path.
+    ``itemsize``: bytes per qkv element (2 for bf16; f32 runs pass 4)."""
     s_pad = _round_up(s, 8)
     q_tile = s_pad if s_pad <= 448 else 256
     blocks = 2 * s_pad * 4 * width * itemsize
     working = 2 * q_tile * s_pad * 4 + 4 * s_pad * width
     return blocks + working <= 14 * 2**20
+
+
+def _env_interpret(interpret: bool) -> bool:
+    """CTPU_PALLAS_INTERPRET=1 forces interpreter mode everywhere — lets the
+    CPU test suite drive the full fused-kernel paths (lnk blocks, rope,
+    quant_out) that otherwise only execute on real hardware."""
+    import os
+
+    return interpret or os.environ.get("CTPU_PALLAS_INTERPRET") == "1"
 
 
 def attention_xla(q, k, v, scale):
@@ -199,7 +209,7 @@ def fused_attention_packed_q8(
         in_specs=spec_in,
         out_specs=out_specs,
         scratch_shapes=scratch,
-        interpret=interpret,
+        interpret=_env_interpret(interpret),
     )(qkv_q, qkv_scale)
     if quant_out:
         oq, oscale = out
@@ -301,7 +311,7 @@ def fused_attention_packed_q8s(
         ],
         out_specs=pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=_env_interpret(interpret),
     )(qkv_q, ch_scale.reshape(1, w3).astype(jnp.float32))
     return out[:, :s, :]
 
@@ -497,7 +507,7 @@ def fused_attention_packed(
         ] + rope_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
-        interpret=interpret,
+        interpret=_env_interpret(interpret),
     )(qkv, *rope_in)
     if quant_out:
         oq, oscale = out

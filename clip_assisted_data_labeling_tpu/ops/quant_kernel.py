@@ -47,6 +47,13 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+def _env_interpret(interpret: bool) -> bool:
+    """CTPU_PALLAS_INTERPRET=1 forces interpreter mode (CPU-testable kernels)."""
+    import os
+
+    return interpret or os.environ.get("CTPU_PALLAS_INTERPRET") == "1"
+
+
 # VMEM budget gate: weight panel + 2×(in+out) tiles must fit comfortably
 _VMEM_BUDGET = 14 * 1024 * 1024
 
@@ -108,7 +115,7 @@ def q_linear_fused(
         out_specs=pl.BlockSpec(
             (block_m, n), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        interpret=interpret,
+        interpret=_env_interpret(interpret),
     )(
         x,
         wq,
@@ -296,7 +303,7 @@ def q_block_linear(
         ),
         in_specs=in_specs,
         out_specs=out_specs,
-        interpret=interpret,
+        interpret=_env_interpret(interpret),
     )(*inputs)
 
     if quant_out:
@@ -391,7 +398,7 @@ def rowquant(
             pl.BlockSpec((block_m, k), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_m, 1), row, memory_space=pltpu.VMEM),
         ),
-        interpret=interpret,
+        interpret=_env_interpret(interpret),
     )(*inputs)
     return oq[:m], oscale[:m]
 
@@ -457,7 +464,7 @@ def rowquant_static(
             pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, k), row, memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=_env_interpret(interpret),
     )(x, ln_scale.reshape(1, k).astype(jnp.float32),
       ln_bias.reshape(1, k).astype(jnp.float32), inv)
     return out[:m]

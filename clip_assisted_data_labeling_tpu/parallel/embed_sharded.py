@@ -62,6 +62,11 @@ class ShardedEmbedder:
 
         if "act_amax" in self.params.get("blocks", {}):
             return
+        if not self._dp_only:
+            # the static path runs Pallas blocks GSPMD cannot partition; the
+            # TP mesh keeps dynamic per-row quantization (same int8 weights)
+            print("int8_static: TP mesh keeps dynamic activation quantization")
+            return
         canvas = jax.device_put(canvas_u8, self._data)
         cp = jax.device_put(crop_params, self._data)
         crops = fused_crop_resize_normalize(
@@ -71,8 +76,11 @@ class ShardedEmbedder:
         flat = crops.reshape((-1,) + crops.shape[2:])
         amax = jax.tree.map(np.asarray, vit_act_amax(
             self.params, flat, self.cfg, compute_dtype=self.compute_dtype))
-        self.params = attach_act_amax(
-            self.params, {"act_amax": amax["act_amax"]})
+        import os
+
+        if os.environ.get("CTPU_INT8_WIRE") != "1":  # mirror encoders.py
+            amax = {"act_amax": amax["act_amax"]}
+        self.params = attach_act_amax(self.params, amax)
         self.params = jax.tree.map(
             lambda x: jax.device_put(x, self._repl), self.params
         )

@@ -116,7 +116,6 @@ def test_embed_int8_static_mode(tmp_path):
     e32 = np.asarray(s32.embeddings[:])
     for f in root.glob("*.pt"):
         f.unlink()
-    (root.parent / "ds_embeddings").exists()
     s8 = embed_dataset(
         str(root), EmbedConfig(compute_dtype="int8_static",
                                force_reencode=True, **base)

@@ -281,3 +281,81 @@ def test_kernel_rope_matches_xla_rope_path():
     ref = np.asarray(attention_xla(qr, kr, jnp.asarray(rs(v)), 0.3))
     ref = ref.transpose(0, 2, 1, 3).reshape(B, S, w)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_int8_static_lnk_rope_path_interpret(monkeypatch):
+    """CTPU_PALLAS_INTERPRET=1 drives the PE int8_static fast path
+    (_block_int8_static_lnk + in-kernel rope) on CPU; it must track the XLA
+    static path."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        attach_act_amax,
+        init_vit_params,
+        vit_act_amax,
+        vit_encode_image,
+    )
+    from clip_assisted_data_labeling_tpu.ops.quant import quantize_vit_params
+
+    monkeypatch.setenv("CTPU_PALLAS_INTERPRET", "1")
+    cfg = VitConfig(width=128, layers=2, heads=2, patch_size=8, image_size=40,
+                    act="gelu", use_rope2d=True, pool="attn",
+                    attn_pooler_heads=2, embed_dim=16)
+    params = init_vit_params(cfg, jax.random.key(2))
+    qp = quantize_vit_params(params)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (2, 40, 40, 3)).astype(np.float32))
+    amax = vit_act_amax(qp, x, cfg, compute_dtype=jnp.float32)
+    sp = attach_act_amax(qp, {"act_amax": np.asarray(amax["act_amax"])})
+    fused = np.asarray(vit_encode_image(sp, x, cfg, compute_dtype=jnp.float32,
+                                        fused_attention=True))
+    ref = np.asarray(vit_encode_image(sp, x, cfg, compute_dtype=jnp.float32,
+                                      fused_attention=False))
+    cos = np.sum(fused * ref, axis=-1)
+    assert np.all(cos > 0.999), cos.min()
+
+
+def test_legacy_pe_checkpoint_upgraded_on_load(tmp_path):
+    """An npz saved in the pre-sentinel interleaved convention must be
+    permuted on load (ensure_rope_half), giving the same embeddings as the
+    marked half-split pytree."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from clip_assisted_data_labeling_tpu.models.clip_weights import (
+        ensure_rope_half,
+        load_params_npz,
+        save_params_npz,
+    )
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        init_vit_params,
+        vit_encode_image,
+    )
+
+    cfg = resolve_config("PE-Test/tiny")
+    params = init_vit_params(cfg, jax.random.key(3))
+    assert "rope_half" in params
+
+    # forge a LEGACY checkpoint: invert the permutation and drop the sentinel
+    d, w, h = cfg.head_dim, cfg.width, cfg.heads
+    perm_head = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    perm = np.concatenate([i * d + perm_head for i in range(h)])
+    qkv_perm = np.concatenate([perm, w + perm, 2 * w + np.arange(w)])
+    inv = np.argsort(qkv_perm)
+    legacy = {k: v for k, v in params.items() if k != "rope_half"}
+    legacy["blocks"] = dict(params["blocks"])
+    legacy["blocks"]["qkv_kernel"] = np.asarray(params["blocks"]["qkv_kernel"])[:, :, inv]
+    legacy["blocks"]["qkv_bias"] = np.asarray(params["blocks"]["qkv_bias"])[:, inv]
+    path = str(tmp_path / "legacy.npz")
+    save_params_npz(path, legacy)
+
+    upgraded = ensure_rope_half(load_params_npz(path), cfg)
+    assert "rope_half" in upgraded
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    a = np.asarray(vit_encode_image(upgraded, x, cfg, compute_dtype=jnp.float32))
+    b = np.asarray(vit_encode_image(params, x, cfg, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(a, b, atol=1e-5)
