@@ -293,3 +293,15 @@ def test_packed_attention_long_sequence_row_tiling(rng):
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("bhqk,bhkd->bhqd", p, rs(v)).transpose(0, 2, 1, 3).reshape(b, s, w)
     np.testing.assert_allclose(got[:, :577], ref[:, :577], atol=1e-5)
+
+
+def test_packed_attention_fits_gate():
+    """VMEM gate: CLIP towers fit, PE-G14-448 and f32 long sequences do not."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        packed_attention_fits,
+    )
+
+    assert packed_attention_fits(257, 1024)        # ViT-L-14 bf16
+    assert packed_attention_fits(577, 1024)        # ViT-L-14-336 bf16
+    assert not packed_attention_fits(577, 1024, 4)  # same in f32: too big
+    assert not packed_attention_fits(1024, 1536)   # PE-G14-448 -> XLA path
