@@ -7,6 +7,11 @@ search over N synthetic 768-d embeddings with planted duplicates.
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

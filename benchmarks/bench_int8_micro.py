@@ -10,6 +10,11 @@ Host fetch after each timed loop (block_until_ready is unreliable on axon).
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 
