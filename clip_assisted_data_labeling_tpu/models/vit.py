@@ -406,7 +406,7 @@ def _block_int8_static_lnk(x, p, cfg: VitConfig, rope=None):
     chain (the default static path; CTPU_LN_KERNEL=0 disables). ``rope``
     rides inside the attention kernel (PE family)."""
     from clip_assisted_data_labeling_tpu.ops.attention import (
-        fused_attention_packed,
+        packed_attention_auto,
     )
     from clip_assisted_data_labeling_tpu.ops.quant import quant_static
     from clip_assisted_data_labeling_tpu.ops.quant_kernel import (
@@ -422,7 +422,7 @@ def _block_int8_static_lnk(x, p, cfg: VitConfig, rope=None):
                          ln_eps=cfg.ln_eps)
     qkv = q_matmul_pre(xq, a[0] * inv127, p["qkv_kernel"],
                        p["qkv_kernel_scale"], p["qkv_bias"])
-    attn = fused_attention_packed(
+    attn = packed_attention_auto(
         qkv.reshape(B, S, 3 * w), heads=cfg.heads,
         scale=cfg.head_dim ** -0.5, s_real=cfg.seq_len, rope=rope,
     )
@@ -534,11 +534,12 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
         # as-is and emits [B, S, w] — zero layout copies around the kernel, and
         # no [B, h, S, S] score tensor ever touches HBM (the attention here is
         # bandwidth-bound, not FLOP-bound). RoPE (PE family) rotates q/k per
-        # head INSIDE the kernel, in VMEM.
-        from clip_assisted_data_labeling_tpu.ops.attention import fused_attention_packed
+        # head INSIDE the kernel, in VMEM; big towers take the head-grouped
+        # variant automatically.
+        from clip_assisted_data_labeling_tpu.ops.attention import packed_attention_auto
 
-        attn = fused_attention_packed(qkv, heads=h, scale=d ** -0.5,
-                                      s_real=cfg.seq_len, rope=rope)
+        attn = packed_attention_auto(qkv, heads=h, scale=d ** -0.5,
+                                     s_real=cfg.seq_len, rope=rope)
     else:
         from clip_assisted_data_labeling_tpu.ops.attention import attention_xla
 
@@ -663,16 +664,9 @@ def vit_encode_image(
         )
         rope = (jnp.asarray(cos), jnp.asarray(sin))
 
-    if fused_attention:
-        # towers whose packed block overflows scoped VMEM even at grid
-        # granularity 1 (PE-G14-448: S=1024, w=1536) use the XLA path
-        from clip_assisted_data_labeling_tpu.ops.attention import (
-            packed_attention_fits,
-        )
-
-        fused_attention = packed_attention_fits(
-            cfg.seq_len, cfg.width, jnp.dtype(compute_dtype).itemsize
-        )
+    # towers whose packed block overflows scoped VMEM (PE-G14-448: S=1024,
+    # w=1536; f32 runs of 336-scale towers) take the head-grouped kernel —
+    # ops/attention.packed_attention_auto decides per call site
     if fused_attention and cfg.seq_len % 8 != 0:
         s_pad = (cfg.seq_len + 7) // 8 * 8
         x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))

@@ -107,6 +107,141 @@ def attention_xla(q, k, v, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _packed_grouped_kernel(qkv_ref, *refs, heads_per_group: int, scale: float,
+                           s_real: int, has_rope: bool):
+    """Head-grouped variant for towers whose full [S, 3w] block overflows
+    scoped VMEM (PE-G14-448: S=1024, w=1536). The wrapper views packed qkv as
+    [B, 3, S, w] (one transposed copy, cheap at this scale) so the grid's
+    second axis can slice a GROUP of heads' columns with natural (S, w)
+    minor-dim tiling; per step the block is [3, S, d·hpg], ~5 MB at
+    G14 scale. Inside, per head: same q-row-tiled exact-masked softmax as
+    _packed_kernel."""
+    it = iter(refs)
+    cos_ref = next(it) if has_rope else None
+    sin_ref = next(it) if has_rope else None
+    (o_ref,) = it
+    s_pad = qkv_ref.shape[2]  # layout [1, 3, S_pad, wg]
+    wg = o_ref.shape[2]
+    d = wg // heads_per_group
+    q_tile = s_pad if s_pad <= 448 else 256
+    n_tiles = -(-s_pad // q_tile)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, s_pad), 1)
+    for h in range(heads_per_group):
+        k = qkv_ref[0, 1, :, h * d : (h + 1) * d]
+        v = qkv_ref[0, 2, :, h * d : (h + 1) * d]
+        if has_rope:
+            k = _rot_half(k, cos_ref[:], sin_ref[:])
+
+        def tile_body(t, _, k=k, v=v, h=h):
+            r0 = pl.multiple_of(jnp.minimum(t * q_tile, s_pad - q_tile), 8)
+            q = qkv_ref[0, 0, pl.ds(r0, q_tile), h * d : (h + 1) * d] * (
+                jnp.asarray(scale, qkv_ref.dtype)
+            )
+            if has_rope:
+                q = _rot_half(q, cos_ref[pl.ds(r0, q_tile), :],
+                              sin_ref[pl.ds(r0, q_tile), :])
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if s_real < s_pad:
+                scores = jnp.where(col < s_real, scores, -jnp.inf)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            probs = jnp.exp(scores - m)
+            inv_norm = 1.0 / jnp.sum(probs, axis=-1, keepdims=True)
+            head_out = jax.lax.dot_general(
+                probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * inv_norm
+            o_ref[0, pl.ds(r0, q_tile), h * d : (h + 1) * d] = (
+                head_out.astype(o_ref.dtype)
+            )
+            return 0
+
+        if n_tiles == 1:
+            tile_body(0, 0)
+        else:
+            jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "interpret", "s_real", "head_group"),
+)
+def fused_attention_packed_grouped(
+    qkv: jnp.ndarray,  # [B, S, 3w]
+    heads: int,
+    scale: float,
+    interpret: bool = False,
+    s_real: int | None = None,
+    rope: tuple | None = None,
+    head_group: int | None = None,  # heads per grid step (None: auto)
+):
+    """Packed attention with the grid split over (batch, head groups) — the
+    big-tower sibling of :func:`fused_attention_packed` (see the kernel
+    docstring). Returns [B, S, w] in qkv's dtype."""
+    b, s, w3 = qkv.shape
+    if s_real is None:
+        s_real = s
+    w = w3 // 3
+    d = w // heads
+    if head_group is None:
+        # largest group with lane-aligned columns that keeps the block small
+        head_group = 1
+        for hg in range(heads, 0, -1):
+            if heads % hg == 0 and (d * hg) % 128 == 0 and (
+                2 * s * 3 * d * hg * qkv.dtype.itemsize < 6 * 2**20
+            ):
+                head_group = hg
+                break
+    s_pad = _round_up(s, 8)
+    if s_pad != s:
+        qkv = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)])
+    qkv4 = qkv.reshape(b, s_pad, 3, w).transpose(0, 2, 1, 3)
+    wg = d * head_group
+    rope_in, rope_specs = [], []
+    if rope is not None:
+        half = d // 2
+        for t in rope:
+            t = jnp.asarray(t, jnp.float32)
+            if t.shape[0] != s_pad:
+                t = jnp.pad(t, [(0, s_pad - t.shape[0]), (0, 0)])
+            rope_in.append(t.astype(qkv.dtype))
+            rope_specs.append(
+                pl.BlockSpec((s_pad, half), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_grouped_kernel, heads_per_group=head_group, scale=scale,
+            s_real=s_real, has_rope=rope is not None,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype),
+        grid=(b, heads // head_group),
+        in_specs=[
+            pl.BlockSpec((1, 3, s_pad, wg), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM)
+        ] + rope_specs,
+        out_specs=pl.BlockSpec((1, s_pad, wg), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_env_interpret(interpret),
+    )(qkv4, *rope_in)
+    return out[:, :s, :]
+
+
+def packed_attention_auto(qkv, heads: int, scale: float,
+                          s_real: int | None = None, rope: tuple | None = None):
+    """Choose the packed-attention implementation by VMEM budget: the whole-
+    block kernel when it fits, the head-grouped kernel otherwise. Used by
+    every fused block path in models/vit.py."""
+    w = qkv.shape[-1] // 3
+    if packed_attention_fits(qkv.shape[1], w, qkv.dtype.itemsize):
+        return fused_attention_packed(qkv, heads=heads, scale=scale,
+                                      s_real=s_real, rope=rope)
+    return fused_attention_packed_grouped(qkv, heads=heads, scale=scale,
+                                          s_real=s_real, rope=rope)
+
+
 def _packed_q8_kernel(qkv_ref, qs_ref, *out_refs, heads: int, scale: float,
                       s_real: int, quant_out: bool):
     """int8-wire variant: qkv arrives int8 with per-token f32 scales (written

@@ -305,3 +305,28 @@ def test_packed_attention_fits_gate():
     assert packed_attention_fits(577, 1024)        # ViT-L-14-336 bf16
     assert not packed_attention_fits(577, 1024, 4)  # same in f32: too big
     assert not packed_attention_fits(1024, 1536)   # PE-G14-448 -> XLA path
+
+
+def test_grouped_attention_matches_whole_block(rng):
+    """The head-grouped kernel (big-tower path) must equal the whole-block
+    kernel, with and without rope, including the pad mask."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        fused_attention_packed,
+        fused_attention_packed_grouped,
+    )
+
+    b, s, h, d = 2, 10, 4, 8
+    w = h * d
+    qkv = rng.normal(0, 1, (b, s, 3 * w)).astype(np.float32)
+    cos = rng.normal(0, 1, (s, d // 2)).astype(np.float32)
+    sin = rng.normal(0, 1, (s, d // 2)).astype(np.float32)
+    for rope in (None, (jnp.asarray(cos), jnp.asarray(sin))):
+        ref = np.asarray(fused_attention_packed(
+            jnp.asarray(qkv), heads=h, scale=0.3, s_real=9, rope=rope,
+            interpret=True))
+        for hg in (1, 2, 4):
+            got = np.asarray(fused_attention_packed_grouped(
+                jnp.asarray(qkv), heads=h, scale=0.3, s_real=9, rope=rope,
+                head_group=hg, interpret=True))
+            np.testing.assert_allclose(got, ref, atol=1e-5,
+                                       err_msg=f"hg={hg} rope={rope is not None}")
