@@ -55,6 +55,9 @@ class EmbedConfig:
     host_count: int = 1
     shuffle_filenames: bool = True
     write_sidecars: bool = True  # reference-compatible .pt files alongside the store
+    # int8_static calibration persistence: "auto" = <root_dir>/<model>.calib.npz,
+    # "none" = in-memory only (order-dependent), else an explicit npz path
+    calibration: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

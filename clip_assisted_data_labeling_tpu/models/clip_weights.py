@@ -183,6 +183,13 @@ def rope_interleaved_to_half(params: dict, cfg: VitConfig) -> dict:
     blocks = dict(out["blocks"])
     blocks["qkv_kernel"] = np.asarray(blocks["qkv_kernel"])[:, :, qkv_perm]
     blocks["qkv_bias"] = np.asarray(blocks["qkv_bias"])[:, qkv_perm]
+    # A quantized pytree (saved from an int8-mode encoder) carries per-output-
+    # channel leaves keyed off the qkv projection's columns; they MUST follow
+    # the same permutation or dequant scales land on the wrong columns,
+    # silently corrupting embeddings on exactly this legacy-upgrade path.
+    for key in ("qkv_kernel_scale", "qkv_amax"):
+        if key in blocks:
+            blocks[key] = np.asarray(blocks[key])[:, qkv_perm]
     out["blocks"] = blocks
     out["rope_half"] = np.ones((), np.int8)
     return out

@@ -44,6 +44,44 @@ def _stable_seed(name: str) -> int:
     return int.from_bytes(name.encode()[:4].ljust(4, b"\0"), "little") % (2**31)
 
 
+def calibration_file(model_name: str, directory: str) -> str:
+    """Canonical on-disk location of a model's int8_static calibration."""
+    safe = model_name.replace("/", "-")
+    return os.path.join(directory, f"{safe}.calib.npz")
+
+
+def save_calibration(path: str, amax: dict, model_name: str | None = None) -> None:
+    """Persist the RAW amax pytree from models/vit.vit_act_amax (pre-margin;
+    attach_act_amax applies the margin deterministically at load). Always
+    writes every site the calibration produced — including qkv_amax even when
+    the int8-wire knob is off — so one file serves any knob configuration."""
+    flat = {k: np.asarray(v, np.float32) for k, v in amax.items()}
+    if model_name is not None:
+        flat["_model_name"] = np.asarray(model_name)
+    np.savez(path, **flat)
+
+
+def load_calibration(path: str) -> dict:
+    data = np.load(path)
+    return {k: np.asarray(data[k]) for k in data.files}
+
+
+def check_calibration(amax: dict, cfg, path: str, model_name: str = "") -> None:
+    """Reject a calibration file recorded for a different tower — attaching it
+    would silently mis-scale every activation site."""
+    shape = np.asarray(amax["act_amax"]).shape
+    qshape = np.asarray(amax["qkv_amax"]).shape if "qkv_amax" in amax else None
+    if shape != (cfg.layers, 4) or (qshape is not None
+                                    and qshape != (cfg.layers, 3 * cfg.width)):
+        raise ValueError(
+            f"{path} holds a {shape}/{qshape} calibration "
+            f"(recorded for {amax.get('_model_name', 'unknown model')}); "
+            f"model {model_name} needs ({cfg.layers}, 4)/"
+            f"({cfg.layers}, {3 * cfg.width}) — wrong model's file "
+            "(delete it or pass --calibration)"
+        )
+
+
 class CLIPImageEncoder:
     def __init__(
         self,
@@ -52,8 +90,14 @@ class CLIPImageEncoder:
         params: dict | None = None,
         compute_dtype=jnp.bfloat16,
         parity_preprocess: bool = True,
+        calibration_path: str | None = None,
     ):
         self.model_name = model_name
+        # int8_static calibration persistence: when set, scales are loaded from
+        # this npz if it exists and saved to it after first-batch calibration —
+        # making embeddings independent of dataset order and resume points
+        # (without it, per-layer amaxes come from whichever batch runs first).
+        self.calibration_path = calibration_path
         self.cfg: VitConfig = resolve_config(model_name)
         # compute_dtype "int8" selects the W8A8 fast mode: matmul weights are
         # quantized once here, activations dynamically per token (ops/quant.py);
@@ -151,12 +195,43 @@ class CLIPImageEncoder:
     def save_npz(self, path: str) -> None:
         clip_weights.save_params_npz(path, self.params)
 
+    def load_calibration(self) -> bool:
+        """Attach persisted int8_static scales if a calibration file exists.
+        Returns True when scales are attached (loaded now or previously)."""
+        if not self.static_quant:
+            return False
+        if "act_amax" in self.params["blocks"]:
+            return True
+        if not (self.calibration_path and os.path.exists(self.calibration_path)):
+            return False
+        from clip_assisted_data_labeling_tpu.models.vit import attach_act_amax
+        from clip_assisted_data_labeling_tpu.ops import knobs
+
+        amax = load_calibration(self.calibration_path)
+        check_calibration(amax, self.cfg, self.calibration_path, self.model_name)
+        amax.pop("_model_name", None)
+        if knobs.INT8_WIRE and "qkv_amax" not in amax:
+            log.info(
+                "%s lacks qkv_amax (saved without the int8 wire); recalibrating",
+                self.calibration_path,
+            )
+            return False
+        if not knobs.INT8_WIRE:
+            amax = {"act_amax": amax["act_amax"]}
+        log.info("Loaded static int8 calibration from %s", self.calibration_path)
+        self.params = attach_act_amax(self.params, amax)
+        return True
+
     def _maybe_calibrate(self, images: jnp.ndarray) -> None:
         """int8_static mode: derive per-layer static activation scales from the
         FIRST (real-data) batch — one extra forward, then every later batch
         runs the fully-static path. ``images`` may be [B, R, R, 3] or
-        pre-patchified [B, N, p·p·3]."""
+        pre-patchified [B, N, p·p·3]. With ``calibration_path`` set, scales are
+        reloaded from disk when present (order-independent, resume-stable) and
+        persisted after a fresh calibration."""
         if not self.static_quant or "act_amax" in self.params["blocks"]:
+            return
+        if self.load_calibration():
             return
         from clip_assisted_data_labeling_tpu.models.vit import (
             attach_act_amax,
@@ -169,13 +244,18 @@ class CLIPImageEncoder:
             vit_act_amax(self.params, images, self.cfg,
                          compute_dtype=self.compute_dtype),
         )
+        if self.calibration_path:
+            save_calibration(self.calibration_path, amax, self.model_name)
+            log.info("Saved static int8 calibration to %s", self.calibration_path)
         # The int8 attention wire (per-channel qkv_amax + the q8s kernel) is
         # measured-neutral at ViT-L scale — the attention kernel and the qkv
         # matmul are both compute-bound, so halving their HBM wire buys
         # nothing (263 vs 266 imgs/s, round-3 bench) — but it halves the
         # block's largest tensor, which matters when VMEM/HBM pressure does
         # (bigger towers or sequences). Opt in via CTPU_INT8_WIRE=1.
-        if os.environ.get("CTPU_INT8_WIRE") != "1":
+        from clip_assisted_data_labeling_tpu.ops import knobs
+
+        if not knobs.INT8_WIRE:
             amax = {"act_amax": amax["act_amax"]}
         self.params = attach_act_amax(self.params, amax)
 
@@ -210,14 +290,14 @@ class CLIPImageEncoder:
     jax.jit, static_argnames=("cfg", "compute_dtype", "parity_preprocess")
 )
 def _embed_crops_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity_preprocess):
-    import os
+    from clip_assisted_data_labeling_tpu.ops import knobs
 
     # two measured layouts for handing crops to the patch embed (round-3):
     #  grid  — resample einsums emit [gh,gw,p,p,3] directly (no patchify copy,
     #          but the 5-D vertical pass runs at ~23 TFLOP/s)
     #  image — classic [R,R,3] resample (vertical pass is a clean matmul) +
     #          in-place strided patch contraction in _patch_embed
-    patch_mode = os.environ.get("CTPU_PREPROC", "image")  # image measured +3
+    patch_mode = knobs.PREPROC  # 'image' measured +3 (import-time snapshot)
     crops = fused_crop_resize_normalize(
         canvas_u8,
         crop_params,

@@ -456,10 +456,12 @@ def _int8_block_mode() -> str:
                    dedicated VPU kernels here, and Mosaic's tpu.matmul runs
                    int8 at only the bf16 MXU rate so fully-fused Pallas GEMMs
                    lose to XLA's native int8 lowering.
-    """
-    import os
 
-    return os.environ.get("CTPU_INT8_BLOCK", "xla-plain")
+    Import-time snapshot (ops/knobs.py) — set the env var before importing.
+    """
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    return knobs.INT8_BLOCK
 
 
 def _block_int8_xla(x, p, cfg: VitConfig):
@@ -503,19 +505,25 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     producer epilogues); otherwise dynamic per-row."""
     a = p.get("act_amax") if quantized else None
     if quantized and fused_attention:
-        if (a is not None and "qkv_amax" in p and rope is None
-                and x.shape[1] <= 448):
-            # the q8s wire kernel has no query-row tiling; long sequences
-            # (ViT-L-336+) would overflow scoped VMEM -> take the lnk path
-            return _block_int8_static_wire(x, p, cfg)
+        if a is not None and "qkv_amax" in p and rope is None:
+            # the q8s wire kernel has no query-row tiling and unrolls its head
+            # loop (temporaries coexist), so the gate is the measured VMEM
+            # budget heads·S_pad² — not a fixed sequence cutoff (a 16-head
+            # tower overflows near S~450 while a 8-head one fits)
+            from clip_assisted_data_labeling_tpu.ops.attention import (
+                packed_q8s_fits,
+            )
+
+            if packed_q8s_fits(x.shape[1], cfg.width, cfg.heads):
+                return _block_int8_static_wire(x, p, cfg)
         if a is not None:
-            import os
+            from clip_assisted_data_labeling_tpu.ops import knobs
 
             # default static path: Pallas single-pass ln+quantize (bit-identical
             # to the XLA chain, +23 imgs/s — BENCH_NOTES round 3). Env kill
-            # switch CTPU_LN_KERNEL=0; widths not divisible by 128 fall back.
-            if (os.environ.get("CTPU_LN_KERNEL", "1") == "1"
-                    and cfg.width % 128 == 0):
+            # switch CTPU_LN_KERNEL=0 (import-time snapshot, ops/knobs.py);
+            # widths not divisible by 128 fall back.
+            if knobs.LN_KERNEL and cfg.width % 128 == 0:
                 return _block_int8_static_lnk(x, p, cfg, rope)
         if a is None and rope is None:
             mode = _int8_block_mode()

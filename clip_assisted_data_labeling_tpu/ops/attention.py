@@ -91,6 +91,20 @@ def packed_attention_fits(s: int, width: int, itemsize: int = 2) -> bool:
     return blocks + working <= 14 * 2**20
 
 
+def packed_q8s_fits(s: int, width: int, heads: int) -> bool:
+    """VMEM gate for :func:`fused_attention_packed_q8s`. Its head loop is a
+    Python unroll with per-head [S_pad, S_pad] f32 score/prob temporaries that
+    Mosaic's stack allocator does NOT reuse across unrolled iterations (see
+    _packed_kernel's tiling comment), so the working set scales with
+    heads·S_pad² — a fixed sequence-length cutoff would overflow for many-head
+    towers well below it. Double-buffered int8 in/out blocks + the unrolled
+    f32 temporaries must fit the ~14 MB scoped budget."""
+    s_pad = _round_up(s, 8)
+    blocks = 2 * (s_pad * 4 * width)  # int8 [S,3w] in + [S,w] out, 2 buffers
+    working = heads * 2 * s_pad * s_pad * 4  # per-head f32 scores + probs
+    return blocks + working <= 14 * 2**20
+
+
 def _env_interpret(interpret: bool) -> bool:
     """CTPU_PALLAS_INTERPRET=1 forces interpreter mode everywhere — lets the
     CPU test suite drive the full fused-kernel paths (lnk blocks, rope,
@@ -232,14 +246,167 @@ def fused_attention_packed_grouped(
 def packed_attention_auto(qkv, heads: int, scale: float,
                           s_real: int | None = None, rope: tuple | None = None):
     """Choose the packed-attention implementation by VMEM budget: the whole-
-    block kernel when it fits, the head-grouped kernel otherwise. Used by
-    every fused block path in models/vit.py."""
+    block kernel when it fits, the k/v-streaming flash kernel otherwise
+    (small fixed VMEM footprint at ANY sequence length — PE-G14-448's S=1024
+    never falls off the fused path). Used by every fused block path in
+    models/vit.py."""
     w = qkv.shape[-1] // 3
     if packed_attention_fits(qkv.shape[1], w, qkv.dtype.itemsize):
         return fused_attention_packed(qkv, heads=heads, scale=scale,
                                       s_real=s_real, rope=rope)
-    return fused_attention_packed_grouped(qkv, heads=heads, scale=scale,
-                                          s_real=s_real, rope=rope)
+    return flash_attention_packed(qkv, heads=heads, scale=scale,
+                                  s_real=s_real, rope=rope)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, *refs, scale: float, s_real: int,
+                  k_panel: int, has_rope: bool):
+    """Online-softmax body: one (batch, head, q-tile, k-panel) grid step.
+
+    Classic flash-attention recurrence, laid out for the TPU grid pipeline:
+    the k-panel axis is the INNERMOST (fastest) grid dimension, so the f32
+    m/l/acc scratch carries across panel steps of one q tile (TPU grids run
+    sequentially; pallas only flushes the output block when its index-map
+    changes). k/v panels stream HBM→VMEM via their BlockSpecs — no manual
+    DMA, the standard pallas double-buffered pipeline overlaps the next
+    panel's fetch with this panel's matmuls.
+    """
+    it = iter(refs)
+    cos_q = next(it) if has_rope else None
+    sin_q = next(it) if has_rope else None
+    cos_k = next(it) if has_rope else None
+    sin_k = next(it) if has_rope else None
+    o_ref, m_ref, l_ref, acc_ref = it
+
+    p_idx = pl.program_id(3)
+    n_p = pl.num_programs(3)
+
+    @pl.when(p_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # [q_tile, d]
+    k = k_ref[0]  # [k_panel, d]
+    if has_rope:
+        q = _rot_half(q, cos_q[:], sin_q[:])
+        k = _rot_half(k, cos_k[:], sin_k[:])
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [q_tile, k_panel]
+    first_masked = s_real - p_idx * k_panel  # cols >= this are padding
+    if s_real < n_p * k_panel:  # any padded column anywhere
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < first_masked, s, -jnp.inf)
+    m_prev = m_ref[:]  # [q_tile, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p_mat = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p_mat, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p_mat.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(p_idx == n_p - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _flash_tiles(s_pad: int) -> tuple[int, int, int]:
+    """(padded S, q_tile, k_panel) for the flash kernel: tile sizes must
+    DIVIDE the padded sequence (ragged edge blocks would read garbage), so
+    pick the 8-multiple divisor closest to 384 in [128, 768]; sequences with
+    no such divisor (8·large-prime) round up to a 256 multiple and mask."""
+    for cand in sorted(
+        (t for t in range(128, 769, 8) if s_pad % t == 0),
+        key=lambda t: abs(t - 384),
+    ):
+        return s_pad, cand, cand
+    if s_pad <= 768:
+        return s_pad, s_pad, s_pad
+    s2 = _round_up(s_pad, 256)
+    return s2, 256, 256
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "interpret", "s_real")
+)
+def flash_attention_packed(
+    qkv: jnp.ndarray,  # [B, S, 3w] straight from the qkv projection
+    heads: int,
+    scale: float,
+    interpret: bool = False,
+    s_real: int | None = None,
+    rope: tuple | None = None,  # ([S, d/2] cos, [S, d/2] sin) — half-split
+) -> jnp.ndarray:
+    """k/v-streaming flash attention on the packed qkv tensor → [B, S, w].
+
+    The long-sequence sibling of :func:`fused_attention_packed`: instead of
+    holding a whole [S, 3w] block in VMEM (PE-G14-448's 9.4 MB blocks overflow
+    the scoped budget double-buffered), the grid walks (batch, head, q-tile,
+    k-panel) and VMEM holds one q tile + one k/v panel + the online-softmax
+    state — a fixed ~1-2 MB footprint at ANY sequence length. q/k/v never
+    need a layout copy: three BlockSpecs slice the SAME packed tensor at
+    lane offsets h·d, w+h·d, 2w+h·d. RoPE (PE family) rotates q tiles and
+    k panels in VMEM, exactly like the whole-block kernel.
+    """
+    b, s, w3 = qkv.shape
+    if s_real is None:
+        s_real = s
+    w = w3 // 3
+    d = w // heads
+    s_pad0 = _round_up(s, 8)
+    s_pad, q_tile, k_panel = _flash_tiles(s_pad0)
+    if s_pad != s:
+        qkv = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)])
+    grid = (b, heads, s_pad // q_tile, s_pad // k_panel)
+
+    in_specs = [
+        pl.BlockSpec((1, q_tile, d), lambda i, h, t, p: (i, t, h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_panel, d), lambda i, h, t, p: (i, p, heads + h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_panel, d), lambda i, h, t, p: (i, p, 2 * heads + h),
+                     memory_space=pltpu.VMEM),
+    ]
+    rope_in = []
+    if rope is not None:
+        half = d // 2
+        for t_ in rope:
+            t_ = jnp.asarray(t_, jnp.float32)
+            if t_.shape[0] != s_pad:
+                t_ = jnp.pad(t_, [(0, s_pad - t_.shape[0]), (0, 0)])
+            rope_in.append(t_.astype(qkv.dtype))
+        cos_t, sin_t = rope_in
+        rope_in = [cos_t, sin_t, cos_t, sin_t]  # q-tile view + k-panel view
+        in_specs += [
+            pl.BlockSpec((q_tile, half), lambda i, h, t, p: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, half), lambda i, h, t, p: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_panel, half), lambda i, h, t, p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_panel, half), lambda i, h, t, p: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, s_real=s_real,
+                          k_panel=k_panel, has_rope=rope is not None),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, q_tile, d), lambda i, h, t, p: (i, t, h),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, 1), jnp.float32),   # running max m
+            pltpu.VMEM((q_tile, 1), jnp.float32),   # running denom l
+            pltpu.VMEM((q_tile, d), jnp.float32),   # unnormalized output acc
+        ],
+        interpret=_env_interpret(interpret),
+    )(qkv, qkv, qkv, *rope_in)
+    return out[:, :s, :]
 
 
 def _packed_q8_kernel(qkv_ref, qs_ref, *out_refs, heads: int, scale: float,
@@ -600,15 +767,15 @@ def fused_attention_packed(
                 pl.BlockSpec((s_pad, half), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
             )
-    import os
+    from clip_assisted_data_labeling_tpu.ops import knobs
 
     # CTPU_ATTN_ITEMS>1 packs several batch items per grid step. Measured
     # neutral at ViT-L shapes after the round-3 preprocess/ln work (335.1 vs
     # 335.6), and Mosaic's ACTUAL scoped-VMEM use runs ~1.8x this estimate,
     # varying with the surrounding program (g=2 compiled in the int8_static
     # program but OOM'd by 116 KB in the bf16 one at identical shapes) — so
-    # the robust default is 1.
-    g = int(os.environ.get("CTPU_ATTN_ITEMS", "1"))
+    # the robust default is 1 (import-time snapshot, ops/knobs.py).
+    g = knobs.ATTN_ITEMS
     while g > 1 and (
         b % g != 0
         or 2 * (g * s_pad * (w3 + w) * qkv.dtype.itemsize) + 8 * s_pad * s_pad

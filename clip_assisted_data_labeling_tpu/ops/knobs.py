@@ -1,0 +1,51 @@
+"""Performance knobs (``CTPU_*`` env vars) — snapshot ONCE at import.
+
+Every knob here selects between measured implementations (BENCH_NOTES.md);
+the defaults are the fastest configuration on the bench chip. They used to be
+read lazily inside jitted functions, which made a mid-process env change
+silently ineffective (the cached trace keeps the old value). Reading them once
+at import makes the contract visible: set the env var BEFORE importing the
+package. Tests that must flip a knob mid-process call :func:`reload` and use
+fresh jit shapes (cached traces keep whatever value they were traced with).
+
+``CTPU_PALLAS_INTERPRET`` is deliberately NOT snapshot here — it gates kernel
+execution per trace (tests monkeypatch it around individual shape families;
+see ops/attention._env_interpret).
+"""
+from __future__ import annotations
+
+import os
+
+
+def reload() -> None:
+    """Re-read every knob from the environment (test hook)."""
+    g = globals()
+    # crop → patch-embed handoff layout: 'image' (classic [R,R,3] resample +
+    # in-place patch contraction, measured +3 imgs/s) or 'grid' (resample
+    # einsums emit the patch grid directly)
+    g["PREPROC"] = os.environ.get("CTPU_PREPROC", "image")
+    # batch items per packed-attention grid step (>1 measured neutral and
+    # VMEM-fragile — see ops/attention.fused_attention_packed)
+    g["ATTN_ITEMS"] = int(os.environ.get("CTPU_ATTN_ITEMS", "1"))
+    # Pallas single-pass ln+static-quantize kernels on the int8_static path
+    # (+23 imgs/s round 3); '0' falls back to XLA's ln chain
+    g["LN_KERNEL"] = os.environ.get("CTPU_LN_KERNEL", "1") == "1"
+    # dynamic-int8 block implementation: 'xla-plain' | 'xla' | 'hybrid'
+    # (models/vit._int8_block_mode docstring has the measurements)
+    g["INT8_BLOCK"] = os.environ.get("CTPU_INT8_BLOCK", "xla-plain")
+    # calibrate per-channel qkv scales for the int8 attention wire (measured
+    # neutral at ViT-L scale; useful for bigger towers)
+    g["INT8_WIRE"] = os.environ.get("CTPU_INT8_WIRE") == "1"
+    # fully-fused Pallas W8A8 GEMM prototype (slower until Mosaic gains
+    # native-int8 matmuls; ops/quant.q_matmul docstring)
+    g["FUSED_QMATMUL"] = os.environ.get("CTPU_FUSED_QMATMUL") == "1"
+
+
+PREPROC: str
+ATTN_ITEMS: int
+LN_KERNEL: bool
+INT8_BLOCK: str
+INT8_WIRE: bool
+FUSED_QMATMUL: bool
+
+reload()

@@ -79,11 +79,9 @@ def q_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     for ViT-L — the resident-weight-panel pipelining needs tuning), so the XLA
     path is the default.
     """
-    import os
+    from clip_assisted_data_labeling_tpu.ops import knobs
 
-    if os.environ.get("CTPU_FUSED_QMATMUL") == "1" and jax.default_backend() in (
-        "tpu", "axon",
-    ):
+    if knobs.FUSED_QMATMUL and jax.default_backend() in ("tpu", "axon"):
         from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_linear_fused
 
         lead = x.shape[:-1]

@@ -27,17 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # JAX ≥ 0.8 public API, with fallback for older releases
-    from jax import shard_map as _shard_map
-
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map_legacy
-
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+from clip_assisted_data_labeling_tpu.parallel.mesh import (
+    compat_shard_map as shard_map,
+)
 
 from clip_assisted_data_labeling_tpu.ops.similarity import (
     THRESHOLD_SLACK,

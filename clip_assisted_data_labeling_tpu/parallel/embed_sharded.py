@@ -30,11 +30,15 @@ class ShardedEmbedder:
     the mesh size (the loader's fixed batch shape makes this free)."""
 
     def __init__(self, params: dict, cfg: VitConfig, mesh: Mesh,
-                 compute_dtype=jnp.bfloat16, parity_preprocess: bool = False):
+                 compute_dtype=jnp.bfloat16, parity_preprocess: bool = False,
+                 calibration_path: str | None = None):
         self.cfg = cfg
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.parity_preprocess = parity_preprocess
+        # int8_static persistence (same contract as CLIPImageEncoder): load
+        # saved scales when the file exists, save after a fresh calibration
+        self.calibration_path = calibration_path
         self._repl = NamedSharding(mesh, P())
         self._data = NamedSharding(mesh, P("data"))
         self._dp_only = "model" not in mesh.axis_names
@@ -60,6 +64,12 @@ class ShardedEmbedder:
             vit_act_amax,
         )
 
+        from clip_assisted_data_labeling_tpu.models.encoders import (
+            load_calibration,
+            save_calibration,
+        )
+        from clip_assisted_data_labeling_tpu.ops import knobs
+
         if "act_amax" in self.params.get("blocks", {}):
             return
         if not self._dp_only:
@@ -67,18 +77,35 @@ class ShardedEmbedder:
             # TP mesh keeps dynamic per-row quantization (same int8 weights)
             print("int8_static: TP mesh keeps dynamic activation quantization")
             return
-        canvas = jax.device_put(canvas_u8, self._data)
-        cp = jax.device_put(crop_params, self._data)
-        crops = fused_crop_resize_normalize(
-            canvas, cp, out_size=self.cfg.image_size,
-            parity=self.parity_preprocess, dtype=self.compute_dtype,
-        )
-        flat = crops.reshape((-1,) + crops.shape[2:])
-        amax = jax.tree.map(np.asarray, vit_act_amax(
-            self.params, flat, self.cfg, compute_dtype=self.compute_dtype))
         import os
 
-        if os.environ.get("CTPU_INT8_WIRE") != "1":  # mirror encoders.py
+        amax = None
+        if self.calibration_path and os.path.exists(self.calibration_path):
+            from clip_assisted_data_labeling_tpu.models.encoders import (
+                check_calibration,
+            )
+
+            amax = load_calibration(self.calibration_path)
+            check_calibration(amax, self.cfg, self.calibration_path)
+            amax.pop("_model_name", None)
+            if knobs.INT8_WIRE and "qkv_amax" not in amax:
+                amax = None  # saved without the wire scales; recalibrate
+            else:
+                print(f"Loaded static int8 calibration from {self.calibration_path}")
+        if amax is None:
+            canvas = jax.device_put(canvas_u8, self._data)
+            cp = jax.device_put(crop_params, self._data)
+            crops = fused_crop_resize_normalize(
+                canvas, cp, out_size=self.cfg.image_size,
+                parity=self.parity_preprocess, dtype=self.compute_dtype,
+            )
+            flat = crops.reshape((-1,) + crops.shape[2:])
+            amax = jax.tree.map(np.asarray, vit_act_amax(
+                self.params, flat, self.cfg, compute_dtype=self.compute_dtype))
+            if self.calibration_path:
+                save_calibration(self.calibration_path, amax)
+                print(f"Saved static int8 calibration to {self.calibration_path}")
+        if not knobs.INT8_WIRE:  # mirror encoders.py
             amax = {"act_amax": amax["act_amax"]}
         self.params = attach_act_amax(self.params, amax)
         self.params = jax.tree.map(
@@ -114,7 +141,7 @@ class ShardedEmbedder:
 @functools.lru_cache(maxsize=8)
 def _shard_mapped(mesh: Mesh, cfg: VitConfig, compute_dtype, parity: bool):
     """jit(shard_map) DP programs: per-shard single-device bodies (Pallas-safe)."""
-    from jax.experimental.shard_map import shard_map
+    from clip_assisted_data_labeling_tpu.parallel.mesh import compat_shard_map
 
     def body(params, canvas, cp):
         return _embed_jit(params, canvas, cp, cfg, compute_dtype, parity)
@@ -123,11 +150,11 @@ def _shard_mapped(mesh: Mesh, cfg: VitConfig, compute_dtype, parity: bool):
         return _embed_stats_jit(params, canvas, cp, sp, cfg, compute_dtype,
                                 parity)
 
-    emb = jax.jit(shard_map(
+    emb = jax.jit(compat_shard_map(
         body, mesh=mesh, in_specs=(P(), P("data"), P("data")),
         out_specs=P("data"), check_rep=False,
     ))
-    stats = jax.jit(shard_map(
+    stats = jax.jit(compat_shard_map(
         body_stats, mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data")),
         out_specs=(P("data"), P("data")), check_rep=False,

@@ -20,6 +20,25 @@ def device_count() -> int:
     return jax.device_count()
 
 
+def compat_shard_map(f, mesh, in_specs, out_specs, check_rep: bool = False):
+    """``jax.shard_map`` across JAX versions: the public API (≥0.8, kw
+    ``check_vma``) when present, else the deprecated experimental module
+    (kw ``check_rep``) — which emits DeprecationWarnings on 0.8+ and is
+    slated for removal. All parallel/ call sites route through here."""
+    try:
+        from jax import shard_map as _sm  # JAX >= 0.8
+    except ImportError:  # pragma: no cover - old JAX only
+        from jax.experimental.shard_map import shard_map as _legacy
+
+        return _legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_rep=check_rep)
+    try:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=check_rep)
+    except TypeError:  # pragma: no cover - signature drift
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
 def get_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     """1-D mesh over this process's LOCAL devices (single-process: all devices).
 

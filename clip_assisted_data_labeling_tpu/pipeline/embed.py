@@ -133,12 +133,26 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
         skipped = [p for p, h in zip(img_paths, have) if h]
     print(f"Embedding {len(todo)} images ({len(skipped)} already embedded)")
 
+    # int8_static calibration persistence (VERDICT r2 #3): default "auto" pins
+    # the scales to one npz next to the dataset, so re-runs, different dataset
+    # orders, and incremental resumes all embed bit-identically (an unpinned
+    # calibration takes whichever batch happens to run first)
+    calibration_path = None
+    if cfg.compute_dtype == "int8_static" and cfg.calibration != "none":
+        from clip_assisted_data_labeling_tpu.models.encoders import calibration_file
+
+        calibration_path = (
+            calibration_file(model_name, root_dir)
+            if cfg.calibration == "auto" else cfg.calibration
+        )
+
     encoder = create_encoder(
         model_name,
         model_path=cfg.model_path,
         # "int8"/"int8_static" are mode strings, not numpy dtypes
         compute_dtype=(cfg.compute_dtype if cfg.compute_dtype.startswith("int8")
                        else jnp.dtype(cfg.compute_dtype)),
+        calibration_path=calibration_path,
     )
 
     # data-parallel path: shard the batch over all visible devices
@@ -160,6 +174,7 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
             encoder.params, encoder.cfg, mesh,
             compute_dtype=encoder.compute_dtype,  # int8 mode pre-quantizes params
             parity_preprocess=encoder.parity_preprocess,
+            calibration_path=calibration_path,
         )
         print(f"Data-parallel embedding over {n_dev} devices (batch {batch_size})")
 
@@ -367,6 +382,13 @@ def main(argv=None):
     parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--debug_nans", action="store_true",
                         help="trap NaNs in device computations (jax_debug_nans)")
+    parser.add_argument("--calibration", type=str, default="auto",
+                        help="int8_static activation-scale persistence: 'auto' "
+                        "(default) pins scales to <root_dir>/<model>.calib.npz "
+                        "— loaded when present, saved after first-batch "
+                        "calibration, so embeddings are dataset-order- and "
+                        "resume-independent; 'none' keeps them in-memory; any "
+                        "other value is an explicit npz path")
     args = parser.parse_args(argv)
     if args.debug_nans:
         import jax
@@ -394,6 +416,7 @@ def main(argv=None):
         host_index=args.host_index,
         host_count=args.host_count,
         write_sidecars=not args.no_sidecars,
+        calibration=args.calibration,
     )
     if args.profile_dir:
         import jax

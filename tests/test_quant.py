@@ -205,3 +205,46 @@ def test_int8_static_error_on_trained_weights(rng):
     e8s = np.asarray(vit_encode_image(sparams, jnp.asarray(x), cfg, compute_dtype=jnp.float32))
     cos = np.sum(e32 * e8s, axis=-1)
     assert np.all(cos > 1 - 2e-3), f"static-int8 cosine error: {1 - cos.min()}"
+
+
+def test_calibration_persistence_order_independent(rng, tmp_path):
+    """VERDICT r2 #3: with a calibration file pinned, embedding the same
+    dataset in two DIFFERENT orders yields bit-identical embeddings — the
+    second run loads the first run's saved scales instead of calibrating on
+    whatever batch happens to come first."""
+    calib = str(tmp_path / "tiny.calib.npz")
+    params = init_vit_params(resolve_config("ViT-Test/tiny"), jax.random.key(0))
+    b1 = jnp.asarray(rng.normal(0, 1.0, (2, 32, 32, 3)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(0, 2.5, (2, 32, 32, 3)).astype(np.float32))
+
+    enc_a = CLIPImageEncoder("ViT-Test/tiny", params=params,
+                             compute_dtype="int8_static",
+                             calibration_path=calib)
+    run_a = {"b1": np.asarray(enc_a.encode(b1)), "b2": np.asarray(enc_a.encode(b2))}
+    import os
+
+    assert os.path.exists(calib)  # saved after first-batch calibration
+
+    # fresh encoder, REVERSED batch order: must load the saved scales
+    enc_b = CLIPImageEncoder("ViT-Test/tiny", params=params,
+                             compute_dtype="int8_static",
+                             calibration_path=calib)
+    assert enc_b.load_calibration()  # resume path reuses the file
+    run_b = {"b2": np.asarray(enc_b.encode(b2)), "b1": np.asarray(enc_b.encode(b1))}
+    np.testing.assert_array_equal(run_a["b1"], run_b["b1"])
+    np.testing.assert_array_equal(run_a["b2"], run_b["b2"])
+
+    # control: WITHOUT the file, reversed order calibrates on b2 and the
+    # scales (hence embeddings) differ — the property the file pins down
+    enc_c = CLIPImageEncoder("ViT-Test/tiny", params=params,
+                             compute_dtype="int8_static")
+    emb_c = np.asarray(enc_c.encode(b2))
+    assert not np.array_equal(emb_c, run_a["b2"])
+
+    # a wrong-model calibration file must fail loudly, not embed garbage
+    import pytest
+
+    enc_d = CLIPImageEncoder("ViT-Test2/tiny", compute_dtype="int8_static",
+                             calibration_path=calib)
+    with pytest.raises(ValueError, match="wrong model"):
+        enc_d.load_calibration()

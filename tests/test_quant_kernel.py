@@ -176,8 +176,10 @@ def test_attention_quant_out_matches_bf16(rng):
 
 def test_packed_attention_prepadded_zero_rows_contract(rng):
     """Caller-side padding contract (ops/attention.py _packed_kernel): when qkv
-    arrives pre-padded with ZERO token rows and s_real < S, the O(S) denominator
-    correction must reproduce the exact masked softmax over the real tokens."""
+    arrives pre-padded with ZERO token rows and s_real < S, the kernel's exact
+    -inf score mask must reproduce the unpadded softmax over the real tokens.
+    (The kernel deliberately REJECTS the O(S) denominator-correction variant —
+    it cancels catastrophically in f32; see _packed_kernel's docstring.)"""
     from clip_assisted_data_labeling_tpu.ops.attention import (
         fused_attention_packed,
     )
@@ -330,3 +332,66 @@ def test_grouped_attention_matches_whole_block(rng):
                 head_group=hg, interpret=True))
             np.testing.assert_allclose(got, ref, atol=1e-5,
                                        err_msg=f"hg={hg} rope={rope is not None}")
+
+
+def test_flash_attention_matches_xla(rng):
+    """k/v-streaming flash kernel (ops/attention.flash_attention_packed): the
+    online-softmax recurrence must reproduce the exact softmax for dividing,
+    ragged (s_real < S_pad), and tile-unfriendly sequence lengths."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        attention_xla,
+        flash_attention_packed,
+    )
+
+    def ref(qkv, heads, scale):
+        b, s, w3 = qkv.shape
+        w = w3 // 3
+        d = w // heads
+        q, k, v = np.split(qkv, 3, axis=-1)
+        rs = lambda t: jnp.asarray(  # noqa: E731
+            t.reshape(b, s, heads, d).transpose(0, 2, 1, 3))
+        out = attention_xla(rs(q), rs(k), rs(v), scale)
+        return np.asarray(out).transpose(0, 2, 1, 3).reshape(b, s, w)
+
+    for b, s_pad, h, d, s_real in [
+        (2, 512, 4, 32, 512),   # multi-panel online softmax
+        (1, 584, 4, 32, 577),   # ViT-L-336 shape family (8·prime + ragged)
+        (2, 96, 3, 16, 90),     # small + ragged
+    ]:
+        w = h * d
+        qkv = rng.normal(0, 1, (b, s_real, 3 * w)).astype(np.float32)
+        r = ref(qkv, h, 0.3)
+        padded = np.zeros((b, s_pad, 3 * w), np.float32)
+        padded[:, :s_real] = qkv
+        got = np.asarray(flash_attention_packed(
+            jnp.asarray(padded), heads=h, scale=0.3, s_real=s_real,
+            interpret=True))
+        np.testing.assert_allclose(got[:, :s_real], r, atol=2e-5)
+
+
+def test_flash_attention_rope(rng):
+    """Flash kernel with in-kernel half-split RoPE rotation (PE family) must
+    match rotating q/k in XLA then running exact attention."""
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        _apply_rope,
+        _rope2d_tables,
+    )
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        attention_xla,
+        flash_attention_packed,
+    )
+
+    h, d = 4, 32
+    w = h * d
+    cos, sin = _rope2d_tables(8, d, 100.0, False)  # S = 64
+    qkv = rng.normal(0, 1, (2, 64, 3 * w)).astype(np.float32)
+    q, k, v = np.split(qkv, 3, axis=-1)
+    rs = lambda t: jnp.asarray(t.reshape(2, 64, h, d).transpose(0, 2, 1, 3))  # noqa: E731
+    qr = _apply_rope(rs(q), jnp.asarray(cos), jnp.asarray(sin))
+    kr = _apply_rope(rs(k), jnp.asarray(cos), jnp.asarray(sin))
+    ref = np.asarray(attention_xla(qr, kr, rs(v), 0.25)
+                     ).transpose(0, 2, 1, 3).reshape(2, 64, w)
+    got = np.asarray(flash_attention_packed(
+        jnp.asarray(qkv), heads=h, scale=0.25, rope=(cos, sin),
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
