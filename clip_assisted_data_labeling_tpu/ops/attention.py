@@ -259,8 +259,8 @@ def packed_attention_auto(qkv, heads: int, scale: float,
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, *refs, scale: float, s_real: int,
-                  k_panel: int, has_rope: bool):
-    """Online-softmax body: one (batch, head, q-tile, k-panel) grid step.
+                  k_panel: int, head_group: int, has_rope: bool):
+    """Online-softmax body: one (batch, head-group, q-tile, k-panel) grid step.
 
     Classic flash-attention recurrence, laid out for the TPU grid pipeline:
     the k-panel axis is the INNERMOST (fastest) grid dimension, so the f32
@@ -269,6 +269,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, scale: float, s_real: int,
     changes). k/v panels stream HBM→VMEM via their BlockSpecs — no manual
     DMA, the standard pallas double-buffered pipeline overlaps the next
     panel's fetch with this panel's matmuls.
+
+    ``head_group`` heads ride one grid step so the partitioned lane-dim block
+    (g·d wide) is a 128 multiple — Mosaic rejects narrower partitions; d=64
+    pairs heads, d=96 (PE-G14) groups four.
     """
     it = iter(refs)
     cos_q = next(it) if has_rope else None
@@ -276,6 +280,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, scale: float, s_real: int,
     cos_k = next(it) if has_rope else None
     sin_k = next(it) if has_rope else None
     o_ref, m_ref, l_ref, acc_ref = it
+    d = o_ref.shape[2] // head_group
 
     p_idx = pl.program_id(3)
     n_p = pl.num_programs(3)
@@ -286,32 +291,44 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, scale: float, s_real: int,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # [q_tile, d]
-    k = k_ref[0]  # [k_panel, d]
-    if has_rope:
-        q = _rot_half(q, cos_q[:], sin_q[:])
-        k = _rot_half(k, cos_k[:], sin_k[:])
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )  # [q_tile, k_panel]
-    first_masked = s_real - p_idx * k_panel  # cols >= this are padding
-    if s_real < n_p * k_panel:  # any padded column anywhere
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < first_masked, s, -jnp.inf)
-    m_prev = m_ref[:]  # [q_tile, 1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p_mat = jnp.exp(s - m_new)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p_mat, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p_mat.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (q_ref.shape[1], k_panel), 1
     )
-    m_ref[:] = m_new
+    first_masked = s_real - p_idx * k_panel  # cols >= this are padding
+    for h in range(head_group):
+        q = q_ref[0, :, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0, :, h * d : (h + 1) * d]  # [k_panel, d]
+        if has_rope:
+            q = _rot_half(q, cos_q[:], sin_q[:])
+            k = _rot_half(k, cos_k[:], sin_k[:])
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [q_tile, k_panel]
+        if s_real < n_p * k_panel:  # any padded column anywhere
+            s = jnp.where(col < first_masked, s, -jnp.inf)
+        m_prev = m_ref[:, h : h + 1]  # [q_tile, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p_mat = jnp.exp(s - m_new)
+        l_ref[:, h : h + 1] = l_ref[:, h : h + 1] * alpha + jnp.sum(
+            p_mat, axis=-1, keepdims=True
+        )
+        acc_ref[:, h * d : (h + 1) * d] = (
+            acc_ref[:, h * d : (h + 1) * d] * alpha
+            + jax.lax.dot_general(
+                p_mat.astype(v_ref.dtype), v_ref[0, :, h * d : (h + 1) * d],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        m_ref[:, h : h + 1] = m_new
 
     @pl.when(p_idx == n_p - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        for h in range(head_group):
+            o_ref[0, :, h * d : (h + 1) * d] = (
+                acc_ref[:, h * d : (h + 1) * d] / l_ref[:, h : h + 1]
+            ).astype(o_ref.dtype)
 
 
 def _flash_tiles(s_pad: int) -> tuple[int, int, int]:
@@ -357,18 +374,28 @@ def flash_attention_packed(
         s_real = s
     w = w3 // 3
     d = w // heads
+    # Mosaic requires PARTITIONED lane-dim blocks to be 128 multiples: group
+    # the smallest head count whose combined width satisfies that (d=64 pairs,
+    # d=96 groups four); towers with no valid grouping take the full width.
+    g = heads
+    for cand in range(1, heads + 1):
+        if heads % cand == 0 and (d * cand) % 128 == 0:
+            g = cand
+            break
+    n_groups = heads // g
     s_pad0 = _round_up(s, 8)
     s_pad, q_tile, k_panel = _flash_tiles(s_pad0)
     if s_pad != s:
         qkv = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)])
-    grid = (b, heads, s_pad // q_tile, s_pad // k_panel)
+    grid = (b, n_groups, s_pad // q_tile, s_pad // k_panel)
 
     in_specs = [
-        pl.BlockSpec((1, q_tile, d), lambda i, h, t, p: (i, t, h),
+        pl.BlockSpec((1, q_tile, d * g), lambda i, h, t, p: (i, t, h),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, k_panel, d), lambda i, h, t, p: (i, p, heads + h),
+        pl.BlockSpec((1, k_panel, d * g), lambda i, h, t, p: (i, p, n_groups + h),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, k_panel, d), lambda i, h, t, p: (i, p, 2 * heads + h),
+        pl.BlockSpec((1, k_panel, d * g),
+                     lambda i, h, t, p: (i, p, 2 * n_groups + h),
                      memory_space=pltpu.VMEM),
     ]
     rope_in = []
@@ -393,16 +420,18 @@ def flash_attention_packed(
         ]
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, s_real=s_real,
-                          k_panel=k_panel, has_rope=rope is not None),
+                          k_panel=k_panel, head_group=g,
+                          has_rope=rope is not None),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, q_tile, d), lambda i, h, t, p: (i, t, h),
+        out_specs=pl.BlockSpec((1, q_tile, d * g),
+                               lambda i, h, t, p: (i, t, h),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((q_tile, 1), jnp.float32),   # running max m
-            pltpu.VMEM((q_tile, 1), jnp.float32),   # running denom l
-            pltpu.VMEM((q_tile, d), jnp.float32),   # unnormalized output acc
+            pltpu.VMEM((q_tile, g), jnp.float32),      # running max m
+            pltpu.VMEM((q_tile, g), jnp.float32),      # running denom l
+            pltpu.VMEM((q_tile, d * g), jnp.float32),  # unnormalized out acc
         ],
         interpret=_env_interpret(interpret),
     )(qkv, qkv, qkv, *rope_in)

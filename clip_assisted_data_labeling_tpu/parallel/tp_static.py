@@ -1,0 +1,275 @@
+"""Tensor parallelism for the int8_static path — explicit collectives.
+
+The GSPMD TP path (parallel/tp.py) cannot partition the static-scale Pallas
+blocks (opaque custom calls), so tensor-parallel runs used to silently fall
+back to dynamic activation quantization (ROADMAP "TP mesh + int8_static").
+This module writes the Megatron column→row dataflow out BY HAND under
+``shard_map``, so every device runs the ordinary single-device static block —
+Pallas kernels included — on its own weight shard:
+
+  * qkv/fc1 column-parallel: each device computes its head/hidden slice with
+    no communication. The packed-qkv layout [q|k|v] must survive sharding, so
+    :func:`reorder_qkv_tp` pre-permutes the qkv output columns from the global
+    [q(w)|k(w)|v(w)] packing to a per-device [q_j|k_j|v_j] block layout —
+    a contiguous equal split then hands every device a well-formed packed qkv
+    of its own heads (scores are head-local, so this is exact).
+  * out/fc2 row-parallel: devices hold input-feature shards and compute
+    partial INT32 accumulators; one ``psum`` per pair runs over the ``model``
+    axis BEFORE dequantization. Integer summation is associative, so the
+    tensor-parallel forward is BIT-IDENTICAL to the single-device int8_static
+    forward (an f32 psum of dequantized partials would differ in ulps).
+  * layernorms / patch embed / pooling / projection are replicated compute
+    (standard Megatron practice — they are <2% of FLOPs).
+
+Per block the wire cost is two [B·S, w] int32 psums over ICI, identical in
+shape to the bf16 TP path's activation collectives (GSPMD inserts the same
+two) at 2× the bytes; the matmul/attention FLOPs split m ways.
+
+Reference context: the reference has no parallelism at all (SURVEY §2b);
+this is new TPU-first surface, validated bit-exact against the single-device
+path in tests/test_tp_static.py and __graft_entry__.dryrun_multichip.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clip_assisted_data_labeling_tpu.models.vit import (
+    VitConfig,
+    _act,
+    _attention_pool,
+    _layernorm,
+    _patch_embed,
+    _rope2d_tables,
+)
+from clip_assisted_data_labeling_tpu.parallel.mesh import compat_shard_map
+from clip_assisted_data_labeling_tpu.parallel.tp import tp_block_spec
+
+
+def reorder_qkv_tp(params: dict, cfg: VitConfig, n_model: int) -> dict:
+    """Permute qkv output columns so a contiguous ``n_model``-way split of the
+    last axis gives every device a packed [q_j|k_j|v_j] of its heads.
+
+    Applies to every per-output-channel qkv leaf present (kernel, bias,
+    quantization scale, wire amax). Exact: attention scores only ever contract
+    q/k of the SAME head, and the out-projection's row shard is permuted to
+    match, so the composition is the identity transformation.
+    """
+    if cfg.heads % n_model:
+        raise ValueError(f"{cfg.heads} heads do not split over model={n_model}")
+    w, d = cfg.width, cfg.head_dim
+    hpd = cfg.heads // n_model  # heads per device
+    cols = []
+    rows = []
+    for j in range(n_model):
+        head_cols = np.arange(j * hpd * d, (j + 1) * hpd * d)
+        cols += [head_cols, w + head_cols, 2 * w + head_cols]
+        rows.append(head_cols)
+    perm = np.concatenate(cols)  # [3w] qkv output-column permutation
+    row_perm = np.concatenate(rows)  # [w] == identity (kept for clarity)
+    out = dict(params)
+    blocks = dict(out["blocks"])
+    for key in ("qkv_kernel",):
+        blocks[key] = np.asarray(blocks[key])[:, :, perm]
+    for key in ("qkv_bias", "qkv_kernel_scale", "qkv_amax"):
+        if key in blocks:
+            blocks[key] = np.asarray(blocks[key])[:, perm]
+    # out_kernel consumes the attention output, whose column layout is the
+    # concatenation of per-device head outputs — already the global head
+    # order, so its rows need no permutation (row_perm is the identity).
+    del row_perm
+    out["blocks"] = blocks
+    return out
+
+
+def tp_static_specs(params: dict) -> dict:
+    """PartitionSpec pytree for the shard_map in_specs (same layout rules as
+    parallel/tp.TP_BLOCK_SPECS; non-block leaves replicated)."""
+    return {
+        name: (
+            {k: tp_block_spec(k) for k in leaf}
+            if name == "blocks" else P()
+        )
+        for name, leaf in params.items()
+    }
+
+
+def place_tp_static(params: dict, mesh: Mesh, cfg: VitConfig) -> dict:
+    """Reorder the qkv packing for the mesh's model size and place every leaf
+    with its TP sharding."""
+    n_model = mesh.shape["model"]
+    params = reorder_qkv_tp(params, cfg, n_model)
+    specs = tp_static_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
+def _block_tp_static(x, p, cfg: VitConfig, heads_local: int, rope,
+                     fused_attention: bool, axis: str = "model"):
+    """One pre-LN block on LOCAL shards — mirrors models/vit._block's static
+    branch op-for-op (same quantize/dequant/bias/residual order gives the
+    bit-exact guarantee), with int32 psums at the two row-parallel matmuls."""
+    from clip_assisted_data_labeling_tpu.ops.quant import quant_static
+    from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_matmul_pre
+
+    B, S, w = x.shape
+    d = cfg.head_dim
+    a = p["act_amax"]
+    inv127 = 1.0 / 127.0
+
+    y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
+    yq = quant_static(y, a[0]).reshape(B * S, w)
+    qkv = q_matmul_pre(yq, a[0] * inv127, p["qkv_kernel"],
+                       p["qkv_kernel_scale"], p["qkv_bias"],
+                       out_dtype=x.dtype).reshape(B, S, -1)
+    wl = qkv.shape[-1] // 3
+    if fused_attention:
+        from clip_assisted_data_labeling_tpu.ops.attention import (
+            packed_attention_auto,
+        )
+
+        attn = packed_attention_auto(qkv, heads=heads_local, scale=d ** -0.5,
+                                     s_real=cfg.seq_len, rope=rope)
+    else:
+        from clip_assisted_data_labeling_tpu.models.vit import _apply_rope
+        from clip_assisted_data_labeling_tpu.ops.attention import attention_xla
+
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        rs = lambda t: t.reshape(B, S, heads_local, d).transpose(0, 2, 1, 3)  # noqa: E731
+        q, k, v = rs(q), rs(k), rs(v)
+        if rope is not None:
+            q = _apply_rope(q, *rope)
+            k = _apply_rope(k, *rope)
+        attn = attention_xla(q, k, v, scale=d ** -0.5)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, wl)
+
+    # row-parallel out-projection: psum the INT32 accumulator (exact), then
+    # the single dequant+bias epilogue exactly as the single-device path
+    aq = quant_static(attn, a[1]).reshape(B * S, wl)
+    acc = jax.lax.psum(
+        jax.lax.dot_general(aq, p["out_kernel"], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32),
+        axis,
+    )
+    yo = (acc.astype(jnp.float32) * (a[1] * inv127)
+          * p["out_kernel_scale"].astype(jnp.float32)
+          + p["out_bias"].astype(jnp.float32)).astype(x.dtype)
+    x = x + yo.reshape(B, S, w)
+
+    y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
+    yq = quant_static(y, a[2]).reshape(B * S, w)
+    h = q_matmul_pre(yq, a[2] * inv127, p["fc1_kernel"],
+                     p["fc1_kernel_scale"], p["fc1_bias"], out_dtype=x.dtype)
+    g = _act(h, cfg.act, quantized=True)
+    gq = quant_static(g, a[3])
+    acc2 = jax.lax.psum(
+        jax.lax.dot_general(gq, p["fc2_kernel"], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32),
+        axis,
+    )
+    y2 = (acc2.astype(jnp.float32) * (a[3] * inv127)
+          * p["fc2_kernel_scale"].astype(jnp.float32)
+          + p["fc2_bias"].astype(jnp.float32)
+          + x.reshape(B * S, w).astype(jnp.float32)).astype(x.dtype)
+    return y2.reshape(B, S, w)
+
+
+@functools.lru_cache(maxsize=4)
+def _tp_static_fn(mesh: Mesh, cfg: VitConfig, compute_dtype, normalize: bool,
+                  fused_attention: bool, spec_key: tuple):
+    n_model = mesh.shape["model"]
+    heads_local = cfg.heads // n_model
+    param_specs = {
+        name: ({k: tp_block_spec(k) for k in keys} if name == "blocks" else P())
+        for name, keys in spec_key
+    }
+
+    def body(params, images):
+        quantized = "patch_kernel_scale" in params
+        x = _patch_embed(params, images, cfg, compute_dtype, quantized)
+        if cfg.use_cls_token:
+            cls = jnp.broadcast_to(
+                params["class_emb"].astype(compute_dtype),
+                (x.shape[0], 1, cfg.width),
+            )
+            x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["pos_emb"].astype(compute_dtype)
+        x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"],
+                       cfg.ln_eps)
+        rope = None
+        if cfg.use_rope2d:
+            cos, sin = _rope2d_tables(cfg.grid, cfg.head_dim, cfg.rope_theta,
+                                      cfg.use_cls_token)
+            rope = (jnp.asarray(cos), jnp.asarray(sin))
+        if fused_attention and cfg.seq_len % 8 != 0:
+            s_pad = (cfg.seq_len + 7) // 8 * 8
+            x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))
+            if rope is not None:
+                pad_n = s_pad - cfg.seq_len
+                rope = (
+                    jnp.pad(rope[0], ((0, pad_n), (0, 0)), constant_values=1.0),
+                    jnp.pad(rope[1], ((0, pad_n), (0, 0))),
+                )
+
+        def scan_body(carry, bp):
+            return _block_tp_static(carry, bp, cfg, heads_local, rope,
+                                    fused_attention), None
+
+        x, _ = jax.lax.scan(scan_body, x, params["blocks"])
+
+        if cfg.pool == "attn":
+            if x.shape[1] != cfg.seq_len:
+                x = x[:, : cfg.seq_len]
+            x = _layernorm(x, params["ln_post_scale"], params["ln_post_bias"],
+                           cfg.ln_eps)
+            pooled = _attention_pool(x, params, cfg.attn_pooler_heads,
+                                     cfg.ln_eps)
+        else:
+            pooled = _layernorm(x[:, 0], params["ln_post_scale"],
+                                params["ln_post_bias"], cfg.ln_eps)
+        emb = (pooled @ params["proj"].astype(compute_dtype)).astype(jnp.float32)
+        if normalize:
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return emb
+
+    return jax.jit(compat_shard_map(
+        body, mesh=mesh,
+        in_specs=(param_specs, P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    ))
+
+
+def vit_encode_tp_static(params, images, cfg: VitConfig, mesh: Mesh,
+                         compute_dtype=jnp.bfloat16, normalize: bool = True,
+                         fused_attention: bool | None = None):
+    """Tensor-parallel int8_static image-tower forward over a 2-D
+    ``('data', 'model')`` mesh → [B, embed_dim].
+
+    ``params`` must be a quantized pytree WITH attached act_amax scales,
+    already placed by :func:`place_tp_static` (qkv columns reordered; leaves
+    sharded per parallel/tp.TP_BLOCK_SPECS). Batch shards on ``data``.
+    Bit-identical to the single-device int8_static forward (int32 psums).
+    """
+    if fused_attention is None:
+        from clip_assisted_data_labeling_tpu.models.vit import (
+            default_fused_attention,
+        )
+
+        fused_attention = default_fused_attention()
+    if "act_amax" not in params["blocks"]:
+        raise ValueError("vit_encode_tp_static needs calibrated act_amax "
+                         "scales (models/vit.attach_act_amax)")
+    spec_key = tuple(
+        (name, tuple(sorted(leaf)) if isinstance(leaf, dict) else None)
+        for name, leaf in sorted(params.items())
+    )
+    fn = _tp_static_fn(mesh, cfg, compute_dtype, normalize, fused_attention,
+                       spec_key)
+    return fn(params, images)
