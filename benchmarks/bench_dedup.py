@@ -27,6 +27,8 @@ def main():
     parser.add_argument("--row_block", type=int, default=8192)
     parser.add_argument("--sharded", action="store_true")
     parser.add_argument("--repeats", type=int, default=2)
+    parser.add_argument("--wire", default="int8", choices=["int8", "fp16"],
+                        help="on-device embedding format (single-device path)")
     args = parser.parse_args()
 
     import jax
@@ -56,7 +58,7 @@ def main():
             find_duplicate_pairs as find,
         )
 
-        kw = {"row_block": args.row_block}
+        kw = {"row_block": args.row_block, "wire": args.wire}
 
     times = []
     for r in range(args.repeats):
@@ -67,7 +69,8 @@ def main():
     found = set(zip(res.rows.tolist(), res.cols.tolist()))
     assert all(p in found for p in planted), "planted duplicates missed!"
     print(json.dumps({
-        "metric": f"all-pairs dedup over {args.n} embeddings",
+        "metric": f"all-pairs dedup over {args.n} embeddings"
+                  + ("" if args.sharded else f" ({args.wire} wire)"),
         "value": round(min(times), 2),
         "unit": "seconds",
         "pairs": len(res.rows),

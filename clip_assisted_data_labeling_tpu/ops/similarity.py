@@ -49,6 +49,12 @@ class DedupResult:
 # have different reduction shapes); boundary pairs are kept, never dropped
 THRESHOLD_SLACK = 1e-5
 
+# int8-wire scan slack: per-row-quantized cosine error is ~1e-3 at D=768
+# (measured ~6e-4 rms); scanning at (threshold - slack) makes the int8 pass a
+# SUPERSET of the exact pass, and every candidate pair is re-checked in f32 on
+# the host before being reported — the final pair set is exact.
+INT8_SLACK = 0.02
+
 
 def normalize_rows(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, np.float32)
@@ -134,6 +140,78 @@ def _extract_hits(stacked, hit_rows, hit_gidx, n_real, threshold, k: int,
     return jax.lax.fori_loop(0, p, body, init)
 
 
+def quantize_rows_int8(normed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int8 quantization of normalized embeddings.
+
+    Halves the dominant H2D wire cost of large-N dedup vs the fp16 format
+    (~75 s of the 1M pass's 143 s was the tunnel moving fp16 embeddings,
+    BENCH_NOTES.md). Returns (int8 [N, D], f32 per-row scale [N])."""
+    amax = np.maximum(np.abs(normed).max(axis=1, keepdims=True), 1e-8)
+    scale = (amax / 127.0).astype(np.float32)
+    q = np.clip(np.round(normed / scale), -127, 127).astype(np.int8)
+    return q, scale[:, 0]
+
+
+def _tile_metric_q(rows_q, rows_s, cols_q, cols_s, euclidean: bool):
+    """int8-wire tile metric: int8×int8 MXU matmul (int32 accumulate), then
+    the per-row scale outer product on the VPU."""
+    acc = jax.lax.dot_general(
+        rows_q, cols_q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    sim = acc.astype(jnp.float32) * rows_s[:, None] * cols_s[None, :]
+    return jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim, 0.0)) if euclidean else sim
+
+
+@functools.partial(jax.jit, static_argnames=("euclidean",))
+def _scan_row_panel_q(stacked_q, scales, bi, n_real, threshold,
+                      euclidean: bool):
+    """int8-wire variant of :func:`_scan_row_panel` (same structure; the
+    caller lowers ``threshold`` by INT8_SLACK so counts are a superset)."""
+    p, b, _ = stacked_q.shape
+    rows_q = jax.lax.dynamic_index_in_dim(stacked_q, bi, 0, keepdims=False)
+    rows_s = jax.lax.dynamic_index_in_dim(scales, bi, 0, keepdims=False)
+    gi = bi * b + jnp.arange(b)[:, None]
+
+    def body(bj, acc):
+        cols_q = jax.lax.dynamic_index_in_dim(stacked_q, bj, 0, keepdims=False)
+        cols_s = jax.lax.dynamic_index_in_dim(scales, bj, 0, keepdims=False)
+        metric = _tile_metric_q(rows_q, rows_s, cols_q, cols_s, euclidean)
+        gj = bj * b + jnp.arange(b)[None, :]
+        valid = (gj > gi) & (gj < n_real) & (gi < n_real)
+        return acc + jnp.sum(valid & (metric > threshold), axis=1)
+
+    return jax.lax.fori_loop(bi, p, body, jnp.zeros((b,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "euclidean"))
+def _extract_hits_q(stacked_q, scales, hit_rows_q, hit_scales, hit_gidx,
+                    n_real, threshold, k: int, euclidean: bool):
+    """int8-wire variant of :func:`_extract_hits`."""
+    p, b, _ = stacked_q.shape
+    k_tile = min(k, b)
+
+    def body(bj, carry):
+        run_vals, run_idx = carry
+        cols_q = jax.lax.dynamic_index_in_dim(stacked_q, bj, 0, keepdims=False)
+        cols_s = jax.lax.dynamic_index_in_dim(scales, bj, 0, keepdims=False)
+        metric = _tile_metric_q(hit_rows_q, hit_scales, cols_q, cols_s,
+                                euclidean)
+        gj = bj * b + jnp.arange(b)[None, :]
+        valid = (gj > hit_gidx[:, None]) & (gj < n_real)
+        vals, idx = jax.lax.top_k(jnp.where(valid, metric, -jnp.inf), k_tile)
+        cat_v = jnp.concatenate([run_vals, vals], axis=1)
+        cat_i = jnp.concatenate([run_idx, idx + bj * b], axis=1)
+        run_vals, sel = jax.lax.top_k(cat_v, k)
+        run_idx = jnp.take_along_axis(cat_i, sel, axis=1)
+        return run_vals, run_idx
+
+    h = hit_rows_q.shape[0]
+    init = (jnp.full((h, k), -jnp.inf, jnp.float32), jnp.zeros((h, k), jnp.int32))
+    del threshold
+    return jax.lax.fori_loop(0, p, body, init)
+
+
 def _bucket(n: int, lo: int = 128) -> int:
     """Round up to a power of two (bounded recompilation across hit counts)."""
     size = lo
@@ -167,12 +245,22 @@ def build_hit_panel(hit: np.ndarray, normed: np.ndarray, n_pad: int,
     return panel, gidx
 
 
+def _exact_metric_host(normed: np.ndarray, rows: np.ndarray, cols: np.ndarray,
+                       euclidean: bool) -> np.ndarray:
+    """f32 host metric for candidate pairs (the int8 wire's exact recheck)."""
+    cos = np.einsum("ij,ij->i", normed[rows], normed[cols]).astype(np.float32)
+    if euclidean:
+        return np.sqrt(np.maximum(2.0 - 2.0 * cos, 0.0))
+    return cos
+
+
 def find_duplicate_pairs(
     embeddings: np.ndarray,
     threshold: float = 0.96,
     sim_type: str = "cosine",
     row_block: int = 8192,
     max_per_row: int = 16,
+    wire: str = "int8",
 ) -> DedupResult:
     """Single-device blocked all-pairs near-duplicate search, two passes:
 
@@ -183,8 +271,21 @@ def find_duplicate_pairs(
        gathered into one padded panel and get an exact per-row top-k against
        every column panel.
 
+    ``wire`` selects the on-device embedding format:
+      * ``"int8"`` (default) — per-row-quantized int8, HALF the fp16 wire's
+        host→device bytes (the dominant cost of the 1M pass on this tunnel,
+        BENCH_NOTES.md) and the MXU's fastest input format. The scan runs at
+        ``threshold - INT8_SLACK`` (superset) and every candidate pair is
+        re-checked in f32 on the host, so the REPORTED pair set and metrics
+        are exact — verified pair-identical to the fp16 path in
+        tests/test_dedup.py.
+      * ``"fp16"`` — the round-2 format (reference parity:
+        _2_remove_duplicates.py:38 also dedups in half precision).
+
     Peak device memory is O(row_block² + N·D) at any N.
     """
+    if wire not in ("int8", "fp16"):
+        raise ValueError(f"wire must be 'int8' or 'fp16', got {wire!r}")
     euclidean = sim_type == "euclidean"
     n = len(embeddings)
     normed = normalize_rows(embeddings)
@@ -201,42 +302,75 @@ def find_duplicate_pairs(
         return empty
 
     n_panels = n_pad // b
-    # fp16 over the wire: halves host→device traffic (the dominant cost for
-    # large N), matching the reference's half-precision dedup embeddings
-    stacked = jnp.asarray(normed.reshape(n_panels, b, -1).astype(np.float16))
-
-    # pass 1: exact above-threshold counts per row (queued async per row panel)
-    count_chunks = [
-        _scan_row_panel(stacked, jnp.int32(bi), n, threshold, euclidean)
-        for bi in range(n_panels)
-    ]
+    int8_wire = wire == "int8"
+    # the int8 scan must over-capture by its quantization error bound so the
+    # exact recheck below can only REMOVE false positives, never miss a pair
+    scan_threshold = threshold - INT8_SLACK if int8_wire else threshold
+    if int8_wire:
+        q, s_row = quantize_rows_int8(normed)
+        stacked_q = jnp.asarray(q.reshape(n_panels, b, -1))
+        scales = jnp.asarray(s_row.reshape(n_panels, b))
+        count_chunks = [
+            _scan_row_panel_q(stacked_q, scales, jnp.int32(bi), n,
+                              scan_threshold, euclidean)
+            for bi in range(n_panels)
+        ]
+    else:
+        stacked = jnp.asarray(normed.reshape(n_panels, b, -1).astype(np.float16))
+        count_chunks = [
+            _scan_row_panel(stacked, jnp.int32(bi), n, scan_threshold, euclidean)
+            for bi in range(n_panels)
+        ]
     counts = np.concatenate([np.asarray(c) for c in count_chunks]).astype(np.int64)
 
     hit = np.nonzero(counts > 0)[0]
     if hit.size == 0:
         return empty
 
-    # pass 2: exact top-k for hit rows only. Pass 1's counts are exact, so the
-    # capacity escalates itself: if any row has more matches than max_per_row,
-    # extract with a (power-of-two-bucketed) k that fits the worst row — no
-    # user re-run needed, overflow_rows is informational only.
+    # pass 2: exact top-k for hit rows only. Pass 1's counts bound the true
+    # match count from above, so the capacity escalates itself: if any row has
+    # more matches than max_per_row, extract with a (power-of-two-bucketed) k
+    # that fits the worst row — no user re-run needed, overflow_rows is
+    # informational only.
     k = min(_required_k(counts, max_per_row), n_pad)
-    hit_panel, gidx = build_hit_panel(hit, normed, n_pad, dtype=np.float16)
-
-    run_vals, run_idx = _extract_hits(
-        stacked, jnp.asarray(hit_panel), jnp.asarray(gidx), n, threshold, k,
-        euclidean,
-    )
+    if int8_wire:
+        hq, hs = quantize_rows_int8(normed[hit])
+        h_pad = _bucket(len(hit))
+        gidx = np.full(h_pad, n_pad + 1, np.int32)
+        gidx[: len(hit)] = hit
+        hit_q = np.zeros((h_pad, normed.shape[1]), np.int8)
+        hit_q[: len(hit)] = hq
+        hit_s = np.zeros(h_pad, np.float32)
+        hit_s[: len(hit)] = hs
+        run_vals, run_idx = _extract_hits_q(
+            stacked_q, scales, jnp.asarray(hit_q), jnp.asarray(hit_s),
+            jnp.asarray(gidx), n, scan_threshold, k, euclidean,
+        )
+    else:
+        hit_panel, gidx = build_hit_panel(hit, normed, n_pad, dtype=np.float16)
+        run_vals, run_idx = _extract_hits(
+            stacked, jnp.asarray(hit_panel), jnp.asarray(gidx), n,
+            scan_threshold, k, euclidean,
+        )
     v = np.asarray(run_vals)[: len(hit)]
     j = np.asarray(run_idx)[: len(hit)]
     # small slack: pass 2's matmul has a different reduction shape than pass 1's
     # count tiles, so a pair exactly at the threshold could otherwise round
     # below it here after rounding above it there and silently vanish
-    hit_r, hit_k = np.nonzero(v > threshold - THRESHOLD_SLACK)
+    hit_r, hit_k = np.nonzero(v > scan_threshold - THRESHOLD_SLACK)
+    rows = hit[hit_r].astype(np.int64)
+    cols = j[hit_r, hit_k].astype(np.int64)
+    metrics = v[hit_r, hit_k]
+    if int8_wire and len(rows):
+        # exact f32 recheck of the (few) candidates: drops the slack band's
+        # false positives and replaces approximate metrics with exact ones
+        exact = _exact_metric_host(normed, rows, cols, euclidean)
+        keep = exact > threshold - THRESHOLD_SLACK
+        rows, cols, metrics = rows[keep], cols[keep], exact[keep]
     return DedupResult(
-        rows=hit[hit_r].astype(np.int64),
-        cols=j[hit_r, hit_k].astype(np.int64),
-        metrics=v[hit_r, hit_k],
+        rows=rows,
+        cols=cols,
+        metrics=metrics,
         overflow_rows=np.nonzero(counts > max_per_row)[0].astype(np.int64),
     )
 

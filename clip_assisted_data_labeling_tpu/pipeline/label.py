@@ -67,6 +67,42 @@ def load_image_and_prompt(uuid: str, root_dir: str):
     return image, prompt
 
 
+class ThumbnailCache:
+    """LRU of letterboxed view frames keyed by uuid.
+
+    The reference re-reads and re-resizes every image from disk on every view
+    (_3_label_images.py:246-266) — a back-and-forth navigation pays full
+    decode+resize each arrow key. Caching the LETTERBOXED canvas (fixed size,
+    so memory is bounded at capacity·canvas bytes ≈ 2-3 MB each) makes repeat
+    views disk-free; unloadable images cache as None so broken files are not
+    re-probed every pass. ``show`` paths must draw on a COPY (the annotate
+    overlay mutates its frame)."""
+
+    def __init__(self, capacity: int = 64, loader=None):
+        import collections
+
+        self.capacity = capacity
+        self._loader = loader
+        self._store: "collections.OrderedDict" = collections.OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, uuid: str, root_dir: str):
+        """(letterboxed uint8 frame | None, prompt) — cached after first load."""
+        if uuid in self._store:
+            self._store.move_to_end(uuid)
+            self.hits += 1
+            return self._store[uuid]
+        self.misses += 1
+        loader = self._loader or load_image_and_prompt
+        image, prompt = loader(uuid, root_dir)
+        entry = (letterbox(image) if image is not None else None, prompt)
+        self._store[uuid] = entry
+        while len(self._store) > self.capacity:
+            self._store.popitem(last=False)
+        return entry
+
+
 def _annotate(image, label, predicted_label, prompt, progress):
     import cv2
 
@@ -123,6 +159,7 @@ def label_dataset(
     current = 0
     new_labels = 0
     consecutive_skips = 0
+    thumbs = ThumbnailCache()
     while True:
         if consecutive_skips >= len(image_files):
             # every remaining image is labeled or unloadable — don't busy-spin
@@ -137,14 +174,14 @@ def label_dataset(
             continue
         skip_labeled_files = False
 
-        image, prompt = load_image_and_prompt(uuid, root_dir)
-        if image is None:
+        thumb, prompt = thumbs.get(uuid, root_dir)
+        if thumb is None:
             current = (current + 1) % len(image_files)
             consecutive_skips += 1
             continue
         consecutive_skips = 0
         frame = _annotate(
-            letterbox(image),
+            thumb.copy(),  # the overlay draws in place; keep the cache clean
             label if _is_labeled(label) else None,
             db.get_predicted_label(uuid),
             prompt,

