@@ -112,6 +112,14 @@ for _arch, _kw in _ARCHS.items():
 for _arch, _kw in _PE_ARCHS.items():
     MODEL_REGISTRY[_arch] = VitConfig(**_kw)
 
+# tiny quick_gelu config matching tests/test_vit_parity.SMALL's HF dims —
+# lets the real-weight runbook (scripts/validate_real_weights.py) exercise its
+# full torch-parity path in CI on a locally-trained HF checkpoint
+MODEL_REGISTRY["ViT-Test-HF/tiny"] = VitConfig(
+    width=64, layers=3, heads=4, patch_size=8, image_size=32, embed_dim=16,
+    act="quick_gelu",
+)
+
 # tiny PE config for tests (RoPE + attention pooling, no cls token)
 MODEL_REGISTRY["PE-Test/tiny"] = VitConfig(
     width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16,

@@ -243,17 +243,45 @@ def fused_attention_packed_grouped(
     return out[:, :s, :]
 
 
+def grouped_attention_fits(s: int, width: int, heads: int,
+                           itemsize: int = 2) -> bool:
+    """Can the head-grouped kernel's per-step [3, S_pad, wg] block (wg = the
+    smallest 128-multiple head slice) fit scoped VMEM double-buffered, plus
+    its row-tiled working set?"""
+    s_pad = _round_up(s, 8)
+    d = width // heads
+    wg = d
+    while wg % 128 != 0:
+        wg += d
+    q_tile = s_pad if s_pad <= 448 else 256
+    blocks = 2 * (3 * s_pad * wg + s_pad * wg) * itemsize
+    working = 2 * q_tile * s_pad * 4
+    return blocks + working <= 14 * 2**20
+
+
 def packed_attention_auto(qkv, heads: int, scale: float,
                           s_real: int | None = None, rope: tuple | None = None):
-    """Choose the packed-attention implementation by VMEM budget: the whole-
-    block kernel when it fits, the k/v-streaming flash kernel otherwise
-    (small fixed VMEM footprint at ANY sequence length — PE-G14-448's S=1024
-    never falls off the fused path). Used by every fused block path in
-    models/vit.py."""
+    """Choose the packed-attention implementation by VMEM budget, fastest
+    first (all three measured on-chip, benchmarks/bench_attention.py):
+
+      1. whole-block — one [S, 3w] block resident, zero re-reads; wins
+         wherever it fits (ViT-L-224: 3.1 ms vs grouped 3.9 / flash 4.8;
+         ViT-L-336: 4.5 vs 6.0 / 4.8),
+      2. head-grouped — k/v of a 128-multiple head slice resident per step;
+         wins at PE-G14-448 (3.6 ms vs flash 5.9, XLA fallback 5.1),
+      3. k/v-streaming flash — fixed ~2 MB footprint at ANY sequence length
+         (it re-reads k/v once per q tile, so it only wins when even one
+         head-group's [3, S, wg] overflows VMEM: S ≳ 7k).
+
+    The XLA fallback is never needed — the biggest tower stays on a fused
+    path. Used by every fused block path in models/vit.py."""
     w = qkv.shape[-1] // 3
     if packed_attention_fits(qkv.shape[1], w, qkv.dtype.itemsize):
         return fused_attention_packed(qkv, heads=heads, scale=scale,
                                       s_real=s_real, rope=rope)
+    if grouped_attention_fits(qkv.shape[1], w, heads, qkv.dtype.itemsize):
+        return fused_attention_packed_grouped(qkv, heads=heads, scale=scale,
+                                              s_real=s_real, rope=rope)
     return flash_attention_packed(qkv, heads=heads, scale=scale,
                                   s_real=s_real, rope=rope)
 
