@@ -72,6 +72,9 @@ class DedupConfig:
     chunk_size: int = 0  # 0 = no chunking (mesh-sharded path lifts the reference's 10k cap)
     test: bool = False
     max_pairs_per_row: int = 16  # fixed-capacity on-device pair emission per row block
+    # on-device embedding format: int8 (half the H2D bytes; exact pair set via
+    # f32 host recheck) or fp16 (reference parity format)
+    wire: str = "int8"
 
 
 @dataclasses.dataclass(frozen=True)

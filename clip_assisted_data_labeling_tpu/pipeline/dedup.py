@@ -129,7 +129,7 @@ def run_dedup(root_dir: str, cfg: DedupConfig, use_mesh: bool | None = None,
     else:
         result = find_duplicate_pairs(
             emb, threshold=cfg.threshold, sim_type=cfg.sim_type,
-            max_per_row=cfg.max_pairs_per_row,
+            max_per_row=cfg.max_pairs_per_row, wire=cfg.wire,
         )
     if result.overflow_rows.size:
         print(
@@ -173,6 +173,11 @@ def main(argv=None):
                         help="accepted for reference-CLI compatibility; the TPU "
                         "path searches the whole dataset globally")
     parser.add_argument("--max_pairs_per_row", type=int, default=16)
+    parser.add_argument("--wire", type=str, default="int8",
+                        choices=["int8", "fp16"],
+                        help="on-device embedding format: int8 halves the "
+                        "host->device bytes (pair set stays exact via an f32 "
+                        "host recheck); fp16 is the reference-parity format")
     parser.add_argument("--test", action="store_true")
     parser.add_argument("--distributed", action="store_true",
                         help="ring the similarity over ALL hosts' devices; "
@@ -200,6 +205,7 @@ def main(argv=None):
         chunk_size=args.chunk_size,
         test=args.test,
         max_pairs_per_row=args.max_pairs_per_row,
+        wire=args.wire,
     )
     run_dedup(args.root_dir, cfg, global_mesh=args.distributed)
 
