@@ -49,6 +49,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _q_tile(s_pad: int) -> int:
+    """Query-row tile for the long-sequence kernels. Whole block when it's
+    small; otherwise prefer the LARGEST 8-multiple divisor of s_pad in
+    [128, 448] — a dividing tile needs no clamped final tile, so no rows are
+    recomputed (256 at ViT-L-336's s_pad=584 left a 72-row overlap tile:
+    ~12% redundant score/exp work); 256-with-clamp is the fallback for
+    divisor-free lengths."""
+    if s_pad <= 448:
+        return s_pad
+    for t in range(448, 127, -8):
+        if s_pad % t == 0:
+            return t
+    return 256
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def fused_attention(
     q: jnp.ndarray,  # [B, h, S, d]
@@ -82,10 +97,11 @@ def packed_attention_fits(s: int, width: int, itemsize: int = 2) -> bool:
     """Can the packed kernel's per-step block fit the ~16 MB scoped VMEM
     budget at grid granularity 1? (Double-buffered [S_pad, 3w] in +
     [S_pad, w] out, plus the row-tiled score working set.) PE-G14-448
-    (S=1024, w=1536) overflows — callers fall back to the XLA path.
+    (S=1024, w=1536) overflows — packed_attention_auto routes it to the
+    head-grouped kernel (then the flash kernel beyond THAT gate).
     ``itemsize``: bytes per qkv element (2 for bf16; f32 runs pass 4)."""
     s_pad = _round_up(s, 8)
-    q_tile = s_pad if s_pad <= 448 else 256
+    q_tile = _q_tile(s_pad)
     blocks = 2 * s_pad * 4 * width * itemsize
     working = 2 * q_tile * s_pad * 4 + 4 * s_pad * width
     return blocks + working <= 14 * 2**20
@@ -137,7 +153,7 @@ def _packed_grouped_kernel(qkv_ref, *refs, heads_per_group: int, scale: float,
     s_pad = qkv_ref.shape[2]  # layout [1, 3, S_pad, wg]
     wg = o_ref.shape[2]
     d = wg // heads_per_group
-    q_tile = s_pad if s_pad <= 448 else 256
+    q_tile = _q_tile(s_pad)
     n_tiles = -(-s_pad // q_tile)
     col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, s_pad), 1)
     for h in range(heads_per_group):
@@ -253,7 +269,7 @@ def grouped_attention_fits(s: int, width: int, heads: int,
     wg = d
     while wg % 128 != 0:
         wg += d
-    q_tile = s_pad if s_pad <= 448 else 256
+    q_tile = _q_tile(s_pad)
     blocks = 2 * (3 * s_pad * wg + s_pad * wg) * itemsize
     working = 2 * q_tile * s_pad * 4
     return blocks + working <= 14 * 2**20
@@ -718,7 +734,7 @@ def _packed_kernel(qkv_ref, *refs, heads: int, scale: float, s_real: int,
     # complete key columns, so row tiles are exact; the final tile clamps
     # backwards to an 8-aligned start (idempotent rewrites) instead of
     # masking a ragged remainder.
-    q_tile = s_pad if s_pad <= 448 else 256
+    q_tile = _q_tile(s_pad)
     n_tiles = -(-s_pad // q_tile)
     col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, s_pad), 1)
     for i in range(g):

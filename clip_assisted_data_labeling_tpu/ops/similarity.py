@@ -49,11 +49,15 @@ class DedupResult:
 # have different reduction shapes); boundary pairs are kept, never dropped
 THRESHOLD_SLACK = 1e-5
 
-# int8-wire scan slack: per-row-quantized cosine error is ~1e-3 at D=768
-# (measured ~6e-4 rms); scanning at (threshold - slack) makes the int8 pass a
-# SUPERSET of the exact pass, and every candidate pair is re-checked in f32 on
-# the host before being reported — the final pair set is exact.
+# Wire-format scan slacks: the device scan runs at (threshold - slack) so the
+# candidate set is a SUPERSET of the exact pass, and every candidate pair is
+# re-checked in f32 on the host before being reported — the final pair set is
+# exact for EITHER wire. int8: per-row-quantized cosine error is ~1e-3 at
+# D=768 (measured ~6e-4 rms). fp16: element rounding is 2^-11, which bounds
+# the cosine error near ~1e-3 — an exact-duplicate pair can read 0.99987 in
+# fp16 and silently miss a 0.9999 threshold without the slack+recheck.
 INT8_SLACK = 0.02
+FP16_SLACK = 2e-3
 
 
 def normalize_rows(x: np.ndarray) -> np.ndarray:
@@ -274,13 +278,15 @@ def find_duplicate_pairs(
     ``wire`` selects the on-device embedding format:
       * ``"int8"`` (default) — per-row-quantized int8, HALF the fp16 wire's
         host→device bytes (the dominant cost of the 1M pass on this tunnel,
-        BENCH_NOTES.md) and the MXU's fastest input format. The scan runs at
-        ``threshold - INT8_SLACK`` (superset) and every candidate pair is
-        re-checked in f32 on the host, so the REPORTED pair set and metrics
-        are exact — verified pair-identical to the fp16 path in
-        tests/test_dedup.py.
+        BENCH_NOTES.md) and the MXU's fastest input format.
       * ``"fp16"`` — the round-2 format (reference parity:
         _2_remove_duplicates.py:38 also dedups in half precision).
+
+    Both wires lose precision, so both scan at a lowered threshold (superset)
+    and every candidate pair is re-checked in f32 on the host: the REPORTED
+    pair set and metrics are exact and wire-independent (tests/test_dedup.py;
+    without the recheck, an exact-duplicate pair can read 0.99987 over the
+    fp16 wire and silently miss a 0.9999 threshold).
 
     Peak device memory is O(row_block² + N·D) at any N.
     """
@@ -303,9 +309,9 @@ def find_duplicate_pairs(
 
     n_panels = n_pad // b
     int8_wire = wire == "int8"
-    # the int8 scan must over-capture by its quantization error bound so the
+    # the scan must over-capture by the wire's quantization error bound so the
     # exact recheck below can only REMOVE false positives, never miss a pair
-    scan_threshold = threshold - INT8_SLACK if int8_wire else threshold
+    scan_threshold = threshold - (INT8_SLACK if int8_wire else FP16_SLACK)
     if int8_wire:
         q, s_row = quantize_rows_int8(normed)
         stacked_q = jnp.asarray(q.reshape(n_panels, b, -1))
@@ -361,7 +367,7 @@ def find_duplicate_pairs(
     rows = hit[hit_r].astype(np.int64)
     cols = j[hit_r, hit_k].astype(np.int64)
     metrics = v[hit_r, hit_k]
-    if int8_wire and len(rows):
+    if len(rows):
         # exact f32 recheck of the (few) candidates: drops the slack band's
         # false positives and replaces approximate metrics with exact ones
         exact = _exact_metric_host(normed, rows, cols, euclidean)

@@ -32,8 +32,10 @@ from clip_assisted_data_labeling_tpu.parallel.mesh import (
 )
 
 from clip_assisted_data_labeling_tpu.ops.similarity import (
+    FP16_SLACK,
     THRESHOLD_SLACK,
     DedupResult,
+    _exact_metric_host,
     _required_k,
     _tile_metric as _metric,
     build_hit_panel,
@@ -169,10 +171,16 @@ def find_duplicate_pairs_sharded(
     )
 
     # fp16 over the wire and around the ring: halves H2D + ICI traffic (the
-    # reference dedups in half precision too, _2_remove_duplicates.py:38)
+    # reference dedups in half precision too, _2_remove_duplicates.py:38).
+    # fp16 rounding moves a cosine by up to ~1e-3, so the device passes run at
+    # a LOWERED threshold (superset) and candidates are re-checked in f32 on
+    # the host — the reported pair set is exact (same contract as the
+    # single-device wires, ops/similarity.find_duplicate_pairs).
+    scan_threshold = threshold - FP16_SLACK
     sharded = _put_row_sharded(normed, mesh, axis)
     counts = _fetch(
-        _ring_counts(sharded, n, threshold, mesh, n_devices, euclidean, axis), mesh
+        _ring_counts(sharded, n, scan_threshold, mesh, n_devices, euclidean,
+                     axis), mesh
     )
     hit = np.nonzero(counts > 0)[0]
     if hit.size == 0:
@@ -197,10 +205,20 @@ def find_duplicate_pairs_sharded(
 
     # slack: pass 2's matmul reduction shape differs from pass 1's, so an
     # exactly-at-threshold pair must not round below it here and vanish
-    hit_r, hit_k = np.nonzero(v > threshold - THRESHOLD_SLACK)
+    hit_r, hit_k = np.nonzero(v > scan_threshold - THRESHOLD_SLACK)
+    rows = hit[hit_r].astype(np.int64)
+    cols = j[hit_r, hit_k].astype(np.int64)
+    metrics = v[hit_r, hit_k].astype(np.float32)
+    if len(rows):
+        # exact f32 recheck (host): drops the slack band's false positives,
+        # replaces fp16-rounded metrics with exact ones
+        normed_f32 = normalize_rows(embeddings)
+        exact = _exact_metric_host(normed_f32, rows, cols, euclidean)
+        keep = exact > threshold - THRESHOLD_SLACK
+        rows, cols, metrics = rows[keep], cols[keep], exact[keep]
     return DedupResult(
-        rows=hit[hit_r].astype(np.int64),
-        cols=j[hit_r, hit_k].astype(np.int64),
-        metrics=v[hit_r, hit_k].astype(np.float32),
+        rows=rows,
+        cols=cols,
+        metrics=metrics,
         overflow_rows=np.nonzero(counts > max_per_row)[0].astype(np.int64),
     )
