@@ -52,7 +52,7 @@ def main():
             get_mesh,
         )
 
-        kw = {"mesh": get_mesh()}
+        kw = {"mesh": get_mesh(), "wire": args.wire}
     else:
         from clip_assisted_data_labeling_tpu.ops.similarity import (
             find_duplicate_pairs as find,
@@ -70,7 +70,7 @@ def main():
     assert all(p in found for p in planted), "planted duplicates missed!"
     print(json.dumps({
         "metric": f"all-pairs dedup over {args.n} embeddings"
-                  + ("" if args.sharded else f" ({args.wire} wire)"),
+                  + f" ({args.wire} wire)",
         "value": round(min(times), 2),
         "unit": "seconds",
         "pairs": len(res.rows),

@@ -33,13 +33,16 @@ from clip_assisted_data_labeling_tpu.parallel.mesh import (
 
 from clip_assisted_data_labeling_tpu.ops.similarity import (
     FP16_SLACK,
+    INT8_SLACK,
     THRESHOLD_SLACK,
     DedupResult,
     _exact_metric_host,
     _required_k,
     _tile_metric as _metric,
+    _tile_metric_q as _metric_q,
     build_hit_panel,
     normalize_rows,
+    quantize_rows_int8,
 )
 
 
@@ -53,7 +56,7 @@ def _spans_processes(mesh: Mesh) -> bool:
 def _put_row_sharded(normed: np.ndarray, mesh: Mesh, axis: str):
     """Row-shard the (host-complete) embedding panel over the mesh. On a
     multi-host mesh each process feeds only its addressable shards."""
-    sharding = NamedSharding(mesh, P(axis, None))
+    sharding = NamedSharding(mesh, P(axis, *([None] * (normed.ndim - 1))))
     if not _spans_processes(mesh):
         return jax.device_put(jnp.asarray(normed), sharding)
     arrays = [
@@ -115,6 +118,73 @@ def _ring_counts(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("mesh", "n_devices", "euclidean", "axis")
+)
+def _ring_counts_q(
+    q8, scales, n_real, threshold, mesh: Mesh, n_devices: int, euclidean: bool,
+    axis: str = "data",
+):
+    """int8-wire pass 1: the per-row-quantized panel AND its f32 row scales
+    ride the ring together — the ICI bytes per step drop to D + 4 per row
+    (vs 2·D fp16). Caller lowers ``threshold`` by the int8 slack; the exact
+    host recheck keeps the final pair set identical to the fp16 ring's."""
+    m = q8.shape[0] // n_devices
+
+    def ring_fn(local_q, local_s):
+        local_q = local_q.reshape(m, local_q.shape[-1])
+        local_s = local_s.reshape(m)
+        p = jax.lax.axis_index(axis)
+        gi = p * m + jnp.arange(m)[:, None]
+        col_q, col_s = local_q, local_s
+        counts = jnp.zeros((m,), jnp.int32)
+        perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+        for s in range(n_devices):
+            src = (p - s) % n_devices
+            metric = _metric_q(local_q, local_s, col_q, col_s, euclidean)
+            gj = src * m + jnp.arange(m)[None, :]
+            valid = (gj > gi) & (gj < n_real) & (gi < n_real)
+            counts = counts + jnp.sum(valid & (metric > threshold), axis=1)
+            if s < n_devices - 1:
+                col_q = jax.lax.ppermute(col_q, axis, perm)
+                col_s = jax.lax.ppermute(col_s, axis, perm)
+        return counts
+
+    return shard_map(
+        ring_fn, mesh=mesh, in_specs=(P(axis, None), P(axis)),
+        out_specs=P(axis),
+    )(q8, scales)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "n_devices", "k", "euclidean", "axis")
+)
+def _sharded_extract_q(
+    q8, scales, hit_q, hit_s, hit_gidx, n_real, mesh: Mesh, n_devices: int,
+    k: int, euclidean: bool, axis: str = "data",
+):
+    """int8-wire pass 2 (structure of :func:`_sharded_extract`)."""
+    m = q8.shape[0] // n_devices
+    k_tile = min(k, m)
+
+    def extract_fn(local_q, local_s, hq, hs, gidx):
+        local_q = local_q.reshape(m, local_q.shape[-1])
+        local_s = local_s.reshape(m)
+        p = jax.lax.axis_index(axis)
+        metric = _metric_q(hq, hs, local_q, local_s, euclidean)
+        gj = p * m + jnp.arange(m)[None, :]
+        valid = (gj > gidx[:, None]) & (gj < n_real)
+        vals, idx = jax.lax.top_k(jnp.where(valid, metric, -jnp.inf), k_tile)
+        return vals[None], (idx + p * m)[None]
+
+    return shard_map(
+        extract_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P(), P()),
+        out_specs=(P(axis, None, None), P(axis, None, None)),
+    )(q8, scales, hit_q, hit_s, hit_gidx)
+
+
+@functools.partial(
     jax.jit, static_argnames=("mesh", "n_devices", "k", "euclidean", "axis")
 )
 def _sharded_extract(
@@ -151,7 +221,10 @@ def find_duplicate_pairs_sharded(
     mesh: Mesh | None = None,
     max_per_row: int = 16,
     axis: str = "data",
+    wire: str = "int8",
 ) -> DedupResult:
+    if wire not in ("int8", "fp16"):
+        raise ValueError(f"wire must be 'int8' or 'fp16', got {wire!r}")
     if mesh is None:
         from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh
 
@@ -159,29 +232,42 @@ def find_duplicate_pairs_sharded(
     n_devices = int(np.prod(mesh.devices.shape))
     n = len(embeddings)
     euclidean = sim_type == "euclidean"
-    normed = normalize_rows(embeddings).astype(np.float16)
+    int8_wire = wire == "int8"
+    normed_f32 = normalize_rows(embeddings)
     m = (n + n_devices - 1) // n_devices
     n_pad = m * n_devices
     if n_pad != n:
-        normed = np.pad(normed, ((0, n_pad - n), (0, 0)))
+        normed_f32 = np.pad(normed_f32, ((0, n_pad - n), (0, 0)))
 
     empty = DedupResult(
         np.empty(0, np.int64), np.empty(0, np.int64),
         np.empty(0, np.float32), np.empty(0, np.int64),
     )
 
-    # fp16 over the wire and around the ring: halves H2D + ICI traffic (the
-    # reference dedups in half precision too, _2_remove_duplicates.py:38).
-    # fp16 rounding moves a cosine by up to ~1e-3, so the device passes run at
-    # a LOWERED threshold (superset) and candidates are re-checked in f32 on
-    # the host — the reported pair set is exact (same contract as the
-    # single-device wires, ops/similarity.find_duplicate_pairs).
-    scan_threshold = threshold - FP16_SLACK
-    sharded = _put_row_sharded(normed, mesh, axis)
-    counts = _fetch(
-        _ring_counts(sharded, n, scan_threshold, mesh, n_devices, euclidean,
-                     axis), mesh
-    )
+    # Quantized over the wire and around the ring: int8 (default) ships D + 4
+    # bytes per row per ring step, fp16 (reference parity: the reference also
+    # dedups in half precision, _2_remove_duplicates.py:38) ships 2·D. Either
+    # wire loses precision (fp16 rounding alone moves a cosine up to ~1e-3),
+    # so the device passes run at a LOWERED threshold (superset) and
+    # candidates are re-checked in f32 on the host — the reported pair set is
+    # exact and wire-independent (same contract as the single-device path,
+    # ops/similarity.find_duplicate_pairs).
+    scan_threshold = threshold - (INT8_SLACK if int8_wire else FP16_SLACK)
+    if int8_wire:
+        q8, s_row = quantize_rows_int8(normed_f32)
+        sharded_q = _put_row_sharded(q8, mesh, axis)
+        sharded_s = _put_row_sharded(s_row, mesh, axis)
+        counts = _fetch(
+            _ring_counts_q(sharded_q, sharded_s, n, scan_threshold, mesh,
+                           n_devices, euclidean, axis), mesh
+        )
+    else:
+        normed = normed_f32.astype(np.float16)
+        sharded = _put_row_sharded(normed, mesh, axis)
+        counts = _fetch(
+            _ring_counts(sharded, n, scan_threshold, mesh, n_devices,
+                         euclidean, axis), mesh
+        )
     hit = np.nonzero(counts > 0)[0]
     if hit.size == 0:
         return empty
@@ -189,13 +275,30 @@ def find_duplicate_pairs_sharded(
     # auto-escalate per-row capacity to fit the worst exact count (see
     # ops/similarity._required_k) — overflow never requires a user re-run
     k = min(_required_k(counts, max_per_row), n_pad)
-    hit_panel, gidx = build_hit_panel(hit, normed, n_pad, dtype=np.float16)
-    h_pad = len(hit_panel)
+    if int8_wire:
+        from clip_assisted_data_labeling_tpu.ops.similarity import _bucket
 
-    vals, idx = _sharded_extract(
-        sharded, _put_replicated(hit_panel, mesh), _put_replicated(gidx, mesh),
-        n, mesh, n_devices, k, euclidean, axis,
-    )
+        hq_rows, hs_rows = quantize_rows_int8(normed_f32[hit])
+        h_pad = _bucket(len(hit))
+        gidx = np.full(h_pad, n_pad + 1, np.int32)
+        gidx[: len(hit)] = hit
+        hit_q = np.zeros((h_pad, normed_f32.shape[1]), np.int8)
+        hit_q[: len(hit)] = hq_rows
+        hit_s = np.zeros(h_pad, np.float32)
+        hit_s[: len(hit)] = hs_rows
+        vals, idx = _sharded_extract_q(
+            sharded_q, sharded_s, _put_replicated(hit_q, mesh),
+            _put_replicated(hit_s, mesh), _put_replicated(gidx, mesh),
+            n, mesh, n_devices, k, euclidean, axis,
+        )
+    else:
+        hit_panel, gidx = build_hit_panel(hit, normed, n_pad, dtype=np.float16)
+        h_pad = len(hit_panel)
+        vals, idx = _sharded_extract(
+            sharded, _put_replicated(hit_panel, mesh),
+            _put_replicated(gidx, mesh), n, mesh, n_devices, k, euclidean,
+            axis,
+        )
     # merge the d per-device top-k lists: [d, H, k_tile] → [H, d*k_tile] → top-k
     v = _fetch(vals, mesh).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hit)]
     j = _fetch(idx, mesh).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hit)]
@@ -211,8 +314,7 @@ def find_duplicate_pairs_sharded(
     metrics = v[hit_r, hit_k].astype(np.float32)
     if len(rows):
         # exact f32 recheck (host): drops the slack band's false positives,
-        # replaces fp16-rounded metrics with exact ones
-        normed_f32 = normalize_rows(embeddings)
+        # replaces wire-rounded metrics with exact ones
         exact = _exact_metric_host(normed_f32, rows, cols, euclidean)
         keep = exact > threshold - THRESHOLD_SLACK
         rows, cols, metrics = rows[keep], cols[keep], exact[keep]

@@ -124,7 +124,7 @@ def run_dedup(root_dir: str, cfg: DedupConfig, use_mesh: bool | None = None,
         result = find_duplicate_pairs_sharded(
             emb, threshold=cfg.threshold, sim_type=cfg.sim_type,
             mesh=get_global_mesh() if global_mesh else get_mesh(),
-            max_per_row=cfg.max_pairs_per_row,
+            max_per_row=cfg.max_pairs_per_row, wire=cfg.wire,
         )
     else:
         result = find_duplicate_pairs(

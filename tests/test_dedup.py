@@ -155,3 +155,23 @@ def test_int8_wire_pair_set_identical_to_fp16(rng):
 
     with pytest.raises(ValueError, match="wire"):
         find_duplicate_pairs(emb, wire="fp8")
+
+
+def test_sharded_int8_wire_matches_fp16(rng):
+    """The int8 ring (quantized panels + scales riding the ppermute ring)
+    must report the identical exact pair set as the fp16 ring and the
+    single-device path."""
+    emb, expected = make_embeddings(rng, n=240, d=48, n_dupes=10)
+    mesh = get_mesh()
+    a = find_duplicate_pairs_sharded(emb, threshold=0.97, mesh=mesh,
+                                     wire="int8")
+    b = find_duplicate_pairs_sharded(emb, threshold=0.97, mesh=mesh,
+                                     wire="fp16")
+    c = find_duplicate_pairs(emb, threshold=0.97, row_block=64)
+    sa = set(zip(a.rows.tolist(), a.cols.tolist()))
+    assert sa == set(zip(b.rows.tolist(), b.cols.tolist()))
+    assert sa == set(zip(c.rows.tolist(), c.cols.tolist())) == expected
+    # metrics come from the exact f32 recheck on every path
+    normed = normalize_rows(emb)
+    for i, j, m in a.pairs():
+        assert abs(float(normed[i] @ normed[j]) - m) < 1e-6
