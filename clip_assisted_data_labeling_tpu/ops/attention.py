@@ -53,15 +53,32 @@ def _q_tile(s_pad: int) -> int:
     """Query-row tile for the long-sequence kernels. Whole block when it's
     small; otherwise prefer the LARGEST 8-multiple divisor of s_pad in
     [128, 448] — a dividing tile needs no clamped final tile, so no rows are
-    recomputed (256 at ViT-L-336's s_pad=584 left a 72-row overlap tile:
-    ~12% redundant score/exp work); 256-with-clamp is the fallback for
-    divisor-free lengths."""
+    recomputed (256-with-clamp at ViT-L-336's s_pad=584 ran tiles at rows
+    0/256/328: 184 of 584 rows' scores+softmax+AV computed TWICE);
+    256-with-clamp remains the fallback for divisor-free lengths (callers
+    avoid it by padding with :func:`_pad_for_tiling`)."""
     if s_pad <= 448:
         return s_pad
     for t in range(448, 127, -8):
         if s_pad % t == 0:
             return t
     return 256
+
+
+def _pad_for_tiling(s: int) -> int:
+    """Sequence padding that buys exact q-row tiling: the smallest 8-multiple
+    ≥ s (searched ≤64 rows up) that an in-range _q_tile divides exactly.
+    ViT-L-336's 577 tokens pad to 592 = 2×296 (1.4% masked pad rows) instead
+    of 584 with a 24%-overlap clamped tile. Padded rows/columns are handled
+    by the kernels' existing s_real masking."""
+    base = _round_up(s, 8)
+    if base <= 448:
+        return base
+    for extra in range(0, 65, 8):
+        sp = base + extra
+        if sp % _q_tile(sp) == 0:
+            return sp
+    return base
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -100,7 +117,7 @@ def packed_attention_fits(s: int, width: int, itemsize: int = 2) -> bool:
     (S=1024, w=1536) overflows — packed_attention_auto routes it to the
     head-grouped kernel (then the flash kernel beyond THAT gate).
     ``itemsize``: bytes per qkv element (2 for bf16; f32 runs pass 4)."""
-    s_pad = _round_up(s, 8)
+    s_pad = _pad_for_tiling(s)
     q_tile = _q_tile(s_pad)
     blocks = 2 * s_pad * 4 * width * itemsize
     working = 2 * q_tile * s_pad * 4 + 4 * s_pad * width
@@ -224,7 +241,7 @@ def fused_attention_packed_grouped(
             ):
                 head_group = hg
                 break
-    s_pad = _round_up(s, 8)
+    s_pad = _pad_for_tiling(s)
     if s_pad != s:
         qkv = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)])
     qkv4 = qkv.reshape(b, s_pad, 3, w).transpose(0, 2, 1, 3)
@@ -264,7 +281,7 @@ def grouped_attention_fits(s: int, width: int, heads: int,
     """Can the head-grouped kernel's per-step [3, S_pad, wg] block (wg = the
     smallest 128-multiple head slice) fit scoped VMEM double-buffered, plus
     its row-tiled working set?"""
-    s_pad = _round_up(s, 8)
+    s_pad = _pad_for_tiling(s)
     d = width // heads
     wg = d
     while wg % 128 != 0:
@@ -825,7 +842,7 @@ def fused_attention_packed(
     if s_real is None:
         s_real = s
     w = w3 // 3
-    s_pad = _round_up(s, 8)
+    s_pad = _pad_for_tiling(s)
     if s_pad != s:
         qkv = jnp.pad(qkv, [(0, 0), (0, s_pad - s), (0, 0)])
     rope_in, rope_specs = [], []
