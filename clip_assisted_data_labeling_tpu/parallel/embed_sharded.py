@@ -42,6 +42,7 @@ class ShardedEmbedder:
         self._repl = NamedSharding(mesh, P())
         self._data = NamedSharding(mesh, P("data"))
         self._dp_only = "model" not in mesh.axis_names
+        self._tp_static = False  # set by calibrate_static on 2-D meshes
         if not self._dp_only:
             # 2-D (data, model) mesh: tensor-parallel param layout for towers
             # too big to replicate per chip (rules in parallel/tp.py)
@@ -71,11 +72,6 @@ class ShardedEmbedder:
         from clip_assisted_data_labeling_tpu.ops import knobs
 
         if "act_amax" in self.params.get("blocks", {}):
-            return
-        if not self._dp_only:
-            # the static path runs Pallas blocks GSPMD cannot partition; the
-            # TP mesh keeps dynamic per-row quantization (same int8 weights)
-            print("int8_static: TP mesh keeps dynamic activation quantization")
             return
         import os
 
@@ -107,10 +103,30 @@ class ShardedEmbedder:
                 print(f"Saved static int8 calibration to {self.calibration_path}")
         if not knobs.INT8_WIRE:  # mirror encoders.py
             amax = {"act_amax": amax["act_amax"]}
-        self.params = attach_act_amax(self.params, amax)
-        self.params = jax.tree.map(
-            lambda x: jax.device_put(x, self._repl), self.params
+        if self._dp_only:
+            self.params = attach_act_amax(self.params, amax)
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(x, self._repl), self.params
+            )
+            return
+        # 2-D (data, model) mesh: GSPMD cannot partition the static Pallas
+        # blocks, so switch to the EXPLICIT-collective TP formulation
+        # (parallel/tp_static.py) — bit-identical to single-device
+        # int8_static, FLOPs split over the model axis. The reorder/placement
+        # gathers params to host once (fine at these scales; giant towers
+        # should load pre-reordered checkpoints).
+        from clip_assisted_data_labeling_tpu.parallel.tp_static import (
+            place_tp_static,
         )
+
+        host_params = jax.tree.map(np.asarray, self.params)
+        host_params = attach_act_amax(host_params, amax)
+        # the q8s attention wire is not formulated for TP shards; keep the
+        # per-tensor static sites only (the wire is measured-neutral anyway)
+        host_params["blocks"].pop("qkv_amax", None)
+        self.params = place_tp_static(host_params, self.mesh, self.cfg)
+        self._tp_static = True
+        print(f"int8_static: explicit-collective TP over {dict(self.mesh.shape)}")
 
     def embed(self, canvas_u8, crop_params, stat_params=None):
         assert canvas_u8.shape[0] % self.n_devices == 0, (
@@ -126,6 +142,24 @@ class ShardedEmbedder:
                 sp = jax.device_put(stat_params, self._data)
                 return stats_fn(self.params, canvas, cp, sp)
             return emb_fn(self.params, canvas, cp)
+        if self._tp_static:
+            # explicit-collective TP int8_static: crops (+stats) are pure
+            # data-parallel GSPMD; the tower runs the shard_map TP program
+            from clip_assisted_data_labeling_tpu.parallel.tp_static import (
+                vit_encode_tp_static,
+            )
+
+            crops = _crops_jit(canvas, cp, self.cfg, self.compute_dtype,
+                               self.parity_preprocess)
+            b, n = crops.shape[:2]
+            emb = vit_encode_tp_static(
+                self.params, crops.reshape((b * n,) + crops.shape[2:]),
+                self.cfg, self.mesh, compute_dtype=self.compute_dtype,
+            ).reshape(b, n, -1)
+            if stat_params is not None:
+                sp = jax.device_put(stat_params, self._data)
+                return emb, image_stats_batch(canvas, sp)
+            return emb
         if stat_params is not None:
             sp = jax.device_put(stat_params, self._data)
             return _embed_stats_jit(
@@ -160,6 +194,16 @@ def _shard_mapped(mesh: Mesh, cfg: VitConfig, compute_dtype, parity: bool):
         out_specs=(P("data"), P("data")), check_rep=False,
     ))
     return emb, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "parity"))
+def _crops_jit(canvas_u8, crop_params, cfg, compute_dtype, parity):
+    """Data-parallel crop preprocess only (the TP-static path runs the tower
+    as a separate shard_map program)."""
+    return fused_crop_resize_normalize(
+        canvas_u8, crop_params, out_size=cfg.image_size, parity=parity,
+        dtype=compute_dtype,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "parity"))

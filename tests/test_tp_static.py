@@ -95,3 +95,47 @@ def test_tp_static_requires_calibration(rng):
     x = jnp.zeros((4, cfg.image_size, cfg.image_size, 3), jnp.float32)
     with pytest.raises(ValueError, match="act_amax"):
         vit_encode_tp_static(qparams, x, cfg, mesh, compute_dtype=jnp.float32)
+
+
+def test_sharded_embedder_tp_static_pipeline(rng, tmp_path):
+    """Pipeline-level composition: a 2-D (data, model) ShardedEmbedder in
+    int8_static mode must switch to the explicit-collective TP program after
+    calibration (no silent dynamic-quant downgrade) and produce exactly the
+    single-device static embeddings."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from clip_assisted_data_labeling_tpu.models.encoders import load_calibration
+    from clip_assisted_data_labeling_tpu.ops.crops import (
+        fused_crop_resize_normalize,
+    )
+    from clip_assisted_data_labeling_tpu.parallel.embed_sharded import (
+        ShardedEmbedder,
+    )
+
+    cfg = resolve_config("ViT-Test/tiny")
+    qparams = quantize_vit_params(init_vit_params(cfg, jax.random.key(0)))
+    canvases, cp = _example_batch(4, 128, cfg.image_size)
+    calib_path = str(tmp_path / "tiny.calib.npz")
+
+    mesh2 = get_mesh_2d(2, 2)
+    emb = ShardedEmbedder(qparams, cfg, mesh2, compute_dtype=jnp.float32,
+                          calibration_path=calib_path)
+    emb.calibrate_static(canvases, cp)
+    assert emb._tp_static, "2-D mesh must take the explicit-collective path"
+    got = np.asarray(emb.embed(canvases, cp))
+
+    # single-device reference with the SAME persisted calibration
+    amax = load_calibration(calib_path)
+    amax.pop("_model_name", None)
+    sparams = attach_act_amax(qparams, {"act_amax": amax["act_amax"]})
+    crops = fused_crop_resize_normalize(
+        jnp.asarray(canvases), jnp.asarray(cp), out_size=cfg.image_size,
+        parity=False, dtype=jnp.float32,
+    )
+    b, n = crops.shape[:2]
+    ref = np.asarray(vit_encode_image(
+        sparams, crops.reshape((b * n,) + crops.shape[2:]), cfg,
+        compute_dtype=jnp.float32, fused_attention=False,
+    )).reshape(b, n, -1)
+    np.testing.assert_array_equal(got, ref)
