@@ -682,16 +682,26 @@ def vit_encode_image(
 
     # towers whose packed block overflows scoped VMEM (PE-G14-448: S=1024,
     # w=1536; f32 runs of 336-scale towers) take the head-grouped kernel —
-    # ops/attention.packed_attention_auto decides per call site
-    if fused_attention and cfg.seq_len % 8 != 0:
-        s_pad = (cfg.seq_len + 7) // 8 * 8
-        x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))
-        if rope is not None:  # identity rotation on padded rows
-            pad_n = s_pad - cfg.seq_len
-            rope = (
-                jnp.pad(rope[0], ((0, pad_n), (0, 0)), constant_values=1.0),
-                jnp.pad(rope[1], ((0, pad_n), (0, 0))),
-            )
+    # ops/attention.packed_attention_auto decides per call site.
+    # Token padding happens ONCE here, to the kernels' TILE-FRIENDLY length
+    # (ops/attention._pad_for_tiling: ViT-L-336 pads 577→592 so the q-row
+    # tiling divides exactly) — padding inside the attention wrapper instead
+    # costs a whole-tensor copy EVERY layer (pad.27 ate 12% of the 336 step
+    # on the round-4 profile, exactly the round-2 per-layer-pad lesson again).
+    if fused_attention:
+        from clip_assisted_data_labeling_tpu.ops.attention import (
+            _pad_for_tiling,
+        )
+
+        s_pad = _pad_for_tiling(cfg.seq_len)
+        if s_pad != cfg.seq_len:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))
+            if rope is not None:  # identity rotation on padded rows
+                pad_n = s_pad - cfg.seq_len
+                rope = (
+                    jnp.pad(rope[0], ((0, pad_n), (0, 0)), constant_values=1.0),
+                    jnp.pad(rope[1], ((0, pad_n), (0, 0))),
+                )
 
     if unroll:
         for i in range(cfg.layers):

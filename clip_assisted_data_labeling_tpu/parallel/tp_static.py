@@ -207,15 +207,22 @@ def _tp_static_fn(mesh: Mesh, cfg: VitConfig, compute_dtype, normalize: bool,
             cos, sin = _rope2d_tables(cfg.grid, cfg.head_dim, cfg.rope_theta,
                                       cfg.use_cls_token)
             rope = (jnp.asarray(cos), jnp.asarray(sin))
-        if fused_attention and cfg.seq_len % 8 != 0:
-            s_pad = (cfg.seq_len + 7) // 8 * 8
-            x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))
-            if rope is not None:
-                pad_n = s_pad - cfg.seq_len
-                rope = (
-                    jnp.pad(rope[0], ((0, pad_n), (0, 0)), constant_values=1.0),
-                    jnp.pad(rope[1], ((0, pad_n), (0, 0))),
-                )
+        if fused_attention:
+            # one tile-friendly pad before the scan (see models/vit.py NOTE)
+            from clip_assisted_data_labeling_tpu.ops.attention import (
+                _pad_for_tiling,
+            )
+
+            s_pad = _pad_for_tiling(cfg.seq_len)
+            if s_pad != cfg.seq_len:
+                x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))
+                if rope is not None:
+                    pad_n = s_pad - cfg.seq_len
+                    rope = (
+                        jnp.pad(rope[0], ((0, pad_n), (0, 0)),
+                                constant_values=1.0),
+                        jnp.pad(rope[1], ((0, pad_n), (0, 0))),
+                    )
 
         def scan_body(carry, bp):
             return _block_tp_static(carry, bp, cfg, heads_local, rope,
