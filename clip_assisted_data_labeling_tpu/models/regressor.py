@@ -113,12 +113,25 @@ class SimpleFCRegressor:
         )
 
     # --- prediction -----------------------------------------------------------
-    def predict(self, features: np.ndarray, batch_size: int = 65536) -> np.ndarray:
+    def predict(self, features: np.ndarray, batch_size: int = 65536,
+                wire: str = "float32") -> np.ndarray:
         """Batched inference; the chunk size only bounds device memory (the
-        network is tiny), so it is large to amortize dispatch/transfer."""
+        network is tiny), so it is large to amortize dispatch/transfer.
+
+        ``wire`` is the host→device dtype for the feature matrix. The default
+        is the exact f32 wire (library callers and parity tests); the predict
+        *stage* passes ``float16``, halving the H2D transfer it is bound by on
+        thin links (BENCH_NOTES: 99.96% of predict wall time is H2D on this
+        tunnel). Matmuls still run f32 on device; scores move ≲1e-4 vs the
+        f32 wire (tests/test_regressor.py). A batch holding values outside
+        fp16 range (or NaN) silently falls back to the f32 wire."""
         outs = []
         for i in range(0, len(features), batch_size):
-            x = jnp.asarray(features[i : i + batch_size], dtype=jnp.float32)
+            x_host = np.asarray(features[i : i + batch_size], np.float32)
+            if wire == "float16" and np.abs(x_host).max(initial=0.0) <= 6.0e4:
+                x = jnp.asarray(x_host.astype(np.float16))
+            else:  # exact wire; also the NaN path (NaN fails the <= check)
+                x = jnp.asarray(x_host)
             outs.append(np.asarray(_predict_jit(_as_tuple(self.params), x)))
         return np.concatenate(outs, axis=0).reshape(len(features), -1)[:, 0]
 
@@ -211,4 +224,5 @@ def _as_tuple(params: list[dict]):
 @jax.jit
 def _predict_jit(param_tuple, x):
     params = [{"kernel": k, "bias": b} for k, b in param_tuple]
-    return regressor_apply(params, x)
+    # upcast on device: the wire may be fp16 (predict's transfer-bound default)
+    return regressor_apply(params, x.astype(jnp.float32))

@@ -100,6 +100,8 @@ def predict_labels(
     batch_size: int = 512,
     copy_imgs_fraction: float = 0.01,
     seed: int = 0,
+    wire: str = "float16",
+    sharded: bool = False,
 ) -> int:
     model_path = find_model(model_file)
     if model_path is None:
@@ -116,12 +118,26 @@ def predict_labels(
     if not kept:
         return 0
 
+    all_scores = None
+    if sharded:
+        # DP over all local devices (parallel/predict_sharded.py): one sharded
+        # pass up front, then the per-batch side-effect loop indexes into it
+        from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh
+        from clip_assisted_data_labeling_tpu.parallel.predict_sharded import (
+            predict_sharded,
+        )
+
+        all_scores = predict_sharded(model.params, feats, get_mesh(), wire=wire)
+
     output_dir = root_dir.rstrip("/") + "_predicted_scores"
     rng = np.random.default_rng(seed)
     n_flushed = 0
     for start in range(0, len(kept), batch_size):
         batch_uuids = kept[start : start + batch_size]
-        scores = model.predict(feats[start : start + batch_size])
+        if all_scores is not None:
+            scores = all_scores[start : start + batch_size]
+        else:
+            scores = model.predict(feats[start : start + batch_size], wire=wire)
         db.merge_predictions(batch_uuids, scores)
 
         # predicted_label writeback into .json sidecars (reference _5:159-167)
@@ -169,6 +185,14 @@ def main(argv=None):
     parser.add_argument("--copy_imgs_fraction", type=float, default=0.01)
     parser.add_argument("--num_workers", type=int, default=4,
                         help="accepted for reference-CLI compatibility")
+    parser.add_argument("--wire", default="float16",
+                        choices=["float16", "float32"],
+                        help="host->device dtype for the feature matrix; the "
+                        "fp16 default halves the H2D transfer this stage is "
+                        "bound by (scores move <~1e-4; f32 is the exact wire)")
+    parser.add_argument("--sharded", action="store_true",
+                        help="shard inference over all local devices "
+                        "(data-parallel; single device runs unchanged)")
     args = parser.parse_args(argv)
 
     # recursively apply to all subdirectories holding jpgs (reference _5:204-210)
@@ -176,7 +200,8 @@ def main(argv=None):
         if any(f.endswith(".jpg") for f in files) and "_predicted_scores" not in root:
             print(f"\nPredicting labels for {root}...")
             predict_labels(
-                root, args.model_file, args.batch_size, args.copy_imgs_fraction
+                root, args.model_file, args.batch_size, args.copy_imgs_fraction,
+                wire=args.wire, sharded=args.sharded,
             )
 
 

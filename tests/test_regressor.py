@@ -122,3 +122,29 @@ def test_load_shipped_reference_checkpoint(rng):
     scores = model.predict(x)
     assert scores.shape == (3,)
     assert np.all((scores >= 0) & (scores <= 1))
+
+
+def test_predict_fp16_wire(rng):
+    """The default fp16 H2D wire (transfer-bound stage, BENCH_NOTES) stays
+    within 2e-3 of the exact f32 wire, and a batch holding a value outside
+    fp16 range silently falls back to the exact wire."""
+    meta = RegressorMeta(
+        clip_models=("ViT-B-32/openai",),
+        crop_names=("centre_crop",),
+        input_size=24,
+        hidden_sizes=(8,),
+        data_min=0.0,
+        data_max=1.0,
+    )
+    model = SimpleFCRegressor.create(jax.random.key(3), meta)
+    x = rng.normal(0, 1, (64, 24)).astype(np.float32)
+    exact = model.predict(x, wire="float32")
+    fast = model.predict(x, wire="float16")
+    np.testing.assert_allclose(fast, exact, atol=2e-3)
+    assert not np.array_equal(fast, exact)  # the fp16 wire really engaged
+
+    # img_stat-style huge value (e.g. a 70k-px width) -> f32 fallback, exact
+    x[0, 0] = 7.0e4
+    np.testing.assert_array_equal(
+        model.predict(x, wire="float16"), model.predict(x, wire="float32")
+    )
