@@ -113,9 +113,14 @@ def main():
     t_fetch = timed("fetch", do_fetch)
 
     def do_e2e():
-        model.predict(feats)
+        model.predict(feats, wire="float32")
 
     t_e2e = timed("end2end", do_e2e)
+
+    def do_e2e_fp16():
+        model.predict(feats, wire="float16")  # the predict stage's default wire
+
+    t_e2e16 = timed("e2e fp16", do_e2e_fp16)
 
     per_call_compute = t_compute.min() / (REP + 1)
     print(json.dumps({
@@ -128,6 +133,8 @@ def main():
         "fetch_ms": round(t_fetch.min() * 1e3, 1),
         "e2e_preds_per_sec_min_max": [round(args.rows / t_e2e.max()),
                                       round(args.rows / t_e2e.min())],
+        "e2e_fp16_preds_per_sec_min_max": [round(args.rows / t_e2e16.max()),
+                                           round(args.rows / t_e2e16.min())],
     }))
 
 

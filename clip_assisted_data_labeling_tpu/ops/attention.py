@@ -49,6 +49,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _dividing_tile(s_pad: int, lo: int, hi: int, key) -> int | None:
+    """The 8-multiple divisor of ``s_pad`` in [lo, hi] minimizing ``key``
+    (ties → smallest), or None. Shared by the q-row-tiled kernels (largest
+    tile wins) and the flash kernel (closest-to-target tile wins)."""
+    cands = [t for t in range(lo, hi + 1, 8) if s_pad % t == 0]
+    return min(cands, key=key) if cands else None
+
+
 def _q_tile(s_pad: int) -> int:
     """Query-row tile for the long-sequence kernels. Whole block when it's
     small; otherwise prefer the LARGEST 8-multiple divisor of s_pad in
@@ -59,10 +67,7 @@ def _q_tile(s_pad: int) -> int:
     avoid it by padding with :func:`_pad_for_tiling`)."""
     if s_pad <= 448:
         return s_pad
-    for t in range(448, 127, -8):
-        if s_pad % t == 0:
-            return t
-    return 256
+    return _dividing_tile(s_pad, 128, 448, key=lambda t: -t) or 256
 
 
 def _pad_for_tiling(s: int) -> int:
@@ -397,10 +402,8 @@ def _flash_tiles(s_pad: int) -> tuple[int, int, int]:
     DIVIDE the padded sequence (ragged edge blocks would read garbage), so
     pick the 8-multiple divisor closest to 384 in [128, 768]; sequences with
     no such divisor (8·large-prime) round up to a 256 multiple and mask."""
-    for cand in sorted(
-        (t for t in range(128, 769, 8) if s_pad % t == 0),
-        key=lambda t: abs(t - 384),
-    ):
+    cand = _dividing_tile(s_pad, 128, 768, key=lambda t: abs(t - 384))
+    if cand is not None:
         return s_pad, cand, cand
     if s_pad <= 768:
         return s_pad, s_pad, s_pad
