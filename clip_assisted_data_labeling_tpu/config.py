@@ -96,6 +96,7 @@ class TrainConfig:
     random_seed: int = 42
     model_name: str = "regressor"
     dont_save: bool = False
+    print_network_layout: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

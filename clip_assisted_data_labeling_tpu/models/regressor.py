@@ -112,6 +112,28 @@ class SimpleFCRegressor:
             meta,
         )
 
+    def describe(self) -> str:
+        """Network layout listing (reference ``--print_network_layout``: SimpleFC
+        verbose prints the torch module repr, utils/nn_model.py:35-36)."""
+        m = self.meta
+        sizes = [m.input_size, *m.hidden_sizes, m.output_size]
+        lines = ["SimpleFCRegressor("]
+        for i in range(len(sizes) - 1):
+            lines.append(f"  Linear(in_features={sizes[i]}, out_features={sizes[i + 1]})")
+            if i < len(sizes) - 2:
+                lines.append(f"  LeakyReLU(negative_slope={LEAKY_SLOPE})")
+                lines.append(f"  Dropout(p={m.dropout_prob})")
+        lines.append("  Sigmoid()")
+        lines.append(")")
+        n_params = sum(
+            int(np.prod(p["kernel"].shape)) + int(np.prod(p["bias"].shape)) for p in self.params
+        )
+        lines.append(
+            f"clip_models={list(m.clip_models)} crop_names={list(m.crop_names)} "
+            f"img_stats={m.use_img_stat_features} params={n_params:,}"
+        )
+        return "\n".join(lines)
+
     # --- prediction -----------------------------------------------------------
     def predict(self, features: np.ndarray, batch_size: int = 65536,
                 wire: str = "float32") -> np.ndarray:

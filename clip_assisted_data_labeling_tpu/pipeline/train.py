@@ -268,6 +268,8 @@ def train_regressor(
         data_max=lmax,
     )
     model = SimpleFCRegressor.create(jax.random.key(cfg.random_seed), meta)
+    if cfg.print_network_layout:
+        print(model.describe())
     params = model.params
 
     opt = make_optimizer(cfg.weight_decay)
@@ -358,6 +360,8 @@ def main(argv=None):
     parser.add_argument("--dropout_prob", type=float, default=0.5)
     parser.add_argument("--hidden_sizes", type=int, nargs="+", default=[264, 128, 64])
     parser.add_argument("--random_seed", type=int, default=42)
+    parser.add_argument("--print_network_layout", action="store_true",
+                        help="print the regressor layer layout (reference _4:261)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="trap NaNs in device computations (jax_debug_nans)")
     args = parser.parse_args(argv)
@@ -380,6 +384,7 @@ def main(argv=None):
         random_seed=args.random_seed,
         model_name=args.model_name,
         dont_save=args.dont_save,
+        print_network_layout=args.print_network_layout,
     )
     np.random.seed(cfg.random_seed)
     features, labels, models = load_training_data(

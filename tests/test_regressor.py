@@ -148,3 +148,21 @@ def test_predict_fp16_wire(rng):
     np.testing.assert_array_equal(
         model.predict(x, wire="float16"), model.predict(x, wire="float32")
     )
+
+
+def test_describe_network_layout():
+    """--print_network_layout parity: the layout listing mirrors the reference's
+    verbose SimpleFC module print (utils/nn_model.py:35-36, _4_train_model.py:261)."""
+    meta = RegressorMeta(
+        clip_models=("ViT-L-14/openai",),
+        crop_names=("centre_crop", "subcrop2_0.1"),
+        input_size=1536,
+        hidden_sizes=(264, 128, 64),
+        dropout_prob=0.5,
+    )
+    text = SimpleFCRegressor.create(jax.random.key(0), meta).describe()
+    assert text.count("Linear(") == 4
+    assert text.count("LeakyReLU(") == 3 and text.count("Dropout(p=0.5)") == 3
+    assert "Sigmoid()" in text
+    # 1536*264+264 + 264*128+128 + 128*64+64 + 64*1+1
+    assert "448,009" in text
