@@ -213,6 +213,8 @@ def _packed_grouped_kernel(qkv_ref, *refs, heads_per_group: int, scale: float,
         if n_tiles == 1:
             tile_body(0, 0)
         else:
+            # (pipelined tile lookahead measured SLOWER here — see the
+            # disproof note in _packed_kernel's tiled branch)
             jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
@@ -722,7 +724,7 @@ def _rot_half(x, cos, sin):
 
 
 def _packed_kernel(qkv_ref, *refs, heads: int, scale: float, s_real: int,
-                   quant_out: bool, has_rope: bool):
+                   quant_out: bool, has_rope: bool, pipeline: bool = False):
     """qkv packed [g, S_pad, 3w] exactly as the projection matmul wrote it —
     per-head lane slices happen in VMEM, so the kernel needs NO layout copies on
     either side. ``quant_out`` emits int8 + per-token scales instead of bf16
@@ -757,6 +759,59 @@ def _packed_kernel(qkv_ref, *refs, heads: int, scale: float, s_real: int,
     q_tile = _q_tile(s_pad)
     n_tiles = -(-s_pad // q_tile)
     col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, s_pad), 1)
+
+    if pipeline and n_tiles == 1:
+        # Software-pipelined head loop: issue head h+1's QKᵀ (MXU) BEFORE head
+        # h's softmax (VPU) so the backend scheduler can overlap the two units
+        # — the strictly sequential per-head chain leaves the VPU exp/max/sum
+        # on the critical path between matmuls. Identical math, reordered
+        # program; one extra [S,S] f32 scores buffer live (Mosaic's stack
+        # allocator does not reuse the unrolled loop's temporaries anyway).
+        def _qk_scores(i, h):
+            k = qkv_ref[i, :, w + h * d : w + (h + 1) * d]
+            q = qkv_ref[i, :, h * d : (h + 1) * d] * (
+                jnp.asarray(scale, qkv_ref.dtype)
+            )
+            if has_rope:
+                k = _rot_half(k, cos_ref[:], sin_ref[:])
+                q = _rot_half(q, cos_ref[:], sin_ref[:])
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if s_real < s_pad:
+                scores = jnp.where(col < s_real, scores, -jnp.inf)
+            return scores
+
+        for i in range(g):
+            nxt = _qk_scores(i, 0)
+            for h in range(heads):
+                scores = nxt
+                if h + 1 < heads:
+                    nxt = _qk_scores(i, h + 1)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                probs = jnp.exp(scores - m)
+                inv_norm = 1.0 / jnp.sum(probs, axis=-1, keepdims=True)
+                v = qkv_ref[i, :, 2 * w + h * d : 2 * w + (h + 1) * d]
+                head_out = jax.lax.dot_general(
+                    probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * inv_norm
+                if quant_out:
+                    acc_ref[:, h * d : (h + 1) * d] = head_out
+                else:
+                    o_ref[i, :, h * d : (h + 1) * d] = head_out.astype(o_ref.dtype)
+            if quant_out:
+                full = acc_ref[:]
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(full), axis=1, keepdims=True), 1e-8
+                )
+                o_ref[i] = jnp.clip(
+                    jnp.round(full * (127.0 / amax)), -127, 127
+                ).astype(jnp.int8)
+                oscale_ref[i] = amax * (1.0 / 127.0)
+        return
+
     for i in range(g):
         for h in range(heads):
             # scale folded into q ([S,d] muls, not [S,S]); softmax kept
@@ -805,6 +860,16 @@ def _packed_kernel(qkv_ref, *refs, heads: int, scale: float, s_real: int,
             if n_tiles == 1:
                 tile_body(0, 0)
             else:
+                # NOTE: a pipelined variant for this tiled path was built and
+                # MEASURED SLOWER both ways (BENCH_NOTES round-5): an SSA-carry
+                # tile lookahead OOMs scoped VMEM (the carry's per-head init
+                # lives in the unrolled head loop, which Mosaic never reuses:
+                # +11 MB at ViT-L-336), and a 2-slot VMEM-scratch rewrite with
+                # pl.when boundary guards regressed ~5% at both 336 and G14
+                # shapes (336 e2e 124.5 -> 119.9/120.1; grouped kernel 4.01 ->
+                # 4.26 ms) — the conds + scratch round-trips cost more than
+                # the MXU/VPU overlap recovers inside a dynamic loop. The
+                # head-lookahead `pipeline` path above only serves n_tiles==1.
                 jax.lax.fori_loop(0, n_tiles, tile_body, 0)
         if quant_out:
             full = acc_ref[:]
@@ -817,7 +882,8 @@ def _packed_kernel(qkv_ref, *refs, heads: int, scale: float, s_real: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "scale", "interpret", "quant_out", "s_real"),
+    static_argnames=("heads", "scale", "interpret", "quant_out", "s_real",
+                     "pipeline"),
 )
 def fused_attention_packed(
     qkv: jnp.ndarray,  # [B, S, 3w] straight from the qkv projection
@@ -827,9 +893,14 @@ def fused_attention_packed(
     quant_out: bool = False,
     s_real: int | None = None,
     rope: tuple | None = None,  # ([S, d/2] cos, [S, d/2] sin) — half-split
+    pipeline: bool | None = None,  # None: knobs.ATTN_PIPELINE
 ):
     """Multi-head attention on the packed qkv tensor → [B, S, w] (or, with
     quant_out, (int8 [B, S, w], f32 [B, S, 1] per-token scales)).
+
+    ``pipeline``: software-pipeline the head loop (one-step QKᵀ lookahead for
+    MXU/VPU overlap; whole-block tiles only — long-sequence fori_loop tiling
+    keeps the plain order).
 
     ``s_real``: number of REAL tokens when the caller already padded the
     sequence dim (models/vit.py pads once before the layer scan — a per-layer
@@ -891,10 +962,12 @@ def fused_attention_packed(
             (g, s_pad, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
         scratch = []
+    if pipeline is None:
+        pipeline = knobs.ATTN_PIPELINE
     out = pl.pallas_call(
         functools.partial(_packed_kernel, heads=heads, scale=scale,
                           s_real=s_real, quant_out=quant_out,
-                          has_rope=rope is not None),
+                          has_rope=rope is not None, pipeline=pipeline),
         out_shape=out_shape,
         grid=(b // g,),
         in_specs=[

@@ -27,6 +27,11 @@ def reload() -> None:
     # batch items per packed-attention grid step (>1 measured neutral and
     # VMEM-fragile — see ops/attention.fused_attention_packed)
     g["ATTN_ITEMS"] = int(os.environ.get("CTPU_ATTN_ITEMS", "1"))
+    # software-pipelined head loop in the whole-block attention kernel (issue
+    # head h+1's QKᵀ before head h's softmax so the scheduler overlaps MXU and
+    # VPU): kernel 3.27→3.01 ms, e2e 335→358 imgs/s measured — default ON
+    # (ops/attention._packed_kernel; disproof-resistant: bit-identical output)
+    g["ATTN_PIPELINE"] = os.environ.get("CTPU_ATTN_PIPELINE", "1") == "1"
     # Pallas single-pass ln+static-quantize kernels on the int8_static path
     # (+23 imgs/s round 3); '0' falls back to XLA's ln chain
     g["LN_KERNEL"] = os.environ.get("CTPU_LN_KERNEL", "1") == "1"
@@ -43,6 +48,7 @@ def reload() -> None:
 
 PREPROC: str
 ATTN_ITEMS: int
+ATTN_PIPELINE: bool
 LN_KERNEL: bool
 INT8_BLOCK: str
 INT8_WIRE: bool

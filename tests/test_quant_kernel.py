@@ -395,3 +395,57 @@ def test_flash_attention_rope(rng):
         jnp.asarray(qkv), heads=h, scale=0.25, rope=(cos, sin),
         interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_packed_attention_pipelined_head_loop_identical(rng):
+    """CTPU_ATTN_PIPELINE restructure (ops/attention._packed_kernel): the
+    software-pipelined head loop (head h+1's QKT issued before head h's
+    softmax, for MXU/VPU overlap) is the same math in a different program
+    order — outputs must be BIT-identical to the plain loop on the bf16,
+    quant_out, and RoPE paths (incl. the s_real pad-mask)."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        fused_attention_packed,
+    )
+
+    b, s, h, d = 2, 14, 4, 8
+    w = h * d
+    qkv = jnp.asarray(rng.normal(0, 1, (b, 16, 3 * w)).astype(np.float32))
+    kw = dict(heads=h, scale=0.3, s_real=s, interpret=True)
+    plain = fused_attention_packed(qkv, pipeline=False, **kw)
+    piped = fused_attention_packed(qkv, pipeline=True, **kw)
+    assert jnp.array_equal(plain, piped)
+
+    pq, ps = fused_attention_packed(qkv, quant_out=True, pipeline=False, **kw)
+    bq, bs = fused_attention_packed(qkv, quant_out=True, pipeline=True, **kw)
+    assert jnp.array_equal(pq, bq) and jnp.array_equal(ps, bs)
+
+    cos = jnp.asarray(rng.normal(0, 1, (16, d // 2)).astype(np.float32))
+    sin = jnp.asarray(rng.normal(0, 1, (16, d // 2)).astype(np.float32))
+    pr = fused_attention_packed(qkv, rope=(cos, sin), pipeline=False, **kw)
+    br = fused_attention_packed(qkv, rope=(cos, sin), pipeline=True, **kw)
+    assert jnp.array_equal(pr, br)
+
+
+def test_packed_attention_pipeline_flag_safe_on_tiled_path(rng):
+    """pipeline=True on a long sequence (n_tiles>1) is a documented NO-OP —
+    the tiled fori_loop keeps the plain order (two pipelined variants measured
+    slower there, see the disproof note in _packed_kernel); output must stay
+    bit-identical to pipeline=False."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        _pad_for_tiling,
+        _q_tile,
+        fused_attention_packed,
+    )
+
+    b, s, h, d = 2, 577, 2, 64  # pads to 592 -> two 296-row tiles
+    w = h * d
+    assert _pad_for_tiling(s) // _q_tile(_pad_for_tiling(s)) > 1
+    qkv = jnp.asarray(rng.normal(0, 1, (b, s, 3 * w)).astype(np.float32))
+    kw = dict(heads=h, scale=0.125, s_real=s, interpret=True)
+    assert jnp.array_equal(
+        fused_attention_packed(qkv, pipeline=False, **kw),
+        fused_attention_packed(qkv, pipeline=True, **kw),
+    )
+    pq, ps = fused_attention_packed(qkv, quant_out=True, pipeline=False, **kw)
+    bq, bs = fused_attention_packed(qkv, quant_out=True, pipeline=True, **kw)
+    assert jnp.array_equal(pq, bq) and jnp.array_equal(ps, bs)
