@@ -938,7 +938,10 @@ def fused_attention_packed(
     # 335.6), and Mosaic's ACTUAL scoped-VMEM use runs ~1.8x this estimate,
     # varying with the surrounding program (g=2 compiled in the int8_static
     # program but OOM'd by 116 KB in the bf16 one at identical shapes) — so
-    # the robust default is 1 (import-time snapshot, ops/knobs.py).
+    # the robust default is 1 (import-time snapshot, ops/knobs.py). With the
+    # round-5 pipelined head loop (one extra in-flight scores buffer per
+    # item) g=2 OOMs scoped VMEM by 1.57 MB even in the int8_static program:
+    # ITEMS>1 now requires CTPU_ATTN_PIPELINE=0.
     g = knobs.ATTN_ITEMS
     while g > 1 and (
         b % g != 0
