@@ -783,24 +783,34 @@ def _packed_kernel(qkv_ref, *refs, heads: int, scale: float, s_real: int,
                 scores = jnp.where(col < s_real, scores, -jnp.inf)
             return scores
 
+        def _emit_av(i, h, probs, inv_norm):
+            v = qkv_ref[i, :, 2 * w + h * d : 2 * w + (h + 1) * d]
+            head_out = jax.lax.dot_general(
+                probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * inv_norm
+            if quant_out:
+                acc_ref[:, h * d : (h + 1) * d] = head_out
+            else:
+                o_ref[i, :, h * d : (h + 1) * d] = head_out.astype(o_ref.dtype)
+
         for i in range(g):
+            # depth-2 schedule: each iteration issues QKᵀ(h+1) and AV(h-1) —
+            # two independent MXU ops — before softmax(h)'s VPU chain, giving
+            # the scheduler MXU work to overlap the entire softmax with
             nxt = _qk_scores(i, 0)
+            pend = None  # (head, probs, inv_norm) awaiting its AV matmul
             for h in range(heads):
                 scores = nxt
                 if h + 1 < heads:
                     nxt = _qk_scores(i, h + 1)
+                if pend is not None:
+                    _emit_av(i, *pend)
                 m = jnp.max(scores, axis=-1, keepdims=True)
                 probs = jnp.exp(scores - m)
                 inv_norm = 1.0 / jnp.sum(probs, axis=-1, keepdims=True)
-                v = qkv_ref[i, :, 2 * w + h * d : 2 * w + (h + 1) * d]
-                head_out = jax.lax.dot_general(
-                    probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * inv_norm
-                if quant_out:
-                    acc_ref[:, h * d : (h + 1) * d] = head_out
-                else:
-                    o_ref[i, :, h * d : (h + 1) * d] = head_out.astype(o_ref.dtype)
+                pend = (h, probs, inv_norm)
+            _emit_av(i, *pend)
             if quant_out:
                 full = acc_ref[:]
                 amax = jnp.maximum(
