@@ -32,6 +32,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
 
 from clip_assisted_data_labeling_tpu.ops.attention import (
+    _wholescore_group,
     attention_xla,
     flash_attention_packed,
     fused_attention_packed,
@@ -97,6 +98,14 @@ def sweep(name, b, s, heads, d, dtype):
         time_packed("fused_attention_packed", fused_attention_packed, qkv,
                     heads, scale, s)
     time_packed("grouped", fused_attention_packed_grouped, qkv, heads, scale, s)
+    hg = _wholescore_group(s, w, heads, jnp.dtype(dtype).itemsize)
+    if hg is not None:
+        print(f"  whole-scores group: {hg} heads/step")
+        time_packed(
+            f"grouped-wholescores (hg={hg})",
+            functools.partial(fused_attention_packed_grouped,
+                              whole_scores=True, head_group=hg),
+            qkv, heads, scale, s)
     time_packed("flash", flash_attention_packed, qkv, heads, scale, s)
     time_packed("xla", xla_packed, qkv, heads, scale, s)
 

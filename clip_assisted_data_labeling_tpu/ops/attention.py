@@ -160,7 +160,8 @@ def attention_xla(q, k, v, scale):
 
 
 def _packed_grouped_kernel(qkv_ref, *refs, heads_per_group: int, scale: float,
-                           s_real: int, has_rope: bool):
+                           s_real: int, has_rope: bool,
+                           whole_scores: bool = False):
     """Head-grouped variant for towers whose full [S, 3w] block overflows
     scoped VMEM (PE-G14-448: S=1024, w=1536). The wrapper views packed qkv as
     [B, 3, S, w] (one transposed copy, cheap at this scale) so the grid's
@@ -175,6 +176,57 @@ def _packed_grouped_kernel(qkv_ref, *refs, heads_per_group: int, scale: float,
     s_pad = qkv_ref.shape[2]  # layout [1, 3, S_pad, wg]
     wg = o_ref.shape[2]
     d = wg // heads_per_group
+
+    if whole_scores:
+        # Pipelined whole-scores mode (long sequences): the per-step block is
+        # one small head GROUP, so the full [S_pad, S_pad] scores fit VMEM
+        # where the whole-block kernel must row-tile — re-enabling the
+        # depth-2 head-lookahead schedule (QKᵀ(h+1) and AV(h-1) issue before
+        # softmax(h), see _packed_kernel) that the tiled fori_loop cannot
+        # express profitably. The wrapper picks heads_per_group so
+        # hpg × 2 × S_pad² f32 + blocks stays inside scoped VMEM.
+        col_f = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+
+        def _qk(h):
+            k = qkv_ref[0, 1, :, h * d : (h + 1) * d]
+            q = qkv_ref[0, 0, :, h * d : (h + 1) * d] * (
+                jnp.asarray(scale, qkv_ref.dtype)
+            )
+            if has_rope:
+                k = _rot_half(k, cos_ref[:], sin_ref[:])
+                q = _rot_half(q, cos_ref[:], sin_ref[:])
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if s_real < s_pad:
+                scores = jnp.where(col_f < s_real, scores, -jnp.inf)
+            return scores
+
+        def _av(h, probs, inv_norm):
+            v = qkv_ref[0, 2, :, h * d : (h + 1) * d]
+            o_ref[0, :, h * d : (h + 1) * d] = (
+                jax.lax.dot_general(
+                    probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * inv_norm
+            ).astype(o_ref.dtype)
+
+        nxt = _qk(0)
+        pend = None
+        for hh in range(heads_per_group):
+            scores = nxt
+            if hh + 1 < heads_per_group:
+                nxt = _qk(hh + 1)
+            if pend is not None:
+                _av(*pend)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            probs = jnp.exp(scores - m)
+            inv_norm = 1.0 / jnp.sum(probs, axis=-1, keepdims=True)
+            pend = (hh, probs, inv_norm)
+        _av(*pend)
+        return
+
     q_tile = _q_tile(s_pad)
     n_tiles = -(-s_pad // q_tile)
     col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, s_pad), 1)
@@ -220,7 +272,8 @@ def _packed_grouped_kernel(qkv_ref, *refs, heads_per_group: int, scale: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "scale", "interpret", "s_real", "head_group"),
+    static_argnames=("heads", "scale", "interpret", "s_real", "head_group",
+                     "whole_scores"),
 )
 def fused_attention_packed_grouped(
     qkv: jnp.ndarray,  # [B, S, 3w]
@@ -230,15 +283,32 @@ def fused_attention_packed_grouped(
     s_real: int | None = None,
     rope: tuple | None = None,
     head_group: int | None = None,  # heads per grid step (None: auto)
+    whole_scores: bool | None = None,  # None: auto (see _wholescore_group)
 ):
     """Packed attention with the grid split over (batch, head groups) — the
     big-tower sibling of :func:`fused_attention_packed` (see the kernel
-    docstring). Returns [B, S, w] in qkv's dtype."""
+    docstring). Returns [B, S, w] in qkv's dtype.
+
+    ``whole_scores``: pipelined whole-[S,S]-scores mode with a small head
+    group (see the kernel docstring); auto-engages for long sequences when
+    the pipeline knob is on and a viable group size exists."""
     b, s, w3 = qkv.shape
     if s_real is None:
         s_real = s
     w = w3 // 3
     d = w // heads
+    if whole_scores is None:
+        from clip_assisted_data_labeling_tpu.ops import knobs
+
+        whole_scores = (
+            knobs.ATTN_PIPELINE
+            and head_group is None
+            and _wholescore_group(s, w, heads, qkv.dtype.itemsize) is not None
+        )
+    if whole_scores and head_group is None:
+        head_group = _wholescore_group(s, w, heads, qkv.dtype.itemsize)
+        if head_group is None:
+            whole_scores = False
     if head_group is None:
         # largest group with lane-aligned columns that keeps the block small
         head_group = 1
@@ -269,6 +339,7 @@ def fused_attention_packed_grouped(
         functools.partial(
             _packed_grouped_kernel, heads_per_group=head_group, scale=scale,
             s_real=s_real, has_rope=rope is not None,
+            whole_scores=whole_scores,
         ),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype),
         grid=(b, heads // head_group),
@@ -281,6 +352,29 @@ def fused_attention_packed_grouped(
         interpret=_env_interpret(interpret),
     )(qkv4, *rope_in)
     return out[:, :s, :]
+
+
+def _wholescore_group(s: int, width: int, heads: int,
+                      itemsize: int = 2) -> int | None:
+    """Head-group size for the grouped kernel's pipelined whole-scores mode,
+    or None when not viable. Only long sequences qualify (s_pad > _q_tile's
+    whole-block cap — shorter ones already run the pipelined whole-block
+    kernel); picks the largest lane-aligned group whose unrolled working set
+    — ~(2·hpg+1) [S_pad, S_pad] f32 buffers (scores+probs per head, Mosaic
+    reuses nothing across unrolled iterations, +1 pending depth-2 probs) —
+    plus the double-buffered group blocks fits scoped VMEM."""
+    s_pad = _pad_for_tiling(s)
+    if _q_tile(s_pad) >= s_pad:
+        return None
+    d = width // heads
+    for hg in range(heads, 0, -1):
+        if heads % hg or (d * hg) % 128:
+            continue
+        blocks = 2 * 4 * s_pad * d * hg * itemsize  # [3,S,wg] in + [S,wg] out
+        work = (2 * hg + 1) * s_pad * s_pad * 4
+        if blocks + work <= 12 * 2**20:
+            return hg
+    return None
 
 
 def grouped_attention_fits(s: int, width: int, heads: int,

@@ -334,6 +334,37 @@ def test_grouped_attention_matches_whole_block(rng):
                                        err_msg=f"hg={hg} rope={rope is not None}")
 
 
+def test_grouped_wholescores_matches_plain(rng):
+    """The grouped kernel's pipelined whole-scores mode (long-sequence
+    head-lookahead schedule) must equal the plain row-tiled grouped path —
+    same exact -inf pad mask, same softmax — with and without rope, at a
+    shape long enough that the mode is actually viable (s_pad=456 > the
+    448 whole-block q-tile cap)."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        _wholescore_group,
+        fused_attention_packed_grouped,
+    )
+
+    b, s, h, d = 1, 450, 4, 64
+    w = h * d
+    qkv = rng.normal(0, 1, (b, s, 3 * w)).astype(np.float32)
+    cos = rng.normal(0, 1, (s, d // 2)).astype(np.float32)
+    sin = rng.normal(0, 1, (s, d // 2)).astype(np.float32)
+    auto_hg = _wholescore_group(s, w, h, 4)
+    assert auto_hg is not None, "test shape must qualify for whole-scores"
+    for rope in (None, (jnp.asarray(cos), jnp.asarray(sin))):
+        ref = np.asarray(fused_attention_packed_grouped(
+            jnp.asarray(qkv), heads=h, scale=0.125, s_real=s - 3, rope=rope,
+            head_group=2, whole_scores=False, interpret=True))
+        for hg in (2, auto_hg):
+            got = np.asarray(fused_attention_packed_grouped(
+                jnp.asarray(qkv), heads=h, scale=0.125, s_real=s - 3,
+                rope=rope, head_group=hg, whole_scores=True, interpret=True))
+            np.testing.assert_allclose(
+                got, ref, atol=2e-5,
+                err_msg=f"hg={hg} rope={rope is not None}")
+
+
 def test_flash_attention_matches_xla(rng):
     """k/v-streaming flash kernel (ops/attention.flash_attention_packed): the
     online-softmax recurrence must reproduce the exact softmax for dividing,
