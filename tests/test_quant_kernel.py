@@ -309,6 +309,32 @@ def test_packed_attention_fits_gate():
     assert not packed_attention_fits(1024, 1536)   # PE-G14-448 -> XLA path
 
 
+def test_packed_attention_routing_at_tower_shapes():
+    """Pin packed_attention_auto's routing decisions at every shipped tower
+    shape (gates are pure VMEM arithmetic — no device needed). Catches gate
+    regressions like the fixed-cutoff q8s bug (ADVICE r2) before they silently
+    reroute a tower onto a slower kernel."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        _wholescore_group,
+        grouped_attention_fits,
+        packed_attention_fits,
+    )
+
+    # (s, w, heads, itemsize) -> (whole_block, grouped, wholescore group)
+    expectations = {
+        "ViT-L-14-224 bf16": ((257, 1024, 16, 2), (True, True, None)),
+        "ViT-L-14-336 bf16": ((577, 1024, 16, 2), (True, True, 2)),
+        "ViT-L-14-336 f32": ((577, 1024, 16, 4), (False, True, 2)),
+        "PE-G14-448 bf16": ((1024, 1536, 16, 2), (False, True, None)),
+        "PE-G14-448 f32": ((1024, 1536, 16, 4), (False, True, None)),
+        "huge-S bf16 (flash)": ((8192, 512, 8, 2), (False, False, None)),
+    }
+    for label, ((s, w, h, isz), (whole, grouped, wsg)) in expectations.items():
+        assert packed_attention_fits(s, w, isz) == whole, label
+        assert grouped_attention_fits(s, w, h, isz) == grouped, label
+        assert _wholescore_group(s, w, h, isz) == wsg, label
+
+
 def test_grouped_attention_matches_whole_block(rng):
     """The head-grouped kernel (big-tower path) must equal the whole-block
     kernel, with and without rope, including the pad mask."""
