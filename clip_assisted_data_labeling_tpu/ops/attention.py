@@ -408,9 +408,23 @@ def packed_attention_auto(qkv, heads: int, scale: float,
          head-group's [3, S, wg] overflows VMEM: S ≳ 7k).
 
     The XLA fallback is never needed — the biggest tower stays on a fused
-    path. Used by every fused block path in models/vit.py."""
+    path. Used by every fused block path in models/vit.py.
+
+    ``CTPU_ATTN_WHOLESCORES_ROUTE=1`` (ops/knobs.py) prefers the grouped
+    kernel's pipelined whole-scores mode over a whole-block kernel that would
+    have to row-tile (long sequences: the row-tiled head loop cannot express
+    the depth-2 lookahead schedule) — opt-in A/B knob until measured."""
     w = qkv.shape[-1] // 3
     if packed_attention_fits(qkv.shape[1], w, qkv.dtype.itemsize):
+        from clip_assisted_data_labeling_tpu.ops import knobs
+
+        s_pad = _pad_for_tiling(qkv.shape[1])
+        if (knobs.ATTN_WHOLESCORES_ROUTE and _q_tile(s_pad) < s_pad
+                and _wholescore_group(qkv.shape[1], w, heads,
+                                      qkv.dtype.itemsize) is not None):
+            return fused_attention_packed_grouped(
+                qkv, heads=heads, scale=scale, s_real=s_real, rope=rope,
+                whole_scores=True)
         return fused_attention_packed(qkv, heads=heads, scale=scale,
                                       s_real=s_real, rope=rope)
     if grouped_attention_fits(qkv.shape[1], w, heads, qkv.dtype.itemsize):

@@ -32,6 +32,12 @@ def reload() -> None:
     # VPU): kernel 3.27→3.01 ms, e2e 335→358 imgs/s measured — default ON
     # (ops/attention._packed_kernel; disproof-resistant: bit-identical output)
     g["ATTN_PIPELINE"] = os.environ.get("CTPU_ATTN_PIPELINE", "1") == "1"
+    # packed_attention_auto routing: prefer the grouped kernel's pipelined
+    # whole-scores mode over a row-tiling whole-block kernel (long sequences,
+    # e.g. ViT-L-336's S=577). Opt-in A/B knob until measured on chip.
+    g["ATTN_WHOLESCORES_ROUTE"] = (
+        os.environ.get("CTPU_ATTN_WHOLESCORES_ROUTE") == "1"
+    )
     # Pallas single-pass ln+static-quantize kernels on the int8_static path
     # (+23 imgs/s round 3); '0' falls back to XLA's ln chain
     g["LN_KERNEL"] = os.environ.get("CTPU_LN_KERNEL", "1") == "1"
@@ -49,6 +55,7 @@ def reload() -> None:
 PREPROC: str
 ATTN_ITEMS: int
 ATTN_PIPELINE: bool
+ATTN_WHOLESCORES_ROUTE: bool
 LN_KERNEL: bool
 INT8_BLOCK: str
 INT8_WIRE: bool

@@ -391,6 +391,26 @@ def test_grouped_wholescores_matches_plain(rng):
                 err_msg=f"hg={hg} rope={rope is not None}")
 
 
+def test_attn_wholescores_route_knob(rng, monkeypatch):
+    """CTPU_ATTN_WHOLESCORES_ROUTE=1 reroutes a row-tiling whole-block shape
+    onto the grouped kernel's whole-scores mode through packed_attention_auto
+    with identical numerics; shapes with no viable group are untouched."""
+    from clip_assisted_data_labeling_tpu.ops import knobs
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        packed_attention_auto,
+    )
+
+    monkeypatch.setenv("CTPU_PALLAS_INTERPRET", "1")
+    b, s, h, d = 1, 450, 4, 64  # s_pad 456 > q_tile 152: row-tiled, hg viable
+    qkv = jnp.asarray(rng.normal(0, 1, (b, s, 3 * h * d)).astype(np.float32))
+    ref = np.asarray(packed_attention_auto(qkv, heads=h, scale=0.125,
+                                           s_real=s - 2))
+    monkeypatch.setattr(knobs, "ATTN_WHOLESCORES_ROUTE", True)
+    got = np.asarray(packed_attention_auto(qkv, heads=h, scale=0.125,
+                                           s_real=s - 2))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_flash_attention_matches_xla(rng):
     """k/v-streaming flash kernel (ops/attention.flash_attention_packed): the
     online-softmax recurrence must reproduce the exact softmax for dividing,
