@@ -79,3 +79,47 @@ def test_reference_subset_reads_our_csv(our_dataset):
     )
     m = re.search(r"Found (\d+) rows", out)
     assert m and int(m.group(1)) >= 4  # the labeled rows pass the filter
+
+
+def test_reference_trainer_then_our_predict(our_dataset, tmp_path):
+    """The reference's OWN trainer (_4_train_model.py — torch+sklearn only, no
+    open_clip) runs unchanged on this framework's CSV + sidecars, and the
+    whole-module ``.pth`` pickle it saves flows straight into our predict
+    stage (find_model → load_torch_pickle → scores into the CSV). The predict
+    half uses OUR stage because the reference's _5_predict_labels.py cannot
+    execute under the baked torch 2.13 (its bare ``torch.load`` of a module
+    pickle trips the weights_only default — a torch-version incompatibility in
+    the reference itself, not a format gap)."""
+    # Label the images the module fixture left unlabeled so the reference's
+    # test split holds >1 sample (sklearn's r2_score needs >=2).
+    label_dataset(
+        str(our_dataset),
+        HeadlessBackend([str(d) for d in (6, 8, 2, 4, 1)]),
+        sort="uuid",
+    )
+    env = dict(os.environ, PYTHONPATH=REFERENCE, MPLBACKEND="Agg")
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REFERENCE, "_4_train_model.py"),
+            "--train_data_dir", str(our_dataset.parent),
+            "--train_data_names", our_dataset.name,
+            "--model_name", "interop", "--n_epochs", "10",
+            "--test_fraction", "0.3", "--batch_size", "4",
+            "--hidden_sizes", "16", "8",
+        ],
+        capture_output=True, text=True, timeout=300, cwd=tmp_path, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    pths = list((tmp_path / "models").glob("interop_*.pth"))
+    assert len(pths) == 1, (proc.stdout[-1000:], pths)
+
+    from clip_assisted_data_labeling_tpu.pipeline.predict import predict_labels
+    from clip_assisted_data_labeling_tpu.store.database import LabelDatabase
+
+    n = predict_labels(
+        str(our_dataset), str(pths[0]), batch_size=8, copy_imgs_fraction=0.0
+    )
+    db = LabelDatabase.load_or_create(str(our_dataset))
+    assert n == db.df["predicted_label"].notna().sum() == 9
+    preds = db.df["predicted_label"].astype(float)
+    assert np.isfinite(preds).all()
