@@ -96,6 +96,7 @@ class TrainConfig:
     random_seed: int = 42
     model_name: str = "regressor"
     dont_save: bool = False
+    export_torch: bool = False  # also write a reference-loadable .pth pickle
     print_network_layout: bool = False
 
 

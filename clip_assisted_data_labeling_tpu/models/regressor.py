@@ -187,27 +187,9 @@ class SimpleFCRegressor:
         """Load a reference whole-module pickle (_4_train_model.py:237). The pickle
         references the class path ``utils.nn_model.SimpleFC``; we install a shim
         module so unpickling succeeds, then harvest Linear weights + metadata."""
-        import sys
-        import types
-
         import torch
 
-        if "utils.nn_model" not in sys.modules:
-            shim_pkg = sys.modules.setdefault("utils", types.ModuleType("utils"))
-            shim = types.ModuleType("utils.nn_model")
-
-            class SimpleFC(torch.nn.Module):  # populated by unpickling
-                pass
-
-            class SimpleconvFC(torch.nn.Module):
-                pass
-
-            shim.SimpleFC = SimpleFC
-            shim.SimpleconvFC = SimpleconvFC
-            shim.device = torch.device("cpu")
-            sys.modules["utils.nn_model"] = shim
-            shim_pkg.nn_model = shim
-
+        _install_nn_model_shim()
         module = torch.load(path, map_location="cpu", weights_only=False)
         linears = [m for m in module.layers if isinstance(m, torch.nn.Linear)]
         params = [
@@ -228,6 +210,76 @@ class SimpleFCRegressor:
             data_max=_maybe_float(getattr(module, "data_max", None)),
         )
         return cls(params, meta)
+
+    def save_torch_pickle(self, path: str) -> None:
+        """Export as a reference-compatible whole-module pickle: the exact
+        ``utils.nn_model.SimpleFC`` layer structure (Linear + LeakyReLU +
+        Dropout per hidden layer, final Linear, Sigmoid — utils/nn_model.py:
+        6-41) with the self-describing attributes _5_predict_labels.py:107-111
+        consumes. Pickle stores classes by qualified name, so the shimmed
+        ``utils.nn_model.SimpleFC`` written here resolves to the reference's
+        real class when loaded in the reference environment — models trained
+        in this framework flow back into the reference toolchain unchanged."""
+        import torch
+
+        shim = _install_nn_model_shim()
+        m = self.meta
+        mod = shim.SimpleFC()
+        mod.clip_models = list(m.clip_models)
+        mod.crop_names = list(m.crop_names)
+        mod.use_img_stat_features = m.use_img_stat_features
+        mod.data_min, mod.data_max = m.data_min, m.data_max
+        layers = []
+        n = len(self.params)
+        for i, p in enumerate(self.params):
+            k = np.asarray(p["kernel"], np.float32)
+            lin = torch.nn.Linear(k.shape[0], k.shape[1])
+            with torch.no_grad():
+                lin.weight.copy_(torch.from_numpy(k.T.copy()))
+                lin.bias.copy_(torch.from_numpy(np.array(p["bias"], np.float32)))
+            layers.append(lin)
+            if i < n - 1:
+                layers.append(torch.nn.LeakyReLU())
+                layers.append(torch.nn.Dropout(p=m.dropout_prob))
+        layers.append(torch.nn.Sigmoid())
+        mod.layers = torch.nn.ModuleList(layers)
+        mod.eval()
+        torch.save(mod, path)
+
+
+def _install_nn_model_shim():
+    """Register a ``utils.nn_model`` stand-in so reference module pickles can
+    be read (classes resolved by name at unpickle) AND written (classes saved
+    by name at pickle; ``__module__``/``__qualname__`` are pinned so torch.save
+    emits references to ``utils.nn_model.SimpleFC``, which resolve to the real
+    class inside the reference environment). Returns the shim module."""
+    import sys
+    import types
+
+    import torch
+
+    if "utils.nn_model" not in sys.modules:
+        shim_pkg = sys.modules.setdefault("utils", types.ModuleType("utils"))
+        shim = types.ModuleType("utils.nn_model")
+
+        class SimpleFC(torch.nn.Module):  # populated by (un)pickling
+            def forward(self, x):  # reference semantics (utils/nn_model.py:38-41)
+                for layer in self.layers:
+                    x = layer(x)
+                return x
+
+        class SimpleconvFC(torch.nn.Module):
+            pass
+
+        for klass in (SimpleFC, SimpleconvFC):
+            klass.__module__ = "utils.nn_model"
+            klass.__qualname__ = klass.__name__
+        shim.SimpleFC = SimpleFC
+        shim.SimpleconvFC = SimpleconvFC
+        shim.device = torch.device("cpu")
+        sys.modules["utils.nn_model"] = shim
+        shim_pkg.nn_model = shim
+    return sys.modules["utils.nn_model"]
 
 
 def _maybe_float(x):

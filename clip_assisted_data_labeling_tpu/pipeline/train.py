@@ -336,6 +336,10 @@ def save_model(model: SimpleFCRegressor, history: dict, cfg: TrainConfig,
     path = os.path.join(out_dir, name)
     model.save(path)
     print("Final model saved as:", path)
+    if cfg.export_torch:
+        pth = path[: -len(".npz")] + ".pth"
+        model.save_torch_pickle(pth)
+        print("Reference-compatible torch pickle saved as:", pth)
     return path
 
 
@@ -345,6 +349,9 @@ def main(argv=None):
     parser.add_argument("--train_data_names", type=str, nargs="+", required=True)
     parser.add_argument("--model_name", type=str, default="regressor")
     parser.add_argument("--dont_save", action="store_true")
+    parser.add_argument("--export_torch", action="store_true",
+                        help="also save a reference-loadable .pth module "
+                        "pickle next to the .npz checkpoint")
     parser.add_argument("--clip_models_to_use", metavar="S", type=str, nargs="+",
                         default=["all"])
     parser.add_argument("--crop_names", type=str, nargs="+",
@@ -384,6 +391,7 @@ def main(argv=None):
         random_seed=args.random_seed,
         model_name=args.model_name,
         dont_save=args.dont_save,
+        export_torch=args.export_torch,
         print_network_layout=args.print_network_layout,
     )
     np.random.seed(cfg.random_seed)

@@ -123,3 +123,49 @@ def test_reference_trainer_then_our_predict(our_dataset, tmp_path):
     assert n == db.df["predicted_label"].notna().sum() == 9
     preds = db.df["predicted_label"].astype(float)
     assert np.isfinite(preds).all()
+
+
+def test_our_torch_export_loads_as_real_reference_class(tmp_path):
+    """save_torch_pickle's output unpickles against the reference's REAL
+    utils.nn_model.SimpleFC (not our shim): a subprocess with the reference
+    on PYTHONPATH and no shim installed loads the pickle and reproduces our
+    scores — models trained here flow back into the reference toolchain."""
+    import jax
+
+    from clip_assisted_data_labeling_tpu.models.regressor import (
+        RegressorMeta,
+        SimpleFCRegressor,
+    )
+
+    meta = RegressorMeta(
+        clip_models=("ViT-Test/tiny",), crop_names=("centre_crop",),
+        input_size=16, hidden_sizes=(8,), dropout_prob=0.5,
+    )
+    model = SimpleFCRegressor.create(jax.random.key(7), meta)
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, (5, 16)).astype(np.float32)
+    want = model.predict(x)
+    pth = tmp_path / "ours.pth"
+    model.save_torch_pickle(str(pth))
+    np.save(tmp_path / "x.npy", x)
+
+    code = (
+        "import sys, numpy as np, torch\n"
+        "from utils.nn_model import SimpleFC\n"  # the REAL reference class
+        "m = torch.load(sys.argv[1], map_location='cpu', weights_only=False)\n"
+        "assert type(m) is SimpleFC, type(m)\n"
+        "assert m.crop_names == ['centre_crop'], m.crop_names\n"
+        "m.eval()\n"
+        "with torch.no_grad():\n"
+        "    out = m(torch.tensor(np.load(sys.argv[2])))\n"
+        "np.save(sys.argv[3], out.numpy())\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code, str(pth), str(tmp_path / "x.npy"),
+         str(tmp_path / "out.npy")],
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, PYTHONPATH=REFERENCE),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = np.load(tmp_path / "out.npy")[:, 0]
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -113,6 +113,43 @@ def test_load_torch_pickle_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(model.predict(x), ref, atol=1e-6)
 
 
+def test_save_torch_pickle_roundtrip(tmp_path, rng):
+    """save_torch_pickle emits a reference-layout module pickle under the
+    'utils.nn_model.SimpleFC' class path: our own interop loader reads it back
+    with identical scores + metadata, and torch executes the module directly
+    with matching outputs (structure check: Linear/LeakyReLU/Dropout/Sigmoid
+    stack per utils/nn_model.py:6-41)."""
+    meta = RegressorMeta(
+        clip_models=("ViT-Test/tiny",),
+        crop_names=("centre_crop", "subcrop2_0.1"),
+        input_size=20,
+        hidden_sizes=(10, 4),
+        dropout_prob=0.25,
+        data_min=0.1,
+        data_max=0.9,
+    )
+    model = SimpleFCRegressor.create(jax.random.key(3), meta)
+    x = rng.normal(0, 1, (6, 20)).astype(np.float32)
+    want = model.predict(x)
+
+    path = str(tmp_path / "export.pth")
+    model.save_torch_pickle(path)
+
+    back = SimpleFCRegressor.load_torch_pickle(path)
+    np.testing.assert_allclose(back.predict(x), want, atol=1e-6)
+    assert back.meta.clip_models == meta.clip_models
+    assert back.meta.crop_names == meta.crop_names
+    assert (back.meta.data_min, back.meta.data_max) == (0.1, 0.9)
+
+    tm = torch.load(path, map_location="cpu", weights_only=False).eval()
+    kinds = [type(m).__name__ for m in tm.layers]
+    assert kinds == ["Linear", "LeakyReLU", "Dropout", "Linear", "LeakyReLU",
+                     "Dropout", "Linear", "Sigmoid"]
+    with torch.no_grad():
+        got = tm(torch.tensor(x)).numpy()[:, 0]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 @pytest.mark.skipif(not os.path.exists(REFERENCE_CKPT), reason="reference ckpt absent")
 def test_load_shipped_reference_checkpoint(rng):
     """Load the actual artifact shipped with the reference repo."""
