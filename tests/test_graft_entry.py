@@ -21,4 +21,11 @@ def test_example_batch_valid():
 
 def test_dryrun_multichip_small():
     # exercises dp embed (no tp at n=2), ring dedup, dp train on 2 devices
+    before = jax.device_count()
     ge.dryrun_multichip(2)
+    # regression: the dryrun must NOT shrink the process's virtual device
+    # pool (it once clobbered jax_num_cpu_devices to 2 under the forced-8
+    # pytest env, breaking every later 4+-device mesh test in the session)
+    assert jax.device_count() == before, (
+        f"dryrun_multichip shrank the device pool: {before} -> {jax.device_count()}"
+    )
