@@ -68,7 +68,15 @@ def load_calibration(path: str) -> dict:
 
 def check_calibration(amax: dict, cfg, path: str, model_name: str = "") -> None:
     """Reject a calibration file recorded for a different tower — attaching it
-    would silently mis-scale every activation site."""
+    would silently mis-scale every activation site. Two guards: the recorded
+    model name (same-geometry towers, e.g. CLIP vs PE variants with identical
+    layers/width, would pass a shape-only check), then the amax shapes."""
+    recorded = str(amax.get("_model_name", ""))
+    if recorded and model_name and recorded != model_name:
+        raise ValueError(
+            f"{path} was calibrated for {recorded}, not {model_name} — "
+            "wrong model's file (delete it or pass --calibration)"
+        )
     shape = np.asarray(amax["act_amax"]).shape
     qshape = np.asarray(amax["qkv_amax"]).shape if "qkv_amax" in amax else None
     if shape != (cfg.layers, 4) or (qshape is not None

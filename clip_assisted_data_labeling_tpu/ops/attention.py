@@ -1058,8 +1058,9 @@ def fused_attention_packed(
     # program but OOM'd by 116 KB in the bf16 one at identical shapes) — so
     # the robust default is 1 (import-time snapshot, ops/knobs.py). With the
     # round-5 pipelined head loop (one extra in-flight scores buffer per
-    # item) g=2 OOMs scoped VMEM by 1.57 MB even in the int8_static program:
-    # ITEMS>1 now requires CTPU_ATTN_PIPELINE=0.
+    # item) g=2 OOMs scoped VMEM by 1.57 MB even in the int8_static program,
+    # so an explicit ITEMS>1 disables the pipelined order for this call
+    # rather than handing Mosaic a guaranteed-overflow program.
     g = knobs.ATTN_ITEMS
     while g > 1 and (
         b % g != 0
@@ -1067,6 +1068,10 @@ def fused_attention_packed(
         > 14 * 2**20
     ):
         g -= 1
+    if pipeline is None:
+        pipeline = knobs.ATTN_PIPELINE
+    if g > 1:
+        pipeline = False
     if quant_out:
         out_shape = (
             jax.ShapeDtypeStruct((b, s_pad, w), jnp.int8),
@@ -1083,8 +1088,6 @@ def fused_attention_packed(
             (g, s_pad, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
         scratch = []
-    if pipeline is None:
-        pipeline = knobs.ATTN_PIPELINE
     out = pl.pallas_call(
         functools.partial(_packed_kernel, heads=heads, scale=scale,
                           s_real=s_real, quant_out=quant_out,

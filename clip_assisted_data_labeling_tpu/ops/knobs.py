@@ -25,7 +25,8 @@ def reload() -> None:
     # einsums emit the patch grid directly)
     g["PREPROC"] = os.environ.get("CTPU_PREPROC", "image")
     # batch items per packed-attention grid step (>1 measured neutral and
-    # VMEM-fragile — see ops/attention.fused_attention_packed)
+    # VMEM-fragile — see ops/attention.fused_attention_packed; values >1
+    # disable the pipelined head order for the call, which needs the VMEM)
     g["ATTN_ITEMS"] = int(os.environ.get("CTPU_ATTN_ITEMS", "1"))
     # software-pipelined head loop in the whole-block attention kernel (issue
     # head h+1's QKᵀ before head h's softmax so the scheduler overlaps MXU and

@@ -49,15 +49,34 @@ class DedupResult:
 # have different reduction shapes); boundary pairs are kept, never dropped
 THRESHOLD_SLACK = 1e-5
 
-# Wire-format scan slacks: the device scan runs at (threshold - slack) so the
-# candidate set is a SUPERSET of the exact pass, and every candidate pair is
-# re-checked in f32 on the host before being reported — the final pair set is
-# exact for EITHER wire. int8: per-row-quantized cosine error is ~1e-3 at
-# D=768 (measured ~6e-4 rms). fp16: element rounding is 2^-11, which bounds
-# the cosine error near ~1e-3 — an exact-duplicate pair can read 0.99987 in
-# fp16 and silently miss a 0.9999 threshold without the slack+recheck.
+# Wire-format scan slacks: the device scan runs at a LOWERED threshold (see
+# wire_scan_threshold) so the candidate set is a SUPERSET of the exact pass,
+# and every candidate pair is re-checked in f32 on the host before being
+# reported — the final pair set is exact for EITHER wire. Both slacks bound
+# the COSINE error |s_wire − s|. int8: per-row-quantized cosine error is
+# ~1e-3 at D=768 (measured ~6e-4 rms). fp16: element rounding is 2^-11, which
+# bounds the cosine error near ~1e-3 — an exact-duplicate pair can read
+# 0.99987 in fp16 and silently miss a 0.9999 threshold without the
+# slack+recheck.
 INT8_SLACK = 0.02
 FP16_SLACK = 2e-3
+
+
+def wire_scan_threshold(threshold: float, euclidean: bool, slack: float) -> float:
+    """Device-scan threshold that makes the candidate set a SUPERSET of the
+    exact pass given a wire whose COSINE error is bounded by ``slack``.
+
+    Cosine metric: scan at ``threshold − slack``. Euclidean metric
+    d = sqrt(2 − 2s): the slack must be CONVERTED, not subtracted —
+    d_wire² = 2 − 2·s_wire ≥ d² − 2·slack, so any pair with exact d > t reads
+    at least sqrt(max(t² − 2·slack, 0)) over the wire and the scan runs at
+    that bound. When t² ≤ 2·slack the bound degenerates to 0 and a clamped
+    wire distance (quantized sim of a near-duplicate can read > 1) could
+    still tie it, so the scan must count every pair (−1: distances are ≥ 0)."""
+    if not euclidean:
+        return threshold - slack
+    t2 = threshold * threshold - 2.0 * slack
+    return float(np.sqrt(t2)) if t2 > 0.0 else -1.0
 
 
 def normalize_rows(x: np.ndarray) -> np.ndarray:
@@ -249,6 +268,21 @@ def build_hit_panel(hit: np.ndarray, normed: np.ndarray, n_pad: int,
     return panel, gidx
 
 
+def build_hit_panel_q(hit: np.ndarray, q: np.ndarray, s_row: np.ndarray,
+                      n_pad: int):
+    """int8-wire :func:`build_hit_panel`: slices the already-quantized rows
+    and their scales (quantization is per-row, so q[hit]/s_row[hit] are
+    exactly what re-quantizing normed[hit] would produce — no second pass)."""
+    h_pad = _bucket(len(hit))
+    gidx = np.full(h_pad, n_pad + 1, np.int32)
+    gidx[: len(hit)] = hit
+    panel = np.zeros((h_pad, q.shape[1]), np.int8)
+    panel[: len(hit)] = q[hit]
+    scales = np.zeros(h_pad, np.float32)
+    scales[: len(hit)] = s_row[hit]
+    return panel, scales, gidx
+
+
 def _exact_metric_host(normed: np.ndarray, rows: np.ndarray, cols: np.ndarray,
                        euclidean: bool) -> np.ndarray:
     """f32 host metric for candidate pairs (the int8 wire's exact recheck)."""
@@ -311,7 +345,9 @@ def find_duplicate_pairs(
     int8_wire = wire == "int8"
     # the scan must over-capture by the wire's quantization error bound so the
     # exact recheck below can only REMOVE false positives, never miss a pair
-    scan_threshold = threshold - (INT8_SLACK if int8_wire else FP16_SLACK)
+    # (metric-aware: the cosine-error slack is converted for euclidean)
+    scan_threshold = wire_scan_threshold(
+        threshold, euclidean, INT8_SLACK if int8_wire else FP16_SLACK)
     if int8_wire:
         q, s_row = quantize_rows_int8(normed)
         stacked_q = jnp.asarray(q.reshape(n_panels, b, -1))
@@ -340,14 +376,7 @@ def find_duplicate_pairs(
     # informational only.
     k = min(_required_k(counts, max_per_row), n_pad)
     if int8_wire:
-        hq, hs = quantize_rows_int8(normed[hit])
-        h_pad = _bucket(len(hit))
-        gidx = np.full(h_pad, n_pad + 1, np.int32)
-        gidx[: len(hit)] = hit
-        hit_q = np.zeros((h_pad, normed.shape[1]), np.int8)
-        hit_q[: len(hit)] = hq
-        hit_s = np.zeros(h_pad, np.float32)
-        hit_s[: len(hit)] = hs
+        hit_q, hit_s, gidx = build_hit_panel_q(hit, q, s_row, n_pad)
         run_vals, run_idx = _extract_hits_q(
             stacked_q, scales, jnp.asarray(hit_q), jnp.asarray(hit_s),
             jnp.asarray(gidx), n, scan_threshold, k, euclidean,

@@ -41,8 +41,10 @@ from clip_assisted_data_labeling_tpu.ops.similarity import (
     _tile_metric as _metric,
     _tile_metric_q as _metric_q,
     build_hit_panel,
+    build_hit_panel_q,
     normalize_rows,
     quantize_rows_int8,
+    wire_scan_threshold,
 )
 
 
@@ -251,8 +253,10 @@ def find_duplicate_pairs_sharded(
     # so the device passes run at a LOWERED threshold (superset) and
     # candidates are re-checked in f32 on the host — the reported pair set is
     # exact and wire-independent (same contract as the single-device path,
-    # ops/similarity.find_duplicate_pairs).
-    scan_threshold = threshold - (INT8_SLACK if int8_wire else FP16_SLACK)
+    # ops/similarity.find_duplicate_pairs; the cosine-error slack is converted
+    # for the euclidean metric — ops/similarity.wire_scan_threshold).
+    scan_threshold = wire_scan_threshold(
+        threshold, euclidean, INT8_SLACK if int8_wire else FP16_SLACK)
     if int8_wire:
         q8, s_row = quantize_rows_int8(normed_f32)
         sharded_q = _put_row_sharded(q8, mesh, axis)
@@ -276,16 +280,8 @@ def find_duplicate_pairs_sharded(
     # ops/similarity._required_k) — overflow never requires a user re-run
     k = min(_required_k(counts, max_per_row), n_pad)
     if int8_wire:
-        from clip_assisted_data_labeling_tpu.ops.similarity import _bucket
-
-        hq_rows, hs_rows = quantize_rows_int8(normed_f32[hit])
-        h_pad = _bucket(len(hit))
-        gidx = np.full(h_pad, n_pad + 1, np.int32)
-        gidx[: len(hit)] = hit
-        hit_q = np.zeros((h_pad, normed_f32.shape[1]), np.int8)
-        hit_q[: len(hit)] = hq_rows
-        hit_s = np.zeros(h_pad, np.float32)
-        hit_s[: len(hit)] = hs_rows
+        hit_q, hit_s, gidx = build_hit_panel_q(hit, q8, s_row, n_pad)
+        h_pad = len(hit_q)
         vals, idx = _sharded_extract_q(
             sharded_q, sharded_s, _put_replicated(hit_q, mesh),
             _put_replicated(hit_s, mesh), _put_replicated(gidx, mesh),

@@ -31,14 +31,17 @@ class ShardedEmbedder:
 
     def __init__(self, params: dict, cfg: VitConfig, mesh: Mesh,
                  compute_dtype=jnp.bfloat16, parity_preprocess: bool = False,
-                 calibration_path: str | None = None):
+                 calibration_path: str | None = None, model_name: str = ""):
         self.cfg = cfg
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.parity_preprocess = parity_preprocess
         # int8_static persistence (same contract as CLIPImageEncoder): load
-        # saved scales when the file exists, save after a fresh calibration
+        # saved scales when the file exists, save after a fresh calibration;
+        # model_name is recorded alongside so same-geometry towers (e.g. CLIP
+        # vs PE variants with identical layers/width) can't swap scale files
         self.calibration_path = calibration_path
+        self.model_name = model_name
         self._repl = NamedSharding(mesh, P())
         self._data = NamedSharding(mesh, P("data"))
         self._dp_only = "model" not in mesh.axis_names
@@ -82,7 +85,8 @@ class ShardedEmbedder:
             )
 
             amax = load_calibration(self.calibration_path)
-            check_calibration(amax, self.cfg, self.calibration_path)
+            check_calibration(amax, self.cfg, self.calibration_path,
+                              self.model_name)
             amax.pop("_model_name", None)
             if knobs.INT8_WIRE and "qkv_amax" not in amax:
                 amax = None  # saved without the wire scales; recalibrate
@@ -99,7 +103,7 @@ class ShardedEmbedder:
             amax = jax.tree.map(np.asarray, vit_act_amax(
                 self.params, flat, self.cfg, compute_dtype=self.compute_dtype))
             if self.calibration_path:
-                save_calibration(self.calibration_path, amax)
+                save_calibration(self.calibration_path, amax, self.model_name)
                 print(f"Saved static int8 calibration to {self.calibration_path}")
         if not knobs.INT8_WIRE:  # mirror encoders.py
             amax = {"act_amax": amax["act_amax"]}

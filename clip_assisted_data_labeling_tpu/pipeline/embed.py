@@ -175,6 +175,7 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
             compute_dtype=encoder.compute_dtype,  # int8 mode pre-quantizes params
             parity_preprocess=encoder.parity_preprocess,
             calibration_path=calibration_path,
+            model_name=encoder.model_name,
         )
         print(f"Data-parallel embedding over {n_dev} devices (batch {batch_size})")
 

@@ -88,7 +88,16 @@ def torch_parity_hf(checkpoint_path: str, cfg, goldens: np.ndarray,
     import torch
     import transformers
 
-    obj = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        # TorchScript archives (the OpenAI CLIP download) and whole-module
+        # pickles cannot be read with weights_only — they are by definition
+        # not HF state dicts, so they take the graceful skip path below
+        print(f"[torch-parity] checkpoint is not a plain state dict ({e}) — "
+              "skipping the HF torch executor (open_clip/PE formats validate "
+              "through the quantization ladder)")
+        return True
     sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
     if not any(k.startswith("vision_model.") for k in sd):
         print("[torch-parity] not an HF CLIPVision state dict — skipping the "

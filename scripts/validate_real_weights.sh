@@ -6,5 +6,6 @@
 #   scripts/validate_real_weights.sh <checkpoint-or-dir> <model-name> [imgdir]
 set -e
 cd "$(dirname "$0")/.."
-IMAGES=${3:+--images "$3"}
-exec python scripts/validate_real_weights.py "$1" "$2" $IMAGES
+ARGS=()
+[ -n "${3:-}" ] && ARGS=(--images "$3")
+exec python scripts/validate_real_weights.py "$1" "$2" "${ARGS[@]}"

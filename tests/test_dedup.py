@@ -108,6 +108,63 @@ def test_euclidean_replicates_reference_semantics(rng):
         assert got == expected
 
 
+def test_wire_scan_threshold_superset_bound():
+    """The euclidean scan threshold must be a CONVERTED cosine-error bound,
+    not a plain subtraction: d = sqrt(2−2s), so a wire whose cosine error is
+    bounded by ``slack`` can read a just-above-threshold distance as low as
+    sqrt(t²−2·slack) — strictly below the naive t−slack whenever t < 1
+    (Δd ≈ slack/d), which let such pairs silently skip the exact recheck."""
+    from clip_assisted_data_labeling_tpu.ops.similarity import (
+        wire_scan_threshold,
+    )
+
+    # cosine metric: unchanged plain subtraction
+    assert wire_scan_threshold(0.96, False, 0.02) == pytest.approx(0.94)
+    # euclidean: for any exact pair with d > t and |s_wire − s| <= slack the
+    # wire distance sqrt(max(d² − 2·slack, 0)) must stay above the scan bound
+    for t, slack in [(0.283, 2e-3), (0.3, 0.02), (1.2, 0.02), (1.9, 2e-3)]:
+        scan = wire_scan_threshold(t, True, slack)
+        worst_wire = np.sqrt(max(t * t - 2 * slack, 0.0))  # d → t⁺ limit
+        assert scan <= worst_wire + 1e-12
+        # the naive subtraction sat ABOVE the worst wire reading for t < 1
+        if t < 1.0 and t * t > 2 * slack:
+            assert scan < t - slack
+    # degenerate: t² <= 2·slack — clamped wire distances can read exactly 0,
+    # so the scan must count every pair (threshold −1, distances are >= 0)
+    assert wire_scan_threshold(0.1, True, 0.02) == -1.0
+
+
+def test_euclidean_int8_wire_matches_oracle_at_small_threshold(rng):
+    """End-to-end superset check at a euclidean threshold small enough that
+    the old unconverted slack (t − 0.02 = 0.23) sat ABOVE what a boundary
+    pair can read over the int8 wire (sqrt(t² − 2·0.02) ≈ 0.156)."""
+    n, d = 96, 32
+    emb = normalize_rows(rng.normal(0, 1, (n, d)).astype(np.float32))
+    # plant pairs with exact distances straddling the threshold
+    t = 0.25
+    for j, dist in ((1, 0.251), (3, 0.26), (5, 0.24)):
+        s = 1.0 - dist * dist / 2.0
+        perp = rng.normal(0, 1, d).astype(np.float32)
+        perp -= (perp @ emb[0]) * emb[0]
+        perp /= np.linalg.norm(perp)
+        emb[j] = s * emb[0] + np.sqrt(1.0 - s * s) * perp
+    normed = normalize_rows(emb)
+    sims = normed @ normed.T
+    dist = np.sqrt(np.maximum(2.0 - 2.0 * sims, 0.0))
+    iu, ju = np.triu_indices(n, k=1)
+    expected = set(zip(iu[dist[iu, ju] > t].tolist(),
+                       ju[dist[iu, ju] > t].tolist()))
+    for wire in ("int8", "fp16"):
+        res = find_duplicate_pairs(emb, threshold=t, sim_type="euclidean",
+                                   row_block=32, wire=wire)
+        got = set(zip(res.rows.tolist(), res.cols.tolist()))
+        assert got == expected, wire
+    mesh = get_mesh()
+    res = find_duplicate_pairs_sharded(emb, threshold=t, sim_type="euclidean",
+                                       mesh=mesh, wire="int8")
+    assert set(zip(res.rows.tolist(), res.cols.tolist())) == expected
+
+
 def test_farthest_point_order(rng):
     # three tight clusters; a diverse prefix of 3 must hit all clusters
     centers = normalize_rows(rng.normal(0, 1, (3, 16)))

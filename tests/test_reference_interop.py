@@ -81,6 +81,7 @@ def test_reference_subset_reads_our_csv(our_dataset):
     assert m and int(m.group(1)) >= 4  # the labeled rows pass the filter
 
 
+@pytest.mark.slow
 def test_reference_trainer_then_our_predict(our_dataset, tmp_path):
     """The reference's OWN trainer (_4_train_model.py — torch+sklearn only, no
     open_clip) runs unchanged on this framework's CSV + sidecars, and the

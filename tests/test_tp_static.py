@@ -86,6 +86,27 @@ def test_tp_static_bit_identical_pe(rng):
     np.testing.assert_array_equal(tp, single)
 
 
+def test_tp_static_bit_identical_fused_attention(rng, monkeypatch):
+    """The production default on real hardware runs the FUSED attention
+    kernels (models/vit.default_fused_attention), where the TP shard routes
+    by its LOCAL shape — this drives both sides through the fused path in
+    interpreter mode so the bit-identity claim covers the shipped
+    configuration, not just the XLA fallback the other tests pin."""
+    monkeypatch.setenv("CTPU_PALLAS_INTERPRET", "1")
+    cfg, sparams = _static_params("ViT-Test/tiny", rng)
+    x = jnp.asarray(
+        rng.normal(0, 1, (4, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    )
+    single = np.asarray(vit_encode_image(
+        sparams, x, cfg, compute_dtype=jnp.float32, fused_attention=True))
+    mesh = get_mesh_2d(2, 2)
+    placed = place_tp_static(sparams, mesh, cfg)
+    tp = np.asarray(vit_encode_tp_static(
+        placed, x, cfg, mesh, compute_dtype=jnp.float32,
+        fused_attention=True))
+    np.testing.assert_array_equal(tp, single)
+
+
 def test_tp_static_requires_calibration(rng):
     import pytest
 

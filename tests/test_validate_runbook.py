@@ -40,6 +40,7 @@ def _trained_hf_model(cfg_kw, steps=30, act="quick_gelu"):
     return model.eval()
 
 
+@pytest.mark.slow
 def test_runbook_end_to_end(tmp_path):
     """The one-command runbook must convert, torch-parity-check, quantization-
     ladder and margin-audit a trained HF checkpoint and report PASS."""
