@@ -1069,9 +1069,16 @@ def fused_attention_packed(
     ):
         g -= 1
     if pipeline is None:
-        pipeline = knobs.ATTN_PIPELINE
-    if g > 1:
-        pipeline = False
+        # the knob-selected pipeline order yields to an explicit ITEMS>1
+        # knob (the lookahead's extra in-flight scores buffer OOMs with g>1)
+        pipeline = knobs.ATTN_PIPELINE and g == 1
+    elif pipeline and g > 1:
+        # an EXPLICIT pipeline=True must not silently run the plain order
+        raise ValueError(
+            "pipeline=True requires one batch item per grid step — unset "
+            "CTPU_ATTN_ITEMS (the pipelined head loop's extra scores buffer "
+            "overflows scoped VMEM at g>1)"
+        )
     if quant_out:
         out_shape = (
             jax.ShapeDtypeStruct((b, s_pad, w), jnp.int8),

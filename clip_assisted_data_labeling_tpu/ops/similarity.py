@@ -190,7 +190,8 @@ def _tile_metric_q(rows_q, rows_s, cols_q, cols_s, euclidean: bool):
 def _scan_row_panel_q(stacked_q, scales, bi, n_real, threshold,
                       euclidean: bool):
     """int8-wire variant of :func:`_scan_row_panel` (same structure; the
-    caller lowers ``threshold`` by INT8_SLACK so counts are a superset)."""
+    caller lowers ``threshold`` via :func:`wire_scan_threshold` — the
+    metric-converted INT8_SLACK bound — so counts are a superset)."""
     p, b, _ = stacked_q.shape
     rows_q = jax.lax.dynamic_index_in_dim(stacked_q, bi, 0, keepdims=False)
     rows_s = jax.lax.dynamic_index_in_dim(scales, bi, 0, keepdims=False)
@@ -273,12 +274,8 @@ def build_hit_panel_q(hit: np.ndarray, q: np.ndarray, s_row: np.ndarray,
     """int8-wire :func:`build_hit_panel`: slices the already-quantized rows
     and their scales (quantization is per-row, so q[hit]/s_row[hit] are
     exactly what re-quantizing normed[hit] would produce — no second pass)."""
-    h_pad = _bucket(len(hit))
-    gidx = np.full(h_pad, n_pad + 1, np.int32)
-    gidx[: len(hit)] = hit
-    panel = np.zeros((h_pad, q.shape[1]), np.int8)
-    panel[: len(hit)] = q[hit]
-    scales = np.zeros(h_pad, np.float32)
+    panel, gidx = build_hit_panel(hit, q, n_pad, dtype=np.int8)
+    scales = np.zeros(len(panel), np.float32)
     scales[: len(hit)] = s_row[hit]
     return panel, scales, gidx
 

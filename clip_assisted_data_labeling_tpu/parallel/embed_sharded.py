@@ -39,7 +39,14 @@ class ShardedEmbedder:
         # int8_static persistence (same contract as CLIPImageEncoder): load
         # saved scales when the file exists, save after a fresh calibration;
         # model_name is recorded alongside so same-geometry towers (e.g. CLIP
-        # vs PE variants with identical layers/width) can't swap scale files
+        # vs PE variants with identical layers/width) can't swap scale files.
+        # Persistence without provenance would silently re-open that hole, so
+        # the name is REQUIRED whenever a calibration file is in play.
+        if calibration_path and not model_name:
+            raise ValueError(
+                "ShardedEmbedder(calibration_path=...) needs model_name — "
+                "calibration files are validated by recorded model name"
+            )
         self.calibration_path = calibration_path
         self.model_name = model_name
         self._repl = NamedSharding(mesh, P())

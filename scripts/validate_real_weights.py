@@ -88,12 +88,24 @@ def torch_parity_hf(checkpoint_path: str, cfg, goldens: np.ndarray,
     import torch
     import transformers
 
+    import pickle
+
     try:
         obj = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
-    except Exception as e:
+    except (pickle.UnpicklingError, RuntimeError) as e:
         # TorchScript archives (the OpenAI CLIP download) and whole-module
         # pickles cannot be read with weights_only — they are by definition
-        # not HF state dicts, so they take the graceful skip path below
+        # not HF state dicts, so they take the graceful skip path below.
+        # Anything else (truncated/corrupt file, OOM) must still FAIL loudly
+        # rather than silently skipping the strongest parity gate — and a
+        # corrupt checkpoint would already have failed the conversion step
+        # before reaching this function.
+        msg = str(e)
+        known_format = isinstance(e, pickle.UnpicklingError) or any(
+            s in msg for s in ("TorchScript", "torch.jit.load", "weights_only")
+        )
+        if not known_format:
+            raise
         print(f"[torch-parity] checkpoint is not a plain state dict ({e}) — "
               "skipping the HF torch executor (open_clip/PE formats validate "
               "through the quantization ladder)")

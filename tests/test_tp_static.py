@@ -141,7 +141,8 @@ def test_sharded_embedder_tp_static_pipeline(rng, tmp_path):
 
     mesh2 = get_mesh_2d(2, 2)
     emb = ShardedEmbedder(qparams, cfg, mesh2, compute_dtype=jnp.float32,
-                          calibration_path=calib_path)
+                          calibration_path=calib_path,
+                          model_name="ViT-Test/tiny")
     emb.calibrate_static(canvases, cp)
     assert emb._tp_static, "2-D mesh must take the explicit-collective path"
     got = np.asarray(emb.embed(canvases, cp))
