@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +42,11 @@ log = logging.getLogger(__name__)
 
 
 def _stable_seed(name: str) -> int:
-    return int.from_bytes(name.encode()[:4].ljust(4, b"\0"), "little") % (2**31)
+    # hash the WHOLE name: a prefix-based seed collides every "ViT-…" variant
+    # onto identical random-init weights, silently duplicating features in
+    # multi-model random-init runs (same-geometry towers, e.g. two ViT-L-14
+    # pretrain tags, would embed identically)
+    return zlib.crc32(name.encode()) % (2**31)
 
 
 def calibration_file(model_name: str, directory: str) -> str:
@@ -76,6 +81,19 @@ def check_calibration(amax: dict, cfg, path: str, model_name: str = "") -> None:
         raise ValueError(
             f"{path} was calibrated for {recorded}, not {model_name} — "
             "wrong model's file (delete it or pass --calibration)"
+        )
+    if not recorded:
+        # pre-provenance file: the name guard cannot run, shapes are the only
+        # check left and they CANNOT distinguish same-geometry towers
+        log.warning(
+            "%s records no model name (written before provenance was added) "
+            "— only shape-checked; delete it to recalibrate with provenance",
+            path,
+        )
+    if "act_amax" not in amax:
+        raise ValueError(
+            f"{path} is not a calibration file (no act_amax key) — wrong "
+            "file passed as --calibration?"
         )
     shape = np.asarray(amax["act_amax"]).shape
     qshape = np.asarray(amax["qkv_amax"]).shape if "qkv_amax" in amax else None
@@ -166,9 +184,16 @@ class CLIPImageEncoder:
             candidates = [
                 f for f in sorted(os.listdir(model_path)) if f.endswith(ckpt_exts)
             ]
-            # name-matched file first, else standard single-checkpoint names
-            # (pytorch_model.bin, model.safetensors, open_clip_pytorch_model.bin)
-            named = [f for f in candidates if safe in f]
+            # exact stem first (full sanitized name, then bare architecture —
+            # 'ViT-L-14/openai' finds ViT-L-14.pt), then substring matches,
+            # then standard single-checkpoint names (pytorch_model.bin,
+            # model.safetensors, open_clip_pytorch_model.bin)
+            arch = self.model_name.split("/")[0]
+            named = (
+                [f for f in candidates if os.path.splitext(f)[0] == safe]
+                or [f for f in candidates if os.path.splitext(f)[0] == arch]
+                or [f for f in candidates if safe in f]
+            )
             if not named and len(candidates) == 1:
                 named = candidates
             if not named:
@@ -181,6 +206,14 @@ class CLIPImageEncoder:
                 full = os.path.join(model_path, named[0])
                 log.info("Converting torch checkpoint %s", full)
                 return self._convert_torch_file(full)
+            if candidates:
+                # the directory HAS checkpoints, just not this model's — that
+                # is a lookup miss, not a request for random init; falling
+                # through would silently embed garbage
+                raise FileNotFoundError(
+                    f"{model_path} holds {candidates} but none matches "
+                    f"{self.model_name} (looked for '{safe}'/'{arch}')"
+                )
         log.warning(
             "No local weights found for %s — using deterministic random init "
             "(fine for benchmarks/tests; NOT a trained encoder).",
@@ -278,12 +311,16 @@ class CLIPImageEncoder:
     def embed_crops(self, canvas_u8: jnp.ndarray, crop_params: jnp.ndarray) -> jnp.ndarray:
         """[B, C, C, 3] uint8 + [B, n_crops, 2, 4] → [B, n_crops, D]; one jit."""
         if self.static_quant and "act_amax" not in self.params["blocks"]:
-            crops = fused_crop_resize_normalize(
-                canvas_u8, crop_params, out_size=self.cfg.image_size,
-                parity=self.parity_preprocess, dtype=self.compute_dtype,
-                patch_size=self.cfg.patch_size,
-            )
-            self._maybe_calibrate(crops.reshape((-1,) + crops.shape[2:]))
+            # persisted scales first: building calibration crops is a DISTINCT
+            # jit program from _embed_crops_jit's, and a new shape costs
+            # minutes of remote compile on the tunnel (CLAUDE.md)
+            if not self.load_calibration():
+                crops = fused_crop_resize_normalize(
+                    canvas_u8, crop_params, out_size=self.cfg.image_size,
+                    parity=self.parity_preprocess, dtype=self.compute_dtype,
+                    patch_size=self.cfg.patch_size,
+                )
+                self._maybe_calibrate(crops.reshape((-1,) + crops.shape[2:]))
         return _embed_crops_jit(
             self.params,
             canvas_u8,

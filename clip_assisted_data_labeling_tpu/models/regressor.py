@@ -147,6 +147,8 @@ class SimpleFCRegressor:
         tunnel). Matmuls still run f32 on device; scores move ≲1e-4 vs the
         f32 wire (tests/test_regressor.py). A batch holding values outside
         fp16 range (or NaN) silently falls back to the f32 wire."""
+        if len(features) == 0:
+            return np.zeros((0,), np.float32)
         outs = []
         for i in range(0, len(features), batch_size):
             x_host = np.asarray(features[i : i + batch_size], np.float32)

@@ -535,7 +535,9 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
                 return _block_int8_static_lnk(x, p, cfg, rope)
         if a is None and rope is None:
             mode = _int8_block_mode()
-            if mode == "hybrid":
+            # same width gate as the static lnk dispatch above: the fused
+            # block's rowquant needs K % 128 == 0; narrow towers fall through
+            if mode == "hybrid" and cfg.width % 128 == 0:
                 return _block_int8_fused(x, p, cfg)
             if mode == "xla":
                 return _block_int8_xla(x, p, cfg)
@@ -645,6 +647,30 @@ def default_fused_attention() -> bool:
     return jax.default_backend() == "tpu" or jax.default_backend() == "axon"
 
 
+def _stem(params: dict, images: jnp.ndarray, cfg: VitConfig, compute_dtype,
+          quantized: bool):
+    """Shared pre-layer stem — patch embed (+cls token), positional embedding,
+    ln_pre, RoPE tables. ONE implementation serves inference
+    (vit_encode_image), calibration (vit_act_amax), and the tensor-parallel
+    forward (parallel/tp_static.py) so the calibration statistics can never
+    silently come from a different network than inference runs."""
+    x = _patch_embed(params, images, cfg, compute_dtype, quantized)
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(
+            params["class_emb"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_emb"].astype(compute_dtype)
+    x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
+    rope = None
+    if cfg.use_rope2d:
+        cos, sin = _rope2d_tables(
+            cfg.grid, cfg.head_dim, cfg.rope_theta, cfg.use_cls_token
+        )
+        rope = (jnp.asarray(cos), jnp.asarray(sin))
+    return x, rope
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "normalize", "fused_attention", "unroll"),
@@ -664,21 +690,7 @@ def vit_encode_image(
     if fused_attention is None:
         fused_attention = default_fused_attention()
     quantized = "patch_kernel_scale" in params  # W8A8 fast mode (ops/quant.py)
-    x = _patch_embed(params, images, cfg, compute_dtype, quantized)
-    if cfg.use_cls_token:
-        cls = jnp.broadcast_to(
-            params["class_emb"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
-        )
-        x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_emb"].astype(compute_dtype)
-    x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
-
-    rope = None
-    if cfg.use_rope2d:
-        cos, sin = _rope2d_tables(
-            cfg.grid, cfg.head_dim, cfg.rope_theta, cfg.use_cls_token
-        )
-        rope = (jnp.asarray(cos), jnp.asarray(sin))
+    x, rope = _stem(params, images, cfg, compute_dtype, quantized)
 
     # towers whose packed block overflows scoped VMEM (PE-G14-448: S=1024,
     # w=1536; f32 runs of 336-scale towers) take the head-grouped kernel —
@@ -751,21 +763,7 @@ def vit_act_amax(
     attach_act_amax adds a safety margin.
     """
     quantized = "patch_kernel_scale" in params
-    x = _patch_embed(params, images, cfg, compute_dtype, quantized)
-    if cfg.use_cls_token:
-        cls = jnp.broadcast_to(
-            params["class_emb"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
-        )
-        x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_emb"].astype(compute_dtype)
-    x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
-
-    rope = None
-    if cfg.use_rope2d:
-        cos, sin = _rope2d_tables(
-            cfg.grid, cfg.head_dim, cfg.rope_theta, cfg.use_cls_token
-        )
-        rope = (jnp.asarray(cos), jnp.asarray(sin))
+    x, rope = _stem(params, images, cfg, compute_dtype, quantized)
     B, S, w = x.shape
     h, d = cfg.heads, cfg.head_dim
 

@@ -43,8 +43,7 @@ from clip_assisted_data_labeling_tpu.models.vit import (
     _act,
     _attention_pool,
     _layernorm,
-    _patch_embed,
-    _rope2d_tables,
+    _stem,
 )
 from clip_assisted_data_labeling_tpu.parallel.mesh import compat_shard_map
 from clip_assisted_data_labeling_tpu.parallel.tp import tp_block_spec
@@ -192,21 +191,7 @@ def _tp_static_fn(mesh: Mesh, cfg: VitConfig, compute_dtype, normalize: bool,
 
     def body(params, images):
         quantized = "patch_kernel_scale" in params
-        x = _patch_embed(params, images, cfg, compute_dtype, quantized)
-        if cfg.use_cls_token:
-            cls = jnp.broadcast_to(
-                params["class_emb"].astype(compute_dtype),
-                (x.shape[0], 1, cfg.width),
-            )
-            x = jnp.concatenate([cls, x], axis=1)
-        x = x + params["pos_emb"].astype(compute_dtype)
-        x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"],
-                       cfg.ln_eps)
-        rope = None
-        if cfg.use_rope2d:
-            cos, sin = _rope2d_tables(cfg.grid, cfg.head_dim, cfg.rope_theta,
-                                      cfg.use_cls_token)
-            rope = (jnp.asarray(cos), jnp.asarray(sin))
+        x, rope = _stem(params, images, cfg, compute_dtype, quantized)
         if fused_attention:
             # one tile-friendly pad before the scan (see models/vit.py NOTE)
             from clip_assisted_data_labeling_tpu.ops.attention import (

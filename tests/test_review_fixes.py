@@ -189,3 +189,67 @@ def test_aesthetic_with_img_stats(tmp_path, rng):
     score, feats = scorer.predict_score(img)
     assert feats.shape == (1, 38)
     assert 0.0 <= score <= 1.0
+
+
+def test_encoder_dir_with_wrong_checkpoints_raises(tmp_path):
+    """Round-3 self-review: a weights dir holding only OTHER models'
+    checkpoints is a lookup MISS — random-init fallthrough would embed
+    garbage. Also: the bare-architecture stem ('ViT-L-14.pt') must match
+    'ViT-L-14/openai'."""
+    from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+
+    # two files: a single checkpoint is (deliberately) assumed to be the model
+    (tmp_path / "ViT-B-32.pt").write_bytes(b"not really a checkpoint")
+    (tmp_path / "ViT-B-16.pt").write_bytes(b"not really a checkpoint")
+    with pytest.raises(FileNotFoundError, match="none matches"):
+        CLIPImageEncoder("ViT-Test/tiny", model_path=str(tmp_path),
+                         compute_dtype="float32")
+
+
+def test_stable_seed_distinct_per_model_name():
+    """Round-3 self-review: random-init seeds must hash the WHOLE model name
+    (a 4-byte prefix seed made every 'ViT-…' variant embed identically)."""
+    from clip_assisted_data_labeling_tpu.models.encoders import _stable_seed
+
+    names = ["ViT-L-14/openai", "ViT-L-14/laion2b_s32b_b82k",
+             "ViT-L-14-336/openai", "ViT-B-32/openai"]
+    seeds = {_stable_seed(n) for n in names}
+    assert len(seeds) == len(names)
+
+
+def test_regressor_predict_empty_matrix():
+    """Round-3 self-review: zero rows (everything already labeled) must
+    return an empty score array, not crash np.concatenate."""
+    import jax
+
+    from clip_assisted_data_labeling_tpu.models.regressor import (
+        RegressorMeta,
+        SimpleFCRegressor,
+    )
+
+    meta = RegressorMeta(clip_models=(MODEL,), crop_names=("centre_crop",),
+                         input_size=8, hidden_sizes=(4,))
+    model = SimpleFCRegressor.create(jax.random.key(0), meta)
+    out = model.predict(np.zeros((0, 8), np.float32))
+    assert out.shape == (0,) and out.dtype == np.float32
+
+
+def test_check_calibration_rejects_foreign_npz(tmp_path):
+    """Round-3 self-review: a non-calibration npz passed as --calibration must
+    get the diagnostic ValueError, not a bare KeyError; a same-geometry file
+    recorded for another model must be rejected by NAME."""
+    from clip_assisted_data_labeling_tpu.models.encoders import (
+        check_calibration,
+        load_calibration,
+        save_calibration,
+    )
+    from clip_assisted_data_labeling_tpu.models.vit import resolve_config
+
+    cfg = resolve_config("ViT-Test/tiny")
+    with pytest.raises(ValueError, match="not a calibration file"):
+        check_calibration({"foo": np.zeros(3)}, cfg, "x.npz")
+    p = str(tmp_path / "c.npz")
+    save_calibration(p, {"act_amax": np.ones((cfg.layers, 4), np.float32)},
+                     "PE-Same-Geometry/other")
+    with pytest.raises(ValueError, match="calibrated for"):
+        check_calibration(load_calibration(p), cfg, p, "ViT-Test/tiny")
