@@ -63,7 +63,13 @@ def save_calibration(path: str, amax: dict, model_name: str | None = None) -> No
     flat = {k: np.asarray(v, np.float32) for k, v in amax.items()}
     if model_name is not None:
         flat["_model_name"] = np.asarray(model_name)
-    np.savez(path, **flat)
+    # atomic replace: concurrent writers (multi-host shards on a shared FS)
+    # or a mid-save kill must never leave a torn npz that poisons every
+    # later resume; the pid keeps the temp names distinct across processes
+    # (.npz suffix so np.savez doesn't append another)
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def load_calibration(path: str) -> dict:

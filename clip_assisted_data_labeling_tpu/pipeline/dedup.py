@@ -23,25 +23,21 @@ import numpy as np
 
 from clip_assisted_data_labeling_tpu.config import DedupConfig
 from clip_assisted_data_labeling_tpu.ops.similarity import DedupResult, find_duplicate_pairs
-from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
+from clip_assisted_data_labeling_tpu.store.columnar import (
+    EmbeddingStore,
+    list_models,
+)
 from clip_assisted_data_labeling_tpu.store.sidecar import read_sidecar, resolve_crop_key
 
 
 def load_embeddings(root_dir: str, cfg: DedupConfig):
     """(paths, embeddings [N, D]) for the dedup crop. Store-first, sidecars second."""
     model = cfg.clip_model_to_use
-    if model is None or EmbeddingStore.exists(root_dir, model or ""):
-        store_base = os.path.join(root_dir, ".ctpu_store")
-        if model is None and os.path.isdir(store_base):
-            import json
-
-            for d in sorted(os.listdir(store_base)):
-                meta_p = os.path.join(store_base, d, "meta.json")
-                if os.path.exists(meta_p):
-                    with open(meta_p) as f:
-                        model = json.load(f)["model_name"]
-                    print(f"----> clip_model_to_use not specified, using store: {model}")
-                    break
+    if model is None:
+        names = list_models(root_dir)
+        if names:
+            model = names[0]
+            print(f"----> clip_model_to_use not specified, using store: {model}")
     if model is not None and EmbeddingStore.exists(root_dir, model):
         store = EmbeddingStore.open(root_dir, model)
         ci = store.crop_index(cfg.crop_to_use)

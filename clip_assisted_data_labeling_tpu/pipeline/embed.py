@@ -145,6 +145,25 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
             calibration_file(model_name, root_dir)
             if cfg.calibration == "auto" else cfg.calibration
         )
+        if cfg.host_count > 1 and not os.path.exists(calibration_path):
+            # multi-host shards must embed with ONE set of static scales
+            # (independent per-host calibrations would give each file shard
+            # different quantization — violating the pinning contract this
+            # file exists for). Host 0 calibrates on its first batch and
+            # atomically publishes the npz; the others wait for it on the
+            # shared filesystem this mode already assumes.
+            if cfg.host_index != 0:
+                import time as _time
+
+                print(f"Host {cfg.host_index}: waiting for host 0's "
+                      f"calibration at {calibration_path} ...")
+                deadline = _time.time() + 1800
+                while not os.path.exists(calibration_path):
+                    if _time.time() > deadline:
+                        raise TimeoutError(
+                            f"host 0 never published {calibration_path}"
+                        )
+                    _time.sleep(5)
 
     encoder = create_encoder(
         model_name,

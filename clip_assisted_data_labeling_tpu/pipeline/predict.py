@@ -21,7 +21,10 @@ import shutil
 import numpy as np
 
 from clip_assisted_data_labeling_tpu.models.regressor import SimpleFCRegressor
-from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
+from clip_assisted_data_labeling_tpu.store.columnar import (
+    EmbeddingStore,
+    assemble_from_stores,
+)
 from clip_assisted_data_labeling_tpu.store.database import LabelDatabase
 from clip_assisted_data_labeling_tpu.store.sidecar import assemble_features, read_sidecar
 from clip_assisted_data_labeling_tpu.utils import plots
@@ -60,24 +63,23 @@ def _gather_features(root_dir: str, uuids: list[str], model: SimpleFCRegressor):
         if EmbeddingStore.exists(root_dir, m):
             stores[m] = EmbeddingStore.open(root_dir, m)
 
+    if len(stores) == len(clip_models) and model.meta.use_img_stat_features:
+        missing = [m for m, s in stores.items() if s.img_stats is None]
+        if missing:
+            # fail ONCE and loudly: per-uuid skipping would finish the run
+            # "successfully" with zero predictions
+            raise ValueError(
+                f"model needs img_stat features but store(s) {missing} have "
+                "none — re-embed without --no_image_stats"
+            )
     kept, feats = [], []
     for uuid in uuids:
         try:
             if len(stores) == len(clip_models):
-                parts = []
-                for m in clip_models:
-                    s = stores[m]
-                    i = s.index_of(uuid)
-                    if not bool(s.valid[i]):
-                        raise KeyError("invalid row")
-                    idxs = [s.crop_index(c) for c in crop_names]
-                    part = np.asarray(s.embeddings[i][idxs], np.float32).reshape(-1)
-                    if model.meta.use_img_stat_features:
-                        part = np.concatenate(
-                            [part, np.asarray(s.img_stats[i], np.float32)]
-                        )
-                    parts.append(part)
-                feats.append(np.concatenate(parts))
+                feats.append(assemble_from_stores(
+                    stores, clip_models, crop_names,
+                    model.meta.use_img_stat_features, uuid,
+                ))
             else:
                 sidecar = read_sidecar(os.path.join(root_dir, uuid + ".pt"))
                 feats.append(

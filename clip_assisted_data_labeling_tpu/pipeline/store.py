@@ -26,13 +26,25 @@ from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore, store
 
 def _find_sidecars(root_dir: str) -> dict[str, str]:
     """uuid → sidecar path, walking the dataset recursively (mirrors the image
-    walk of the embed stage; sidecars share the image basename)."""
+    walk of the embed stage; sidecars share the image basename). Colliding
+    basenames across subdirs are dropped LOUDLY — same contract as the embed
+    stage: a silent dict overwrite would cross-contaminate store rows (and a
+    later dedup --mode move would relocate files on the wrong embedding)."""
     out: dict[str, str] = {}
+    dropped = set()
     for dirpath, dirnames, filenames in os.walk(root_dir):
         dirnames[:] = [d for d in dirnames if d != ".ctpu_store"]
         for f in filenames:
             if f.endswith(".pt"):
-                out[os.path.splitext(f)[0]] = os.path.join(dirpath, f)
+                stem = os.path.splitext(f)[0]
+                if stem in out:
+                    dropped.add(stem)
+                else:
+                    out[stem] = os.path.join(dirpath, f)
+    for stem in dropped:
+        del out[stem]
+        print(f"WARNING: basename {stem}.pt appears in multiple subdirs — "
+              "dropping it from the rebuild (run prep to uuid-rename)")
     return out
 
 

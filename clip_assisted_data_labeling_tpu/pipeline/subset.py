@@ -46,6 +46,14 @@ def copy_subset(input_dir: str, cfg: SubsetConfig, output_suffix: str = "_subset
     if cfg.test:
         print("##### Running in TEST MODE: not actually copying any files #####")
     else:
+        if os.path.exists(output_folder) and os.listdir(output_folder):
+            # leftovers from an interrupted run would be counted into this
+            # run's _{n}_imgs suffix and break the final rename — refuse
+            # early, before any copy work
+            raise SystemExit(
+                f"{output_folder} already exists and is not empty — delete it "
+                "(or rename the previous run's output) and re-run"
+            )
         os.makedirs(output_folder, exist_ok=True)
 
     counter = dict.fromkeys(cfg.extensions, 0)
@@ -80,6 +88,14 @@ def copy_subset(input_dir: str, cfg: SubsetConfig, output_suffix: str = "_subset
         img_exts = (".jpg", ".jpeg", ".png")
         n_imgs = len([f for f in os.listdir(output_folder) if f.endswith(img_exts)])
         final_folder = output_folder + f"_{n_imgs}_imgs"
+        if os.path.exists(final_folder):
+            # a previous identical run's completed output: keep both rather
+            # than crashing after all the copy work (or clobbering it)
+            i = 2
+            while os.path.exists(f"{final_folder}_{i}"):
+                i += 1
+            print(f"{final_folder} already exists — saving as {final_folder}_{i}")
+            final_folder = f"{final_folder}_{i}"
         os.rename(output_folder, final_folder)
         return final_folder
     return None

@@ -29,7 +29,10 @@ from clip_assisted_data_labeling_tpu.models.regressor import (
     SimpleFCRegressor,
     regressor_apply,
 )
-from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
+from clip_assisted_data_labeling_tpu.store.columnar import (
+    EmbeddingStore,
+    assemble_from_stores as _assemble_from_stores,
+)
 from clip_assisted_data_labeling_tpu.store.sidecar import assemble_features, read_sidecar
 from clip_assisted_data_labeling_tpu.utils import plots
 
@@ -89,40 +92,16 @@ def load_training_data(
 
 
 def _discover_models(root: str, data) -> list[str]:
-    store_base = os.path.join(root, ".ctpu_store")
-    if os.path.isdir(store_base):
-        names = []
-        for d in sorted(os.listdir(store_base)):
-            import json
+    from clip_assisted_data_labeling_tpu.store.columnar import list_models
 
-            meta = os.path.join(store_base, d, "meta.json")
-            if os.path.exists(meta):
-                with open(meta) as f:
-                    names.append(json.load(f)["model_name"])
-        if names:
-            return names
+    names = list_models(root)
+    if names:
+        return names
     for uuid in data["uuid"].values[:50]:
         p = os.path.join(root, f"{uuid}.pt")
         if os.path.exists(p):
             return list(read_sidecar(p).keys())
     raise FileNotFoundError(f"No embeddings found under {root}")
-
-
-def _assemble_from_stores(stores, models, crop_names, use_stats, uuid):
-    parts = []
-    for m in models:
-        s = stores[m]
-        i = s.index_of(uuid)
-        if not bool(s.valid[i]):
-            raise KeyError(f"{uuid} invalid in store {m}")
-        idxs = [s.crop_index(c) for c in crop_names]
-        feats = np.asarray(s.embeddings[i][idxs], np.float32).reshape(-1)
-        if use_stats:
-            if s.img_stats is None:
-                raise KeyError("store has no img stats")
-            feats = np.concatenate([feats, np.asarray(s.img_stats[i], np.float32)])
-        parts.append(feats)
-    return np.concatenate(parts)
 
 
 # --------------------------------------------------------------------------------
@@ -329,9 +308,14 @@ def save_model(model: SimpleFCRegressor, history: dict, cfg: TrainConfig,
     """Reference-style self-describing filename (_4_train_model.py:231-238)."""
     os.makedirs(out_dir, exist_ok=True)
     stamp = time.strftime("%Y-%m-%d_%H:%M:%S")
+    # test_fraction=0 leaves the -1.0 no-test sentinel in history['test'];
+    # bake the train mse in that case (labeled as such) rather than a bogus
+    # "-1.0000_mse" a human or the fuzzy model lookup would read as real
+    mse = (f"{history['test'][-1]:.4f}_mse" if history["test"][-1] >= 0
+           else f"{history['train'][-1]:.4f}_train_mse")
     name = (
         f"{cfg.model_name}_{stamp}_{history['n_train'] / 1000:.1f}k_imgs_"
-        f"{cfg.n_epochs}_epochs_{history['test'][-1]:.4f}_mse.npz"
+        f"{cfg.n_epochs}_epochs_{mse}.npz"
     )
     path = os.path.join(out_dir, name)
     model.save(path)

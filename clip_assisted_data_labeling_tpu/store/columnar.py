@@ -28,6 +28,47 @@ def store_dir_for(root_dir: str, model_name: str) -> str:
     return os.path.join(root_dir, ".ctpu_store", safe)
 
 
+def list_models(root_dir: str) -> list[str]:
+    """Model names of every store under ``<root_dir>/.ctpu_store`` (the ONE
+    place that knows the store layout — dedup/train discovery both call this)."""
+    base = os.path.join(root_dir, ".ctpu_store")
+    names = []
+    if os.path.isdir(base):
+        for d in sorted(os.listdir(base)):
+            meta_p = os.path.join(base, d, "meta.json")
+            if os.path.exists(meta_p):
+                with open(meta_p) as f:
+                    names.append(json.load(f)["model_name"])
+    return names
+
+
+def assemble_from_stores(stores: dict, models, crop_names, use_stats: bool,
+                         uuid: str) -> np.ndarray:
+    """Per-uuid feature vector from open stores — the store-backed sibling of
+    ``sidecar.assemble_features`` (same part order: per-model crops, then the
+    22 img stats). ONE implementation serves train and predict so the two
+    feature recipes can never drift. Raises KeyError for invalid rows or a
+    stats-trained recipe against a stats-less store (callers decide
+    skip-vs-fail)."""
+    parts = []
+    for m in models:
+        s = stores[m]
+        i = s.index_of(uuid)
+        if not bool(s.valid[i]):
+            raise KeyError(f"{uuid} invalid in store {m}")
+        idxs = [s.crop_index(c) for c in crop_names]
+        feats = np.asarray(s.embeddings[i][idxs], np.float32).reshape(-1)
+        if use_stats:
+            if s.img_stats is None:
+                raise KeyError(
+                    f"store {m} has no img stats (embedded with "
+                    "--no_image_stats?) but the feature recipe needs them"
+                )
+            feats = np.concatenate([feats, np.asarray(s.img_stats[i], np.float32)])
+        parts.append(feats)
+    return np.concatenate(parts)
+
+
 class EmbeddingStore:
     def __init__(self, directory: str, meta: dict, mode: str = "r"):
         self.directory = directory
@@ -41,10 +82,17 @@ class EmbeddingStore:
         )
         stats_path = os.path.join(directory, "img_stats.npy")
         self.img_stats = None
-        if mode.startswith("w") and meta.get("with_stats"):
-            self.img_stats = np.lib.format.open_memmap(
-                stats_path, mode=mode, dtype=np.float32, shape=(meta["n"], len(IMG_STAT_KEYS))
-            )
+        if mode.startswith("w"):
+            if meta.get("with_stats"):
+                self.img_stats = np.lib.format.open_memmap(
+                    stats_path, mode=mode, dtype=np.float32,
+                    shape=(meta["n"], len(IMG_STAT_KEYS)),
+                )
+            elif os.path.exists(stats_path):
+                # a stats file from a previous with-stats run: re-opening it
+                # 'w+' needs a shape (crash) and leaving it would serve stale
+                # rows against the new uuid order — remove it
+                os.remove(stats_path)
         elif os.path.exists(stats_path):
             self.img_stats = np.lib.format.open_memmap(stats_path, mode=mode)
         valid_path = os.path.join(directory, "valid.npy")

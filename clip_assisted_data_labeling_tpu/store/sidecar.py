@@ -54,7 +54,11 @@ def write_sidecar(
         arr = np.asarray(emb, dtype=np.float32).reshape(1, -1)
         model_dict[crop] = torch.from_numpy(arr.copy())
     final[model_name] = model_dict
-    torch.save(final, path)
+    # atomic replace: a SIGKILL mid-save must not truncate the merge BASE
+    # (another model's embeddings already in this file — the interop contract)
+    tmp = path + ".tmp"
+    torch.save(final, tmp)
+    os.replace(tmp, path)
 
 
 def read_sidecar(path: str) -> dict:

@@ -151,3 +151,54 @@ def test_columnar_from_sidecars(tmp_path, rng):
             np.asarray(store.embeddings[i, 0], np.float32), embs[u], rtol=2e-3, atol=1e-3
         )
     assert store.img_stats is not None
+
+
+def test_store_recreate_without_stats_after_stats_run(tmp_path, rng):
+    """Round-3 self-review: re-creating a store with with_stats=False over a
+    previous with-stats run must not crash on (or serve) the stale
+    img_stats.npy."""
+    root = str(tmp_path)
+    uuids = [f"u{i}" for i in range(4)]
+    s1 = EmbeddingStore.create(root, MODEL, ["centre_crop"], 8, uuids,
+                               with_stats=True)
+    s1.write_rows(0, rng.normal(0, 1, (4, 1, 8)).astype(np.float32),
+                  rng.normal(0, 1, (4, 22)).astype(np.float32))
+    s1.flush()
+    s2 = EmbeddingStore.create(root, MODEL, ["centre_crop"], 8, uuids,
+                               with_stats=False)
+    assert s2.img_stats is None
+    s2.write_rows(0, rng.normal(0, 1, (4, 1, 8)).astype(np.float32))
+    s2.flush()
+    assert EmbeddingStore.open(root, MODEL).img_stats is None
+
+
+def test_assemble_from_stores_shared_helper(tmp_path, rng):
+    """Train and predict assemble features through ONE helper; a stats recipe
+    against a stats-less store raises (not a silent per-uuid skip)."""
+    import pytest
+
+    from clip_assisted_data_labeling_tpu.store.columnar import (
+        assemble_from_stores,
+    )
+
+    root = str(tmp_path)
+    store = EmbeddingStore.create(root, MODEL, ["centre_crop"], 8, ["u0"],
+                                  with_stats=False)
+    store.write_rows(0, rng.normal(0, 1, (1, 1, 8)).astype(np.float32))
+    store.flush()
+    stores = {MODEL: EmbeddingStore.open(root, MODEL)}
+    feats = assemble_from_stores(stores, [MODEL], ["centre_crop"], False, "u0")
+    assert feats.shape == (8,)
+    with pytest.raises(KeyError, match="img stats"):
+        assemble_from_stores(stores, [MODEL], ["centre_crop"], True, "u0")
+
+
+def test_list_models(tmp_path, rng):
+    from clip_assisted_data_labeling_tpu.store.columnar import list_models
+
+    root = str(tmp_path)
+    assert list_models(root) == []
+    EmbeddingStore.create(root, MODEL, ["centre_crop"], 8, ["u0"])
+    EmbeddingStore.create(root, "Other-Model/x", ["centre_crop"], 8, ["u0"])
+    assert list_models(root) == ["Other-Model/x", MODEL] or set(
+        list_models(root)) == {MODEL, "Other-Model/x"}
