@@ -237,6 +237,8 @@ class BatchedImageLoader:
                     continue
             return False
 
+        error: list[BaseException] = []
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -247,6 +249,11 @@ class BatchedImageLoader:
                         batch = self._make_batch(chunk, pool)
                         if batch.n_valid and not _put(batch):
                             return
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                # a dead producer must NOT look like a completed dataset: the
+                # sentinel alone would end iteration silently mid-run and a
+                # 100k-image embed would write a partial store with no signal
+                error.append(e)
             finally:
                 _put(sentinel)
 
@@ -256,6 +263,10 @@ class BatchedImageLoader:
             while True:
                 item = q.get()
                 if item is sentinel:
+                    if error:
+                        raise RuntimeError(
+                            "image loader producer thread failed"
+                        ) from error[0]
                     break
                 yield item
         finally:

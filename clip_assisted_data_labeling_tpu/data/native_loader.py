@@ -75,7 +75,9 @@ def decode_batch_native(paths: list[str], canvas_size: int, n_threads: int = 8):
     n = len(paths)
     canvases = np.zeros((n, canvas_size, canvas_size, 3), np.uint8)
     dims = np.zeros((n, 2), np.int32)
-    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    # os.fsencode round-trips surrogate-escaped (non-UTF-8) filenames that a
+    # plain str.encode() would raise UnicodeEncodeError on
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     lib.decode_batch(
         arr, n, canvas_size,
         canvases.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

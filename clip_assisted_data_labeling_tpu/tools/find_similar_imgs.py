@@ -29,7 +29,10 @@ def _collect_embeddings(directory: str, clip_models: list[str], crop_name: str):
             try:
                 d = read_sidecar(full)
                 if resolved[0] == "all":
-                    resolved = list(d.keys())
+                    # sorted: context and search dirs may have been embedded
+                    # with different sidecar key orders; same-dim models would
+                    # otherwise concatenate in swapped halves with no error
+                    resolved = sorted(d.keys())
                     print(f"----> Using all found clip models: {resolved}")
                 parts = []
                 for m in resolved:

@@ -43,15 +43,27 @@ def merge_datasets(data_dir: str, output_dir: str,
     unlabeled.to_csv(os.path.join(output_dir, "unlabeled.csv"), index=False)
 
     def move_files(df, destination):
-        moved = 0
+        moved, clashes = 0, 0
         for uuid, src_sub in zip(df["uuid"].values, df["source_datadir"].values):
             for ext in extensions:
                 src = os.path.join(data_dir, src_sub, f"{uuid}{ext}")
                 if os.path.exists(src):
                     dst = os.path.join(destination, f"{uuid}{ext}")
+                    if os.path.exists(dst):
+                        # the same uuid in two source subdirs: clobbering
+                        # would permanently LOSE a file in move mode — keep
+                        # both with a disambiguating source prefix
+                        dst = os.path.join(
+                            destination, f"{src_sub}_{uuid}{ext}"
+                        )
+                        clashes += 1
                     (shutil.move if move else shutil.copy)(src, dst)
                     moved += 1
         print(f"{'Moved' if move else 'Copied'} {moved} files to {destination}")
+        if clashes:
+            print(f"WARNING: {clashes} files shared a uuid across source "
+                  "subdirs — kept with a '<subdir>_' prefix (re-run prep to "
+                  "re-uuid them)")
 
     move_files(labeled, labeled_dir)
     move_files(unlabeled, unlabeled_dir)

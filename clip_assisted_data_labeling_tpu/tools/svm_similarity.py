@@ -49,6 +49,9 @@ def find_similar_svm(context_dir: str, search_dir: str, output_dir: str,
         for i, p in enumerate(pt_paths)
         if os.path.exists(p[:-3] + ".jpg") and Path(p).name not in ctx_names
     ]
+    if not keep:
+        print("No search images with sibling .jpg files — nothing to rank")
+        return []
     scores = svm_rank(ctx_emb, emb[[i for i, _ in keep]], c=c)
     order = np.argsort(-scores)[:top_n]
 

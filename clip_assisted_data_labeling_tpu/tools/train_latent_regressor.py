@@ -19,14 +19,17 @@ from clip_assisted_data_labeling_tpu.config import TrainConfig
 from clip_assisted_data_labeling_tpu.pipeline.train import save_model, train_regressor
 
 
-def load_latents(train_data_dir: str, train_data_names: list[str]):
+def load_latents(train_data_dir: str, train_data_names: list[str],
+                 seed: int = 42):
     import pandas as pd
     import torch
 
     features, labels = [], []
     for name in train_data_names:
         data = pd.read_csv(os.path.join(train_data_dir, name + ".csv"))
-        data = data.sample(frac=1).reset_index(drop=True)
+        # seeded: --random_seed must make the whole run reproducible, and an
+        # unseeded shuffle here feeds the (seeded) split different row sets
+        data = data.sample(frac=1, random_state=seed).reset_index(drop=True)
         n_samples, skips = 0, 0
         for _, row in data.iterrows():
             try:
@@ -80,7 +83,8 @@ def main(argv=None):
         model_name=args.model_name,
         dont_save=args.dont_save,
     )
-    features, labels = load_latents(args.train_data_dir, args.train_data_names)
+    features, labels = load_latents(args.train_data_dir, args.train_data_names,
+                                    seed=args.random_seed)
     print("Features shape:", features.shape)
     model, history = train_regressor(features, labels, cfg, ["prompt_latents"])
     if not args.dont_save:

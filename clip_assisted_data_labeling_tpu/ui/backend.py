@@ -38,6 +38,12 @@ class OpenCVBackend(LabelBackend):
         cv2.namedWindow(self.window_name, cv2.WINDOW_AUTOSIZE)
         cv2.imshow(self.window_name, image)
         key = cv2.waitKey(0)
+        if key == -1 and cv2.getWindowProperty(
+            self.window_name, cv2.WND_PROP_VISIBLE
+        ) < 1:
+            # the user closed the window: treat as quit — returning 'noop'
+            # would make the label loop respawn the window forever
+            return "quit"
         if ord("0") <= key <= ord("9"):
             return chr(key)
         if key in (ord("q"), 27):

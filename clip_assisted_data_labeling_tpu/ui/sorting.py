@@ -13,6 +13,12 @@ Strategies (reference parity):
   middle      ascending |predicted_label − median| (max-uncertainty first)
   diversity   farthest-point ordering in CLIP space
 
+Deliberate divergences from _3:194-213 (documented in PARITY.md): rows with
+no prediction sort LAST in every strategy (the reference's plain reversal put
+every unscored image FIRST in good_first), nested-dataset images resolve
+through their discovered paths, and images missing from the DB tail the
+session instead of vanishing.
+
 New beyond the reference:
   review      already-labeled images whose model prediction disagrees most
               with their human label, descending |label − predicted_label| —
@@ -40,21 +46,19 @@ def _diversity_order(image_files: list[str], root_dir: str, crop: str = "square_
     from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
     from clip_assisted_data_labeling_tpu.store.sidecar import read_sidecar, resolve_crop_key
 
+    from clip_assisted_data_labeling_tpu.store.columnar import list_models
+
     uuids = [os.path.splitext(os.path.basename(f))[0] for f in image_files]
     embs = []
     store = None
-    store_base = os.path.join(root_dir, ".ctpu_store")
-    if os.path.isdir(store_base):
-        for d in sorted(os.listdir(store_base)):
-            try:
-                import json
-
-                with open(os.path.join(store_base, d, "meta.json")) as f:
-                    model = json.load(f)["model_name"]
-                store = EmbeddingStore.open(root_dir, model)
-                break
-            except Exception:
-                continue
+    for model in list_models(root_dir):
+        try:
+            cand = EmbeddingStore.open(root_dir, model)
+            cand.crop_index(crop)  # must actually hold the diversity crop
+            store = cand
+            break
+        except Exception:
+            continue  # next store; sidecar fallback if none qualifies
     kept_idx = []
     for i, u in enumerate(uuids):
         try:
@@ -74,6 +78,8 @@ def _diversity_order(image_files: list[str], root_dir: str, crop: str = "square_
         except Exception:
             continue
     if len(embs) < 2:
+        print("WARNING: diversity sort found <2 usable embeddings "
+              "(store/sidecars missing the crop?) — keeping uuid order")
         return image_files
     order = farthest_point_order(np.stack(embs), n_order=min(500, len(embs)))
     ordered = [image_files[kept_idx[i]] for i in order]
@@ -91,29 +97,37 @@ def re_order_images(image_files: list[str], database, root_dir: str, sort: str):
         return _diversity_order(image_files, root_dir)
 
     df = database.df
+    # uuid → actual discovered path: label.py globs recursively, so nested
+    # images must resolve through their real paths (a root_dir join silently
+    # dropped every nested image from prediction-sorted sessions)
+    by_uuid = {os.path.splitext(os.path.basename(f))[0]: f for f in image_files}
+    pred = df["predicted_label"]
+    # NaN (unpredicted) rows sort LAST for every strategy — pandas argsort
+    # places NaN positions at the end, so the reference's plain [::-1]
+    # reversal (_3:197-198) put every UNSCORED image first in good_first;
+    # filling with the worst sort key keeps the documented semantics
     if sort == "bad_first":
-        sorted_idx = df["predicted_label"].argsort().values
+        sorted_idx = np.argsort(pred.fillna(np.inf).values, kind="stable")
     elif sort == "good_first":
-        sorted_idx = df["predicted_label"].argsort().values[::-1]
+        sorted_idx = np.argsort(-pred.fillna(-np.inf).values, kind="stable")
     elif sort == "middle":
-        median = df["predicted_label"].median()
-        sorted_idx = (df["predicted_label"] - median).abs().argsort().values
+        median = pred.median()
+        sorted_idx = np.argsort((pred - median).abs().fillna(np.inf).values,
+                                kind="stable")
     elif sort == "review":
-        disagreement = (df["label"] - df["predicted_label"]).abs().values
+        disagreement = (df["label"] - pred).abs().values
         # rows without both a human label and a prediction are excluded
         valid = ~np.isnan(disagreement)
         sorted_idx = np.argsort(-np.where(valid, disagreement, -np.inf))
         uuids = [df["uuid"].values[i] for i in sorted_idx if valid[i]]
-        available = set(image_files)
-        candidates = [os.path.join(root_dir, f"{u}.jpg") for u in uuids]
-        return [f for f in candidates if f in available]
+        return [by_uuid[u] for u in uuids if u in by_uuid]
     else:
         raise ValueError(f"unknown sort option {sort}; choose from {SORT_OPTIONS}")
 
-    uuids = df["uuid"].values[sorted_idx]
-    available = set(image_files)
-    candidates = [os.path.join(root_dir, f"{u}.jpg") for u in uuids]
-    return [f for f in candidates if f in available]
+    candidates = [by_uuid[u] for u in df["uuid"].values[sorted_idx] if u in by_uuid]
+    seen = set(candidates)
+    # images not (yet) in the DB tail the session instead of vanishing
+    return candidates + [f for f in image_files if f not in seen]
 
 
 def prompt_sort_option(default: str = "uuid") -> str:

@@ -122,3 +122,30 @@ def test_review_sort_orders_by_disagreement(tmp_path):
     ordered = re_order_images(files, db, str(root), "review")
     names = [os.path.splitext(os.path.basename(f))[0] for f in ordered]
     assert names == ["aaa", "ccc", "bbb"]
+
+
+def test_prediction_sorts_nan_last_and_nested_paths(tmp_path, rng):
+    """Round-3 self-review: unpredicted (NaN) rows sort LAST in every strategy
+    (the reference's plain reversal put them FIRST in good_first), and images
+    in subdirectories resolve through their discovered paths instead of being
+    silently dropped from the session."""
+    root = tmp_path / "ds"
+    (root / "sub").mkdir(parents=True)
+    files = []
+    for uuid, rel in (("a", "a.jpg"), ("b", "sub/b.jpg"), ("c", "c.jpg")):
+        p = root / rel
+        Image.fromarray(rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)).save(p)
+        files.append(str(p))
+    db = LabelDatabase.load_or_create(str(root))
+    # 'c' never predicted: in the DB (via a label that is then unlabeled —
+    # relabel adds the row) with NaN predicted_label
+    db.relabel("c", np.nan)
+    db.merge_predictions(["a", "b"], np.asarray([0.2, 0.8]))
+
+    uid = lambda f: os.path.splitext(os.path.basename(f))[0]
+    for sort, expect in (("good_first", ["b", "a", "c"]),
+                         ("bad_first", ["a", "b", "c"])):
+        got = [uid(f) for f in re_order_images(files, db, str(root), sort)]
+        assert got == expect, (sort, got)
+    mid = [uid(f) for f in re_order_images(files, db, str(root), "middle")]
+    assert mid[-1] == "c", mid  # NaN last; nested 'b' present
