@@ -84,8 +84,13 @@ def xla_packed(qkv, heads, scale, s_real):
 
 
 def sweep(name, b, s, heads, d, dtype):
+    from clip_assisted_data_labeling_tpu.ops.attention import _pad_for_tiling
+
     w = heads * d
-    s_pad = (s + 7) // 8 * 8
+    # the PRODUCTION pad (tile-friendly, models/vit.py pads once pre-scan) —
+    # a plain 8-multiple (584 at ViT-L-336) times a clamped-overlap q tiling
+    # the shipped path never runs
+    s_pad = _pad_for_tiling(s)
     print(f"\n{name}: B={b} S={s} (pad {s_pad}) heads={heads} d={d} w={w} {dtype}")
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(

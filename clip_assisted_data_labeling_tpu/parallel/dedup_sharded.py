@@ -235,6 +235,11 @@ def find_duplicate_pairs_sharded(
     n = len(embeddings)
     euclidean = sim_type == "euclidean"
     int8_wire = wire == "int8"
+    if n < 2:  # same degenerate-input contract as find_duplicate_pairs
+        return DedupResult(
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, np.float32), np.empty(0, np.int64),
+        )
     normed_f32 = normalize_rows(embeddings)
     m = (n + n_devices - 1) // n_devices
     n_pad = m * n_devices

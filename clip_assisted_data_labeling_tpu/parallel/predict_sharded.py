@@ -58,6 +58,8 @@ def predict_sharded(
     :meth:`SimpleFCRegressor.predict`: fp16 halves the H2D transfer the stage
     is bound by; batches holding values outside fp16 range fall back to f32.
     """
+    if wire not in ("float16", "float32"):
+        raise ValueError(f"wire must be 'float16' or 'float32', got {wire!r}")
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     fwd, data_sharding = _predict_dp(mesh)
     # chunk size aligned to the mesh so every shard is equal

@@ -13,8 +13,11 @@ _SPLIT = re.compile(r"(\d+)")
 
 
 def _natural_key(s: str):
+    # isdecimal, not isdigit: only decimal digits parse with int() — isdigit
+    # is also True for characters like '²'/'①' that \d never captured, so a
+    # filename containing them crashed the sort with ValueError
     return tuple(
-        int(part) if part.isdigit() else part.casefold()
+        int(part) if part.isdecimal() else part.casefold()
         for part in _SPLIT.split(s)
     )
 

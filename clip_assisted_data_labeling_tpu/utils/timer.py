@@ -16,10 +16,12 @@ class StageTimer:
         t0 = time.perf_counter()
         try:
             yield
+            # items count only on success — a raised body didn't process
+            # them, and counting anyway inflates every items/s report
+            self.counts[name] = self.counts.get(name, 0) + items
         finally:
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + items
 
     def throughput(self, name: str) -> float:
         t = self.totals.get(name, 0.0)
