@@ -30,6 +30,10 @@ from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
 from clip_assisted_data_labeling_tpu.store.sidecar import has_model_key, read_sidecar, write_sidecar
 from clip_assisted_data_labeling_tpu.utils.timer import StageTimer
 
+# how long non-zero hosts wait for host 0's published int8_static calibration
+# (shared-FS multi-host runs; module-level so tests can shrink it)
+CALIB_WAIT_S = 1800.0
+
 log = logging.getLogger(__name__)
 
 
@@ -152,18 +156,26 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
             # file exists for). Host 0 calibrates on its first batch and
             # atomically publishes the npz; the others wait for it on the
             # shared filesystem this mode already assumes.
-            if cfg.host_index != 0:
+            if cfg.host_index == 0:
+                if not todo:
+                    print(
+                        "WARNING: host 0 has nothing to embed, so no "
+                        "calibration will be published — other hosts will "
+                        "time out waiting; pass --calibration or "
+                        "--force_reencode"
+                    )
+            else:
                 import time as _time
 
                 print(f"Host {cfg.host_index}: waiting for host 0's "
                       f"calibration at {calibration_path} ...")
-                deadline = _time.time() + 1800
+                deadline = _time.time() + CALIB_WAIT_S
                 while not os.path.exists(calibration_path):
                     if _time.time() > deadline:
                         raise TimeoutError(
                             f"host 0 never published {calibration_path}"
                         )
-                    _time.sleep(5)
+                    _time.sleep(min(5.0, CALIB_WAIT_S / 10))
 
     encoder = create_encoder(
         model_name,

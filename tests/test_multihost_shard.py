@@ -71,3 +71,41 @@ def test_incremental_embed_after_new_images(tmp_path, rng):
         np.testing.assert_array_equal(
             np.asarray(read_sidecar(str(root / f))[MODEL]["centre_crop"]), emb
         )
+
+
+def test_int8_static_shards_share_one_calibration(tmp_path, rng, monkeypatch):
+    """Round-3 self-review: multi-host int8_static shards must embed with ONE
+    set of static scales. Host 0 publishes the calibration npz; a non-zero
+    host with no published file times out loudly instead of calibrating its
+    own shard with different scales."""
+    import pytest
+
+    from clip_assisted_data_labeling_tpu.models.encoders import (
+        calibration_file,
+    )
+    from clip_assisted_data_labeling_tpu.pipeline import embed as embed_mod
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 256, (60, 80, 3)).astype(np.uint8)).save(
+            root / f"u{i}.jpg"
+        )
+    base = dict(models_to_use=(MODEL,), batch_size=2, num_workers=1,
+                canvas_size=128, compute_dtype="int8_static",
+                shuffle_filenames=False)
+
+    # host 1 first, nothing published -> bounded wait then TimeoutError
+    monkeypatch.setattr(embed_mod, "CALIB_WAIT_S", 0.2)
+    with pytest.raises(TimeoutError, match="never published"):
+        embed_dataset(str(root), EmbedConfig(**base, host_index=1, host_count=2))
+
+    # host 0 embeds its shard and publishes the scales
+    embed_dataset(str(root), EmbedConfig(**base, host_index=0, host_count=2))
+    calib = calibration_file(MODEL, str(root))
+    assert os.path.exists(calib)
+
+    # host 1 now proceeds, loading host 0's scales
+    embed_dataset(str(root), EmbedConfig(**base, host_index=1, host_count=2))
+    pts = sorted(f for f in os.listdir(root) if f.endswith(".pt"))
+    assert len(pts) == 4
