@@ -142,6 +142,7 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
     # orders, and incremental resumes all embed bit-identically (an unpinned
     # calibration takes whichever batch happens to run first)
     calibration_path = None
+    publish_calib = False  # host 0, empty todo: publish scales for the fleet
     if cfg.compute_dtype == "int8_static" and cfg.calibration != "none":
         from clip_assisted_data_labeling_tpu.models.encoders import calibration_file
 
@@ -153,18 +154,24 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
             # multi-host shards must embed with ONE set of static scales
             # (independent per-host calibrations would give each file shard
             # different quantization — violating the pinning contract this
-            # file exists for). Host 0 calibrates on its first batch and
-            # atomically publishes the npz; the others wait for it on the
-            # shared filesystem this mode already assumes.
+            # file exists for). Host 0 calibrates and atomically publishes
+            # the npz — from its first batch, or from an already-embedded
+            # image when its todo shard is empty (an incremental run whose
+            # only new images landed on OTHER shards still needs the scales
+            # published); the others wait for it on the shared filesystem
+            # this mode already assumes. A waiting host with no work of its
+            # own skips the wait entirely (it never consumes the scales).
             if cfg.host_index == 0:
-                if not todo:
+                # with a non-empty todo the first real batch calibrates
+                # anyway; the explicit publish covers the empty-todo case
+                publish_calib = bool(img_paths) and not todo
+                if not img_paths:
                     print(
-                        "WARNING: host 0 has nothing to embed, so no "
-                        "calibration will be published — other hosts will "
-                        "time out waiting; pass --calibration or "
-                        "--force_reencode"
+                        "WARNING: host 0 sees no images, so no calibration "
+                        "will be published — other hosts with work will "
+                        "time out; pass --calibration"
                     )
-            else:
+            elif todo:
                 import time as _time
 
                 print(f"Host {cfg.host_index}: waiting for host 0's "
@@ -209,6 +216,22 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
             model_name=encoder.model_name,
         )
         print(f"Data-parallel embedding over {n_dev} devices (batch {batch_size})")
+
+    if publish_calib:
+        # host 0's todo shard is empty but the fleet needs the scales: run
+        # the calibration forward on one already-embedded batch and publish
+        print("Host 0: publishing calibration from an already-embedded batch")
+        tiny = BatchedImageLoader(
+            img_paths[:batch_size], canvas_size=cfg.canvas_size,
+            out_size=encoder.img_resolution, batch_size=batch_size,
+            num_workers=cfg.num_workers, crop_names=cfg.crop_names,
+        )
+        for batch in tiny:
+            if sharded is not None:
+                sharded.calibrate_static(batch.canvas, batch.crop_params)
+            else:
+                encoder.embed_crops(batch.canvas, batch.crop_params)
+            break
 
     uuids_all = [_uuid_of(p) for p in img_paths]
     store = None

@@ -104,8 +104,21 @@ def test_int8_static_shards_share_one_calibration(tmp_path, rng, monkeypatch):
     embed_dataset(str(root), EmbedConfig(**base, host_index=0, host_count=2))
     calib = calibration_file(MODEL, str(root))
     assert os.path.exists(calib)
+    published = open(calib, "rb").read()
 
-    # host 1 now proceeds, loading host 0's scales
+    # host 1 now proceeds, loading host 0's scales — the npz must be
+    # byte-identical afterwards (a recalibrate-and-overwrite regression on
+    # host 1's own shard is the exact bug this test pins)
     embed_dataset(str(root), EmbedConfig(**base, host_index=1, host_count=2))
+    assert open(calib, "rb").read() == published
     pts = sorted(f for f in os.listdir(root) if f.endswith(".pt"))
     assert len(pts) == 4
+
+    # fully-embedded re-run: host 1 (empty todo) must NOT wait on a missing
+    # calibration it will never consume, and host 0 must re-publish the
+    # fleet's scales from an already-embedded batch
+    os.remove(calib)
+    embed_dataset(str(root), EmbedConfig(**base, host_index=1, host_count=2))
+    assert not os.path.exists(calib)  # host 1 neither waited nor calibrated
+    embed_dataset(str(root), EmbedConfig(**base, host_index=0, host_count=2))
+    assert os.path.exists(calib)
