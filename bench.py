@@ -63,6 +63,40 @@ def run_bench(model: str, batch: int, canvas: int, steps: int, warmup: int,
     }
 
 
+def wait_for_accelerator(max_wait_s: float) -> None:
+    """Block until a JAX backend initializes (fresh subprocess per probe — a
+    failed in-process init can stay cached). The axon tunnel stalls fresh
+    processes for ~10 min and has gone fully down for hours (ROADMAP); a
+    bounded wait keeps the driver's round-end bench from reading garbage on a
+    transient outage. Set CTPU_BENCH_WAIT_S=0 to fail fast."""
+    import subprocess
+
+    if max_wait_s <= 0:
+        return
+    deadline = time.time() + max_wait_s
+    while True:
+        err = ""
+        try:
+            # the tunnel fails two ways: a fast UNAVAILABLE error, or an
+            # init that BLOCKS indefinitely — bound each probe
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=min(300.0, max(60.0, max_wait_s)),
+            )
+            if probe.returncode == 0:
+                return
+            err = probe.stderr.decode()[-500:]
+        except subprocess.TimeoutExpired:
+            err = "(probe timed out — backend init blocking)"
+        if time.time() > deadline:
+            print("[bench] accelerator still unavailable after "
+                  f"{max_wait_s:.0f}s:\n{err}", file=sys.stderr)
+            return  # let run_bench raise the real error
+        print("[bench] accelerator unavailable — retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="ViT-L-14/openai")
@@ -88,6 +122,9 @@ def main():
         f"steps={args.steps}",
         file=sys.stderr,
     )
+    import os
+
+    wait_for_accelerator(float(os.environ.get("CTPU_BENCH_WAIT_S", "600")))
     result = run_bench(
         args.model, args.batch, args.canvas, args.steps, args.warmup,
         args.parity_preprocess, args.compute_dtype,
