@@ -78,12 +78,22 @@ def test_q_block_linear_variants(rng):
     wq, ws = quantize_weight(w)
 
     def ref(x, ln=False, act=None, residual=None):
-        xx = x.astype(np.float64)
+        # LN + quantize replicate the kernel's float32 arithmetic exactly
+        # (x * (127/amax), round-half-even): a float64 reference flips int8
+        # decisions near .5 boundaries, and with the session-scoped rng the
+        # data this test sees depends on which tests ran before it — the
+        # f64/f32 mismatch made the suite order-dependent. The matmul and
+        # dequant below stay f64: that is the path under test.
+        xx = x.astype(np.float32)
         if ln:
-            mu = xx.mean(1, keepdims=True)
-            xx = (xx - mu) / np.sqrt(xx.var(1, keepdims=True) + 1e-5) * lns + lnb
-        amax = np.maximum(np.abs(xx).max(1, keepdims=True), 1e-8)
-        xq = np.clip(np.round(xx / (amax / 127)), -127, 127)
+            mu = xx.mean(1, keepdims=True, dtype=np.float32)
+            var = ((xx - mu) ** 2).mean(1, keepdims=True, dtype=np.float32)
+            xx = (xx - mu) * (np.float32(1.0) / np.sqrt(var + np.float32(1e-5)))
+            xx = xx * lns + lnb
+        amax = np.maximum(np.abs(xx).max(1, keepdims=True), np.float32(1e-8))
+        xq = np.clip(np.round(xx * (np.float32(127.0) / amax)), -127, 127)
+        xq = xq.astype(np.float64)
+        amax = amax.astype(np.float64)
         y = (xq @ wq.astype(np.float64)) * (amax / 127) * ws + b
         if act == "quick_gelu":
             y = y / (1 + np.exp(-1.702 * y))
