@@ -31,7 +31,7 @@ from clip_assisted_data_labeling_tpu.models.regressor import (
 )
 from clip_assisted_data_labeling_tpu.store.columnar import (
     EmbeddingStore,
-    assemble_from_stores as _assemble_from_stores,
+    assemble_batch_from_stores as _assemble_batch_from_stores,
 )
 from clip_assisted_data_labeling_tpu.store.sidecar import assemble_features, read_sidecar
 from clip_assisted_data_labeling_tpu.utils import plots
@@ -68,24 +68,31 @@ def load_training_data(
             if EmbeddingStore.exists(root, m):
                 stores[m] = EmbeddingStore.open(root, m)
 
-        n_samples, skips = 0, 0
-        for _, row in data.iterrows():
-            uuid, label = row["uuid"], row["label"]
-            try:
-                if len(stores) == len(resolved_models):
-                    feats = _assemble_from_stores(
-                        stores, resolved_models, crop_names, use_img_stat_features, uuid
-                    )
-                else:
+        if len(stores) == len(resolved_models):
+            # vectorized batch gather; a row is skipped exactly when the old
+            # per-uuid loop's assemble call raised (missing/invalid uuid)
+            row_uuids = [str(u) for u in data["uuid"].values]
+            keep, feats = _assemble_batch_from_stores(
+                stores, resolved_models, crop_names, use_img_stat_features,
+                row_uuids,
+            )
+            features.extend(feats)
+            labels.extend(float(l) for l in data["label"].values[keep])
+            n_samples, skips = int(keep.sum()), int((~keep).sum())
+        else:
+            n_samples, skips = 0, 0
+            for _, row in data.iterrows():
+                uuid, label = row["uuid"], row["label"]
+                try:
                     sidecar = read_sidecar(os.path.join(root, f"{uuid}.pt"))
                     feats = assemble_features(
                         sidecar, resolved_models, crop_names, use_img_stat_features
                     )
-                features.append(feats)
-                labels.append(float(label))
-                n_samples += 1
-            except Exception:
-                skips += 1
+                    features.append(feats)
+                    labels.append(float(label))
+                    n_samples += 1
+                except Exception:
+                    skips += 1
         print(f"Loaded {n_samples} samples from {name}" + (f" (skipped {skips})" if skips else ""))
 
     return np.stack(features).astype(np.float32), np.asarray(labels, np.float32), resolved_models

@@ -69,6 +69,61 @@ def assemble_from_stores(stores: dict, models, crop_names, use_stats: bool,
     return np.concatenate(parts)
 
 
+def assemble_batch_from_stores(
+    stores: dict, models, crop_names, use_stats: bool, uuids: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized sibling of :func:`assemble_from_stores` for N uuids at once.
+
+    Returns ``(kept [N] bool, feats [kept.sum(), F] float32)`` with identical
+    feature rows and part order to the per-uuid sibling. A row is dropped
+    (``kept[i] = False``) exactly when the sibling would raise KeyError for it:
+    uuid absent from some store, or its row invalid. A stats-needing recipe
+    against a stats-less store raises up front (the per-uuid sibling raises it
+    per row, which silently drops *every* row — here that config error is loud).
+
+    Why this exists: the per-uuid loop tops out at ~6.3k rows/s of pure host
+    work (dict lookup + per-row fancy index + concatenate, measured on a warm
+    100k-row store); this batch gather runs the same assembly at ~82k rows/s —
+    the predict stage's production bound once the device wire is off the
+    tunnel (ROADMAP 'Environment-limited measurements')."""
+    n = len(uuids)
+    kept = np.ones(n, bool)
+    model_rows = []
+    for m in models:
+        s = stores[m]
+        index = s.uuid_index()
+        idx = np.fromiter((index.get(u, -1) for u in uuids), np.int64, count=n)
+        if use_stats and s.img_stats is None:
+            raise KeyError(
+                f"store {m} has no img stats (embedded with "
+                "--no_image_stats?) but the feature recipe needs them"
+            )
+        present = idx >= 0
+        ok = np.zeros(n, bool)
+        if present.any():
+            ok[present] = np.asarray(s.valid[idx[present]], bool)
+        kept &= ok
+        model_rows.append(idx)
+    parts = []
+    for m, idx in zip(models, model_rows):
+        s = stores[m]
+        rows = idx[kept]
+        crop_idxs = [s.crop_index(c) for c in crop_names]
+        emb = s.embeddings[rows]
+        if crop_idxs != list(range(emb.shape[1])):
+            emb = emb[:, crop_idxs]
+        parts.append(
+            np.ascontiguousarray(emb, dtype=np.float32).reshape(
+                len(rows), len(crop_idxs) * emb.shape[-1]
+            )
+        )
+        if use_stats:
+            parts.append(np.asarray(s.img_stats[rows], np.float32))
+    if not parts:
+        return kept, np.zeros((int(kept.sum()), 0), np.float32)
+    return kept, np.concatenate(parts, axis=1)
+
+
 class EmbeddingStore:
     def __init__(self, directory: str, meta: dict, mode: str = "r"):
         self.directory = directory
@@ -178,10 +233,15 @@ class EmbeddingStore:
                 return f.read().splitlines()
         return [u + ".jpg" for u in self.uuids]
 
-    def index_of(self, uuid: str) -> int:
+    def uuid_index(self) -> dict:
+        """uuid → row dict, built once (shared by the per-uuid and batch
+        assembly paths)."""
         if self._index is None:
             self._index = {u: i for i, u in enumerate(self.uuids)}
-        return self._index[uuid]
+        return self._index
+
+    def index_of(self, uuid: str) -> int:
+        return self.uuid_index()[uuid]
 
     def write_rows(self, start: int, embeddings: np.ndarray, stats: np.ndarray | None = None,
                    valid: np.ndarray | None = None) -> None:
