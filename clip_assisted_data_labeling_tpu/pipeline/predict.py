@@ -17,6 +17,7 @@ import argparse
 import json
 import os
 import shutil
+import time
 
 import numpy as np
 
@@ -138,9 +139,14 @@ def predict_labels(
 
         all_scores = predict_sharded(model.params, feats, get_mesh(), wire=wire)
 
+    # one bulk row registration so the per-batch merges below are pure
+    # in-place updates (no per-batch frame concat on a fresh dataset)
+    db.ensure_rows(kept)
+
     output_dir = root_dir.rstrip("/") + "_predicted_scores"
     rng = np.random.default_rng(seed)
     n_flushed = 0
+    last_save = time.monotonic()
     for start in range(0, len(kept), batch_size):
         batch_uuids = kept[start : start + batch_size]
         if all_scores is not None:
@@ -173,8 +179,12 @@ def predict_labels(
                             src, os.path.join(output_dir, f"{score:.3f}_{uuid}.jpg")
                         )
 
-        if (start // batch_size) % 10 == 9:  # periodic flush (reference _5:179-180)
+        # periodic crash-safety flush (reference _5:179-180), time-throttled:
+        # a full-CSV rewrite per 10 batches is O(N) each and would cost ~an
+        # hour of pure CSV IO over a 1M-row run
+        if (start // batch_size) % 10 == 9 and time.monotonic() - last_save > 30:
             db.save()
+            last_save = time.monotonic()
         n_flushed = start + len(batch_uuids)
 
     db.save()

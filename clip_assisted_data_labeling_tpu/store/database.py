@@ -36,6 +36,24 @@ class LabelDatabase:
                 df[col] = np.nan
         self.df = df
         self.path = path
+        self._pos: dict | None = None
+        self._pos_key: tuple | None = None
+
+    def _uuid_positions(self) -> dict:
+        """uuid → positional row, cached. In-place cell updates never move
+        rows, and every length-changing method here maintains the dict
+        itself; the (id, len) key catches a wholesale ``db.df = ...``
+        replacement by outside code and triggers a rebuild. On a frame with
+        duplicate uuids the FIRST occurrence wins — matching
+        ``get_label``'s ``values[0]``."""
+        key = (id(self.df), len(self.df))
+        if self._pos is None or self._pos_key != key:
+            vals = self.df["uuid"].values
+            n = len(vals)
+            # reversed build: earlier rows overwrite later ones → first wins
+            self._pos = {u: i for i, u in zip(range(n - 1, -1, -1), vals[::-1])}
+            self._pos_key = key
+        return self._pos
 
     # --- lifecycle --------------------------------------------------------------
     @classmethod
@@ -65,16 +83,16 @@ class LabelDatabase:
 
     # --- queries ----------------------------------------------------------------
     def get_label(self, uuid: str):
-        row = self.df.loc[self.df["uuid"] == uuid]
-        if len(row) == 0:
+        pos = self._uuid_positions().get(uuid)
+        if pos is None:
             return None
-        return row["label"].values[0]
+        return self.df["label"].values[pos]
 
     def get_predicted_label(self, uuid: str):
-        row = self.df.loc[self.df["uuid"] == uuid]
-        if len(row) == 0:
+        pos = self._uuid_positions().get(uuid)
+        if pos is None:
             return None
-        return row["predicted_label"].values[0]
+        return self.df["predicted_label"].values[pos]
 
     def n_labeled(self) -> int:
         return int(self.df["label"].notna().sum())
@@ -86,36 +104,77 @@ class LabelDatabase:
     def relabel(self, uuid: str, label: float) -> None:
         """Human-label upsert (reference _3_label_images.py:112-126)."""
         now = int(time.time())
-        rows = self.df.loc[self.df["uuid"] == uuid]
-        if len(rows) == 0:
+        pos = self._uuid_positions().get(uuid)
+        if pos is None:
             new_row = {"uuid": uuid, "label": label, "timestamp": now}
             self.df = pd.concat([self.df, pd.DataFrame([new_row])], ignore_index=True)
+            self._pos[uuid] = len(self.df) - 1
+            self._pos_key = (id(self.df), len(self.df))
         else:
-            idx = rows.index[0]
-            self.df.loc[idx, "label"] = label
-            self.df.loc[idx, "timestamp"] = now
+            self.df.iloc[pos, self.df.columns.get_loc("label")] = label
+            self.df.iloc[pos, self.df.columns.get_loc("timestamp")] = now
+
+    def ensure_rows(self, uuids: list[str]) -> int:
+        """Bulk-register uuids as unlabeled rows (one concat). Predict calls
+        this once up front so its per-batch ``merge_predictions`` calls are
+        pure in-place updates — without it, a fresh dataset makes every batch
+        concat-grow the frame (O(N²/batch) over a run). Returns #added."""
+        pos = self._uuid_positions()
+        missing = [u for u in uuids if u not in pos]
+        if not missing:
+            return 0
+        add = pd.DataFrame(
+            {
+                "uuid": missing,
+                "label": np.full(len(missing), np.nan),
+                "timestamp": np.full(len(missing), np.nan),
+                "predicted_label": np.full(len(missing), np.nan),
+            }
+        )
+        n0 = len(self.df)
+        self.df = pd.concat([self.df, add], ignore_index=True)
+        for i, u in enumerate(missing):
+            pos.setdefault(u, n0 + i)
+        self._pos_key = (id(self.df), len(self.df))
+        return len(missing)
 
     def merge_predictions(self, uuids: list[str], scores: np.ndarray) -> None:
         """Outer-merge batch predictions (reference _5_predict_labels.py:144-155):
         new uuids get rows; existing rows get predicted_label/timestamp updated;
-        human labels are untouched."""
-        now = int(time.time())
-        batch = pd.DataFrame(
-            {
-                "uuid": list(uuids),
-                "predicted_label": np.asarray(scores, np.float64),
-                "timestamp": np.full(len(uuids), now, dtype=np.float64),
-            }
+        human labels are untouched.
+
+        O(batch) in-place for known uuids + one concat for new ones — the old
+        implementation re-merged the FULL frame per call (measured 178 ms per
+        64-row batch at 200k rows, i.e. hours over a 1M-row predict)."""
+        now = float(int(time.time()))
+        scores = np.asarray(scores, np.float64)
+        pos = self._uuid_positions()
+        rows = np.fromiter(
+            (pos.get(u, -1) for u in uuids), np.int64, count=len(uuids)
         )
-        merged = self.df.merge(
-            batch, on="uuid", how="outer", suffixes=("", "_new")
-        )
-        for col in ("predicted_label", "timestamp"):
-            merged[col] = merged[f"{col}_new"].where(
-                merged[f"{col}_new"].notna(), merged[col]
+        hit = rows >= 0
+        if hit.any():
+            pl = self.df.columns.get_loc("predicted_label")
+            ts = self.df.columns.get_loc("timestamp")
+            hit_rows, hit_scores = rows[hit], scores[hit]
+            ok = ~np.isnan(hit_scores)  # parity: a NaN score keeps the old value
+            self.df.iloc[hit_rows[ok], pl] = hit_scores[ok]
+            self.df.iloc[hit_rows, ts] = now
+        if not hit.all():
+            miss = ~hit
+            add = pd.DataFrame(
+                {
+                    "uuid": [u for u, m in zip(uuids, miss) if m],
+                    "label": np.full(int(miss.sum()), np.nan),
+                    "timestamp": np.full(int(miss.sum()), now),
+                    "predicted_label": scores[miss],
+                }
             )
-            merged.drop(columns=[f"{col}_new"], inplace=True)
-        self.df = merged
+            n0 = len(self.df)
+            self.df = pd.concat([self.df, add], ignore_index=True)
+            for i, u in enumerate(add["uuid"].values):
+                pos.setdefault(u, n0 + i)
+            self._pos_key = (id(self.df), len(self.df))
 
     def fix_database(self) -> None:
         """Copy human labels into predicted_label (reference _3:236-243)."""
