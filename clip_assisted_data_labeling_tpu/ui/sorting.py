@@ -60,23 +60,32 @@ def _diversity_order(image_files: list[str], root_dir: str, crop: str = "square_
         except Exception:
             continue  # next store; sidecar fallback if none qualifies
     kept_idx = []
-    for i, u in enumerate(uuids):
-        try:
-            if store is not None:
-                row = store.index_of(u)
-                if not bool(store.valid[row]):
-                    continue
-                embs.append(np.asarray(store.embeddings[row, store.crop_index(crop)], np.float32))
-            else:
+    if store is not None:
+        # one vectorized gather instead of a per-uuid loop (same pattern as
+        # store.columnar.assemble_batch_from_stores: the loop is the session
+        # startup cost at large N)
+        pos = store.uuid_index()
+        idx = np.fromiter((pos.get(u, -1) for u in uuids), np.int64,
+                          count=len(uuids))
+        ok = idx >= 0
+        ok[ok] = np.asarray(store.valid[idx[ok]], bool)
+        rows = idx[ok]
+        embs = list(np.asarray(
+            store.embeddings[rows, store.crop_index(crop)], np.float32
+        ))
+        kept_idx = np.nonzero(ok)[0].tolist()
+    else:
+        for i, u in enumerate(uuids):
+            try:
                 d = read_sidecar(os.path.join(root_dir, u + ".pt"))
                 feats = d[next(iter(d.keys()))]
                 key = resolve_crop_key(feats, crop) if isinstance(feats, dict) else None
                 if key is None:
                     continue
                 embs.append(np.asarray(feats[key], np.float32).reshape(-1))
-            kept_idx.append(i)
-        except Exception:
-            continue
+                kept_idx.append(i)
+            except Exception:
+                continue
     if len(embs) < 2:
         print("WARNING: diversity sort found <2 usable embeddings "
               "(store/sidecars missing the crop?) — keeping uuid order")

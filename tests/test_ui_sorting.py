@@ -65,6 +65,32 @@ def test_diversity_sort_from_sidecars(sorted_dataset, rng):
     assert any(c in "012" for c in first_two) and any(c in "34" for c in first_two)
 
 
+def test_diversity_sort_from_store(sorted_dataset, rng):
+    """Store-backed diversity path (the vectorized gather): valid rows order
+    by farthest-point across clusters; invalid and store-missing images tail
+    the session instead of vanishing."""
+    from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
+
+    root, files, _db = sorted_dataset
+    base = rng.normal(0, 1, 8).astype(np.float32)
+    # u4 is NOT in the store; u3 is invalid — both must tail
+    st = EmbeddingStore.create(str(root), "m/x", ["square_padded_crop"], 8,
+                               [f"u{i}" for i in range(4)], with_stats=False)
+    embs = np.stack([(base if i < 2 else -base)
+                     + rng.normal(0, 0.01, 8).astype(np.float32)
+                     for i in range(4)])[:, None, :]
+    st.write_rows(0, embs, valid=np.asarray([True, True, True, False]))
+    st.flush()
+
+    ordered = re_order_images(files, _db, str(root), "diversity")
+    names = [os.path.basename(f)[1] for f in ordered]
+    assert len(ordered) == 5
+    # first two picks span the clusters {u0,u1} vs {u2}
+    assert any(c in "01" for c in names[:2]) and "2" in names[:2]
+    # invalid + missing tail in original order
+    assert names[-2:] == ["3", "4"]
+
+
 def test_fused_attention_interpret_matches_xla(rng):
     q = jnp.asarray(rng.normal(0, 1, (2, 3, 9, 8)).astype(np.float32))
     k = jnp.asarray(rng.normal(0, 1, (2, 3, 9, 8)).astype(np.float32))
