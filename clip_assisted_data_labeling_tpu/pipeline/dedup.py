@@ -76,15 +76,29 @@ def load_embeddings(root_dir: str, cfg: DedupConfig):
     return paths, (np.stack(embs) if embs else np.zeros((0, 1), np.float32))
 
 
-def fix_duplicate(index: int, pair_paths, outdir: str, sim_value: float, mode: str):
-    """Move/copy the file groups of a duplicate pair (reference _2:102-125)."""
+def fix_duplicate(index: int, pair_paths, outdir: str, sim_value: float, mode: str,
+                  group_lookup=None):
+    """Move/copy the file groups of a duplicate pair (reference _2:102-125).
+
+    Divergences from the reference (PARITY #7): a file group is the EXACT
+    basename stem (the prep contract: ``uuid.ext`` sidecar families), where
+    the reference substring-matched ``stem in f`` — which on un-prepped
+    datasets also swept unrelated files whose names merely contain the stem
+    (``img_1`` matches ``img_10.jpg``). ``group_lookup`` (dirname → stem →
+    files, built once by run_dedup) replaces the reference's per-pair
+    ``os.listdir`` — O(pairs × dir size) over a big run; the ``exists``
+    guard below keeps a cached listing safe once move-mode renames begin."""
     for role, path in zip(("source", "target"), pair_paths):
         dirname = os.path.dirname(path)
         stem = os.path.splitext(os.path.basename(path))[0]
-        try:
-            group = [f for f in os.listdir(dirname) if stem in f]
-        except FileNotFoundError:
-            continue
+        if group_lookup is not None:
+            group = group_lookup(dirname).get(stem, [])
+        else:
+            try:
+                group = [f for f in os.listdir(dirname)
+                         if os.path.splitext(f)[0] == stem]
+            except FileNotFoundError:
+                continue
         for f in group:
             src = os.path.join(dirname, f)
             dst = os.path.join(outdir, f"{sim_value:.3f}_{index:08d}_{role}_{f}")
@@ -148,11 +162,25 @@ def run_dedup(root_dir: str, cfg: DedupConfig, use_mesh: bool | None = None,
         os.makedirs(output_dir, exist_ok=True)
         verb = "copying" if cfg.mode == "copy" else "moving"
         print(f"{verb} {len(result.rows)} near duplicates to {output_dir}...")
+        listing_cache: dict[str, dict[str, list[str]]] = {}
+
+        def group_lookup(dirname: str) -> dict[str, list[str]]:
+            if dirname not in listing_cache:
+                groups: dict[str, list[str]] = {}
+                try:
+                    for f in os.listdir(dirname):
+                        groups.setdefault(os.path.splitext(f)[0], []).append(f)
+                except FileNotFoundError:
+                    pass
+                listing_cache[dirname] = groups
+            return listing_cache[dirname]
+
         moved_targets = set()
         for idx, (i, j, sim) in enumerate(result.pairs()):
             if cfg.mode == "move" and j in moved_targets:
                 continue
-            fix_duplicate(idx, (paths[i], paths[j]), output_dir, sim, cfg.mode)
+            fix_duplicate(idx, (paths[i], paths[j]), output_dir, sim, cfg.mode,
+                          group_lookup=group_lookup)
             moved_targets.add(j)
     return result
 

@@ -74,6 +74,29 @@ def test_dedup_move_mode(tmp_path, rng):
     assert not any("_source_" in f and f.endswith(".jpg") for f in os.listdir(out))
 
 
+def test_dedup_group_is_exact_stem(tmp_path, rng):
+    """A duplicate's file group is its EXACT basename stem: sidecars/extras of
+    unrelated files whose names merely CONTAIN the stem stay put (the
+    reference's `stem in f` substring match swept them — PARITY #7)."""
+    from clip_assisted_data_labeling_tpu.pipeline.dedup import fix_duplicate
+
+    d = tmp_path / "grp"
+    d.mkdir()
+    for name in ("img_1.jpg", "img_1.txt", "img_10.jpg", "img_10.txt",
+                 "ximg_1.jpg"):
+        (d / name).write_bytes(b"x")
+    out = tmp_path / "out"
+    out.mkdir()
+    fix_duplicate(0, (str(d / "img_10.jpg"), str(d / "img_1.jpg")),
+                  str(out), 0.99, "move")
+    left = sorted(os.listdir(d))
+    # only img_1.* (the target group) moved; img_10.* and ximg_1.jpg stayed
+    assert left == ["img_10.jpg", "img_10.txt", "ximg_1.jpg"]
+    assert sorted(os.listdir(out)) == [
+        "0.990_00000000_target_img_1.jpg", "0.990_00000000_target_img_1.txt"
+    ]
+
+
 def test_label_navigation_and_overwrite(tmp_path, rng):
     """left-arrow returns to the previous image; relabeling overwrites in place."""
     root = _dataset(tmp_path, rng, n=3)
