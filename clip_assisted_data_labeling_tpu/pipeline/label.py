@@ -16,6 +16,7 @@ import argparse
 import glob
 import json
 import os
+import time
 
 import numpy as np
 
@@ -159,6 +160,8 @@ def label_dataset(
     current = 0
     new_labels = 0
     consecutive_skips = 0
+    last_save_t = 0.0
+    save_cost = 0.0
     thumbs = ThumbnailCache()
     while True:
         if consecutive_skips >= len(image_files):
@@ -193,8 +196,17 @@ def label_dataset(
             db.relabel(uuid, int(key) / 10.0)
             current += 1
             new_labels += 1
-            if new_labels % 5 == 0:
+            # autosave every 5 new labels (reference _3:329-331); once a
+            # single save becomes humanly noticeable (a big frame's full-CSV
+            # rewrite), throttle to one per 15 s — a crash then loses at most
+            # ~15 s of labels instead of freezing the UI every 5 keypresses
+            if new_labels % 5 == 0 and (
+                save_cost < 0.2 or time.monotonic() - last_save_t >= 15
+            ):
+                t0 = time.monotonic()
                 db.save()
+                last_save_t = time.monotonic()
+                save_cost = last_save_t - t0
                 print(f"{db.n_labeled()} of {len(db)} images in the database labeled")
         elif key == "quit":
             break
