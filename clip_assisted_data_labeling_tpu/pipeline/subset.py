@@ -16,6 +16,7 @@ import argparse
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 
 from clip_assisted_data_labeling_tpu.config import SubsetConfig
@@ -30,12 +31,15 @@ def copy_subset(input_dir: str, cfg: SubsetConfig, output_suffix: str = "_subset
     max_actual_label = database["label"].max()
     print(f"Max actual label: {max_actual_label}")
 
-    def final_label(row):
-        if pd.notnull(row["label"]):
-            return row["label"] / max_actual_label if max_actual_label else row["label"]
-        return row["predicted_label"]
-
-    finals = database.apply(final_label, axis=1)
+    # vectorized _6:19-29: rescaled human label where present, else prediction
+    # (a row-wise .apply costs ~30 s per 1M rows for the same arithmetic)
+    labels = database["label"].values.astype(float)
+    scaled = labels / max_actual_label if max_actual_label else labels
+    finals = pd.Series(
+        np.where(~np.isnan(labels), scaled,
+                 database["predicted_label"].values.astype(float)),
+        index=database.index,
+    )
     selected = database[(cfg.min_score <= finals) & (finals <= cfg.max_score)]
     print(
         f"Found {len(selected)} rows with {cfg.min_score} < final_label < {cfg.max_score}"
