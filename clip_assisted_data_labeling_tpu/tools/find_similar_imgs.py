@@ -17,8 +17,72 @@ import numpy as np
 from clip_assisted_data_labeling_tpu.store.sidecar import read_sidecar, resolve_crop_key
 
 
+def _collect_from_stores(directory: str, clip_models: list[str], crop_name: str):
+    """Store-backed sibling of the sidecar walk below: one vectorized gather
+    per model instead of a torch.load per image (the walk costs ~30+ min per
+    1M sidecars). Returns None when the store(s) can't serve the request
+    (absent, missing a model, or missing the crop) — callers fall back."""
+    from clip_assisted_data_labeling_tpu.store.columnar import (
+        EmbeddingStore,
+        list_models,
+    )
+
+    available = list_models(directory)
+    if not available:
+        return None
+    # sorted, matching the sidecar path's sorted(d.keys()) "all" resolution
+    resolved = sorted(available) if clip_models[0] == "all" else list(clip_models)
+    stores = {}
+    for m in resolved:
+        if not EmbeddingStore.exists(directory, m):
+            return None
+        s = EmbeddingStore.open(directory, m)
+        try:
+            s.crop_index(crop_name)
+        except KeyError:
+            return None
+        stores[m] = s
+    base = stores[resolved[0]]
+    uuids = base.uuids
+    n = len(uuids)
+    ok = np.ones(n, bool)
+    rows_per_model = []
+    for m in resolved:
+        s = stores[m]
+        pos = s.uuid_index()
+        rows = np.fromiter((pos.get(u, -1) for u in uuids), np.int64, count=n)
+        present = rows >= 0
+        ok &= present
+        valid_here = np.zeros(n, bool)
+        if present.any():
+            valid_here[present] = np.asarray(s.valid[rows[present]], bool)
+        ok &= valid_here
+        rows_per_model.append((s, rows))
+    if not ok.any():
+        return [], [], np.zeros((0, 1), np.float32)
+    emb = np.concatenate(
+        [np.asarray(s.embeddings[rows[ok], s.crop_index(crop_name)], np.float32)
+         for s, rows in rows_per_model],
+        axis=1,
+    )
+    rels = base.rel_paths()
+    names, paths = [], []
+    for u, rel, k in zip(uuids, rels, ok):
+        if not k:
+            continue
+        names.append(u + ".pt")
+        paths.append(os.path.join(
+            directory, os.path.splitext(rel)[0] + ".pt"
+        ))
+    print(f"----> Using columnar store(s) in {directory}: {resolved}")
+    return names, paths, emb
+
+
 def _collect_embeddings(directory: str, clip_models: list[str], crop_name: str):
-    """(names, paths, embeddings) from all .pt sidecars under directory."""
+    """(names, paths, embeddings) — columnar store first, .pt walk fallback."""
+    from_store = _collect_from_stores(directory, clip_models, crop_name)
+    if from_store is not None:
+        return from_store
     names, paths, embs = [], [], []
     resolved = list(clip_models)
     for root, _dirs, files in os.walk(directory):

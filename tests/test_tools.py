@@ -52,6 +52,42 @@ def test_find_similar_imgs(tmp_path, rng):
     assert results_l2[0][1].endswith("near.jpg")
 
 
+def test_find_similar_imgs_store_backed(tmp_path, rng):
+    """With a columnar store present, the search-dir gather skips the sidecar
+    walk and returns the same winner; an invalid store row is excluded."""
+    from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
+
+    ctx = tmp_path / "ctx"
+    search = tmp_path / "search"
+    ctx.mkdir()
+    search.mkdir()
+    base = rng.normal(0, 1, 8).astype(np.float32)
+    for i in range(2):
+        _write_img_and_sidecar(ctx, f"c{i}", base + rng.normal(0, 0.01, 8).astype(np.float32), rng)
+    # search dir: store only (no .pt sidecars needed on this path) + images
+    names = ["near", "far1", "badrow"]
+    embs = np.stack([
+        base + rng.normal(0, 0.01, 8).astype(np.float32),
+        -base,
+        base,  # most similar of all — but its row is invalid
+    ])[:, None, :]
+    st = EmbeddingStore.create(str(search), MODEL, ["square_padded_crop"], 8,
+                               names, with_stats=False)
+    st.write_rows(0, embs, valid=np.asarray([True, True, False]))
+    st.flush()
+    for u in names:
+        Image.fromarray(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)).save(
+            search / f"{u}.jpg"
+        )
+
+    results = find_similar_imgs(
+        str(ctx), str(search), str(tmp_path / "out"), ["all"],
+        "square_padded_crop", "cosine", 1
+    )
+    assert len(results) == 1
+    assert results[0][1].endswith("near.jpg")  # badrow excluded despite sim=1
+
+
 def test_merge_datasets(tmp_path, rng):
     data = tmp_path / "data"
     out = tmp_path / "merged"
