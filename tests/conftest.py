@@ -28,6 +28,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    """Per-test rng seeded from the test id: deterministic AND
+    order-independent. The old session-scoped generator made every test's
+    data depend on which tests ran before it — a test could pass standalone
+    and fail (or vice versa) under `-m 'not slow'` vs the full suite
+    whenever a marginal tolerance met a different draw (seen twice with
+    test_q_block_linear_variants)."""
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))

@@ -78,12 +78,13 @@ def test_q_block_linear_variants(rng):
     wq, ws = quantize_weight(w)
 
     def ref(x, ln=False, act=None, residual=None):
-        # LN + quantize replicate the kernel's float32 arithmetic exactly
-        # (x * (127/amax), round-half-even): a float64 reference flips int8
-        # decisions near .5 boundaries, and with the session-scoped rng the
-        # data this test sees depends on which tests ran before it — the
-        # f64/f32 mismatch made the suite order-dependent. The matmul and
-        # dequant below stay f64: that is the path under test.
+        # LN + quantize in f32 like the kernel; the matmul and dequant below
+        # stay f64 (that is the path under test). Returns amax too: the int8
+        # ROUNDING DECISIONS cannot be replicated exactly — XLA fuses the
+        # ln/scale chain differently per compilation context (a jitted
+        # standalone quantize already flips decisions vs the same ops eager),
+        # so values sitting near a .5 boundary legitimately round either way.
+        # Comparisons use a flip-aware tolerance instead (see _flip_tol).
         xx = x.astype(np.float32)
         if ln:
             mu = xx.mean(1, keepdims=True, dtype=np.float32)
@@ -99,27 +100,44 @@ def test_q_block_linear_variants(rng):
             y = y / (1 + np.exp(-1.702 * y))
         if residual is not None:
             y = y + residual
-        return y
+        return y, amax
+
+    def _flip_tol(amax, w_scale, n_flips=2, base=2e-3):
+        # one flipped int8 decision at (i, k) moves y[i, j] by at most
+        # (amax_i/127)*|wq[k, j]|*ws_j ≤ amax_i*ws_j; allow n_flips per row
+        return base + n_flips * amax * np.asarray(w_scale)[None, :].reshape(1, -1)
+
+    def assert_close_mod_flips(got, ref_y, amax, w_scale, lipschitz=1.0):
+        err = np.abs(got - ref_y)
+        tol = _flip_tol(amax, w_scale) * lipschitz
+        assert np.all(err <= tol), (
+            f"max excess {float((err - tol).max()):.2e} over the "
+            "2-decision-flip tolerance — a real numeric divergence"
+        )
 
     got = np.asarray(q_block_linear(
         jnp.asarray(x), jnp.asarray(wq), jnp.asarray(ws), jnp.asarray(b),
         ln_scale=jnp.asarray(lns), ln_bias=jnp.asarray(lnb),
         block_m=8, interpret=True, out_dtype=jnp.float32))
-    np.testing.assert_allclose(got, ref(x, ln=True), atol=2e-3, rtol=1e-3)
+    ref_y, amax = ref(x, ln=True)
+    assert_close_mod_flips(got, ref_y, amax, ws)
 
     got = np.asarray(q_block_linear(
         jnp.asarray(x), jnp.asarray(wq), jnp.asarray(ws), jnp.asarray(b),
         residual=jnp.asarray(res), block_m=8, interpret=True,
         out_dtype=jnp.float32))
-    np.testing.assert_allclose(got, ref(x, residual=res), atol=2e-3, rtol=1e-3)
+    ref_y, amax = ref(x, residual=res)
+    assert_close_mod_flips(got, ref_y, amax, ws)
 
     hq, hs = q_block_linear(
         jnp.asarray(x), jnp.asarray(wq), jnp.asarray(ws), jnp.asarray(b),
         act="quick_gelu", quant_out=True, block_m=8, interpret=True)
-    ref_act = ref(x, act="quick_gelu")
+    ref_act, amax = ref(x, act="quick_gelu")
     deq = np.asarray(hq, np.float64) * np.asarray(hs)
     step = np.abs(ref_act).max(1, keepdims=True) / 127
-    assert np.all(np.abs(deq - ref_act) <= step + 2e-3)
+    # out-quantization step + input-side decision flips (quick_gelu has
+    # Lipschitz constant ≈1.1, covered by the flip tolerance's 1.2 factor)
+    assert np.all(np.abs(deq - ref_act) <= step + _flip_tol(amax, ws) * 1.2)
 
     w2 = rng.normal(0, 0.05, (N, K)).astype(np.float32)
     w2q, w2s = quantize_weight(w2)
