@@ -30,6 +30,10 @@ SUBCROP_AREA_FRACTIONS = (0.15, 0.1)
 # CLIP preprocessing normalization constants (reference utils/embedder.py:121-124).
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+# SigLIP checkpoints normalize with 0.5/0.5 (open_clip preprocess_cfg; the
+# reference inherits whatever create_model_and_transforms returns, _1:72-75).
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
 
 IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".JPEG", ".JPG", ".PNG")
 

@@ -36,15 +36,12 @@ def _conv_to_patch_kernel(weight) -> np.ndarray:
     return w.transpose(2, 3, 1, 0).reshape(-1, w.shape[0])
 
 
-def convert_hf_clip_vision(state_dict: dict, cfg: VitConfig) -> dict:
-    """HF CLIPVisionModelWithProjection state dict → our pytree."""
-    sd = {k: v for k, v in state_dict.items()}
-    pre = "vision_model."
-
+def _hf_blocks(sd: dict, pre: str, L: int) -> dict:
+    """Stack the per-layer tensors of an HF 'encoder.layers.N.' transformer
+    (shared naming between HF CLIPVisionModel and SiglipVisionModel)."""
     def get(k):
         return _t(sd[pre + k])
 
-    L = cfg.layers
     blocks: dict[str, list] = {k: [] for k in (
         "ln1_scale", "ln1_bias", "qkv_kernel", "qkv_bias", "out_kernel",
         "out_bias", "ln2_scale", "ln2_bias", "fc1_kernel", "fc1_bias",
@@ -69,6 +66,16 @@ def convert_hf_clip_vision(state_dict: dict, cfg: VitConfig) -> dict:
         blocks["fc1_bias"].append(get(b + "mlp.fc1.bias"))
         blocks["fc2_kernel"].append(get(b + "mlp.fc2.weight").T)
         blocks["fc2_bias"].append(get(b + "mlp.fc2.bias"))
+    return {k: np.stack(v) for k, v in blocks.items()}
+
+
+def convert_hf_clip_vision(state_dict: dict, cfg: VitConfig) -> dict:
+    """HF CLIPVisionModelWithProjection state dict → our pytree."""
+    sd = {k: v for k, v in state_dict.items()}
+    pre = "vision_model."
+
+    def get(k):
+        return _t(sd[pre + k])
 
     return {
         "patch_kernel": _conv_to_patch_kernel(sd[pre + "embeddings.patch_embedding.weight"]),
@@ -76,10 +83,48 @@ def convert_hf_clip_vision(state_dict: dict, cfg: VitConfig) -> dict:
         "pos_emb": get("embeddings.position_embedding.weight"),
         "ln_pre_scale": get("pre_layrnorm.weight"),  # sic — HF's historical typo
         "ln_pre_bias": get("pre_layrnorm.bias"),
-        "blocks": {k: np.stack(v) for k, v in blocks.items()},
+        "blocks": _hf_blocks(sd, pre, cfg.layers),
         "ln_post_scale": get("post_layernorm.weight"),
         "ln_post_bias": get("post_layernorm.bias"),
         "proj": _t(sd["visual_projection.weight"]).T,
+    }
+
+
+def convert_siglip_visual(state_dict: dict, cfg: VitConfig) -> dict:
+    """HF SiglipVisionModel state dict → our pytree.
+
+    Same per-block naming as HF CLIP ('encoder.layers.N.…') but: the patch
+    conv has a bias, no class embedding, no pre-layernorm, no visual
+    projection, and the readout is a MAP head
+    (``vision_model.head.{probe,attention,layernorm,mlp}``) — see
+    models.vit._map_pool. The reference reaches SigLIP checkpoints through
+    open_clip's create_model_and_transforms (utils/embedder.py:61-63)."""
+    sd = dict(state_dict)
+    pre = "vision_model." if any(
+        k.startswith("vision_model.") for k in sd) else ""
+
+    def get(k):
+        return _t(sd[pre + k])
+
+    return {
+        "patch_kernel": _conv_to_patch_kernel(sd[pre + "embeddings.patch_embedding.weight"]),
+        "patch_bias": get("embeddings.patch_embedding.bias"),
+        "pos_emb": get("embeddings.position_embedding.weight"),
+        "blocks": _hf_blocks(sd, pre, cfg.layers),
+        "ln_post_scale": get("post_layernorm.weight"),
+        "ln_post_bias": get("post_layernorm.bias"),
+        "pool_probe": get("head.probe").reshape(-1),
+        # nn.MultiheadAttention: in_proj [3w, w] row-ordered q|k|v → [w, 3w]
+        "pool_in_kernel": get("head.attention.in_proj_weight").T,
+        "pool_in_bias": get("head.attention.in_proj_bias"),
+        "pool_out_kernel": get("head.attention.out_proj.weight").T,
+        "pool_out_bias": get("head.attention.out_proj.bias"),
+        "pool_ln_scale": get("head.layernorm.weight"),
+        "pool_ln_bias": get("head.layernorm.bias"),
+        "pool_fc1_kernel": get("head.mlp.fc1.weight").T,
+        "pool_fc1_bias": get("head.mlp.fc1.bias"),
+        "pool_fc2_kernel": get("head.mlp.fc2.weight").T,
+        "pool_fc2_bias": get("head.mlp.fc2.bias"),
     }
 
 
@@ -205,6 +250,9 @@ def ensure_rope_half(params: dict, cfg: VitConfig) -> dict:
 
 def convert_torch_state_dict(state_dict: dict, cfg: VitConfig) -> dict:
     keys = list(state_dict.keys())
+    if any(k.endswith("head.probe") for k in keys) or cfg.pool == "map":
+        # SigLIP's HF layout also starts with vision_model. — check first
+        return convert_siglip_visual(state_dict, cfg)
     if any(k.startswith("vision_model.") for k in keys):
         return convert_hf_clip_vision(state_dict, cfg)
     if any("attn_pool." in k for k in keys) or cfg.pool == "attn":
@@ -212,7 +260,8 @@ def convert_torch_state_dict(state_dict: dict, cfg: VitConfig) -> dict:
     if any("resblocks" in k for k in keys):
         return convert_open_clip_visual(state_dict, cfg)
     raise ValueError(
-        "Unrecognized checkpoint layout; expected HF CLIP, open_clip, or PE keys"
+        "Unrecognized checkpoint layout; expected HF CLIP, SigLIP, open_clip, "
+        "or PE keys"
     )
 
 

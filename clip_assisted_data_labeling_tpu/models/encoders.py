@@ -325,6 +325,7 @@ class CLIPImageEncoder:
                     canvas_u8, crop_params, out_size=self.cfg.image_size,
                     parity=self.parity_preprocess, dtype=self.compute_dtype,
                     patch_size=self.cfg.patch_size,
+                    mean=self.cfg.norm_mean, std=self.cfg.norm_std,
                 )
                 self._maybe_calibrate(crops.reshape((-1,) + crops.shape[2:]))
         return _embed_crops_jit(
@@ -357,6 +358,7 @@ def _embed_crops_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity_
         dtype=compute_dtype,
         patch_size=cfg.patch_size if patch_mode == "grid" else None,
         patch_flatten=False,  # patch-embed einsum contracts the grid in place
+        mean=cfg.norm_mean, std=cfg.norm_std,
     )
     b, n = crops.shape[:2]
     emb = vit_encode_image(

@@ -28,6 +28,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from clip_assisted_data_labeling_tpu.config import (
+    CLIP_MEAN,
+    CLIP_STD,
+    SIGLIP_MEAN,
+    SIGLIP_STD,
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class VitConfig:
@@ -39,15 +46,24 @@ class VitConfig:
     embed_dim: int = 768  # output CLIP embedding dim
     mlp_ratio: int = 4
     mlp_hidden: int | None = None  # explicit MLP width (overrides mlp_ratio)
-    act: str = "quick_gelu"  # OpenAI checkpoints; open-data checkpoints use "gelu"
+    act: str = "quick_gelu"  # OpenAI; open-data "gelu"; SigLIP "gelu_tanh"
     ln_eps: float = 1e-5
     # --- PE (Perception Encoder) family options (reference PE_Encoder,
     # utils/embedder.py:103-150 loads these via Meta's perception_models repo) ---
     use_cls_token: bool = True
     use_rope2d: bool = False  # 2-D axial rotary embeddings on q/k in every block
     rope_theta: float = 10000.0
-    pool: str = "cls"  # 'cls' (CLIP) | 'attn' (PE probe attention pooling)
+    pool: str = "cls"  # 'cls' (CLIP) | 'attn' (PE probe) | 'map' (SigLIP MAP head)
     attn_pooler_heads: int = 8
+    # --- SigLIP family options (open_clip '*-SigLIP*' archs; the reference
+    # reaches them through the same "Arch/pretrained" dispatch, _1:69-75) ---
+    use_ln_pre: bool = True  # SigLIP towers have no pre-transformer layernorm
+    use_proj: bool = True  # SigLIP's embedding IS the pooled width (no proj)
+    patch_bias: bool = False  # SigLIP's patch conv has a bias term
+    # preprocess normalization (open_clip per-checkpoint constants; SigLIP
+    # normalizes with 0.5/0.5 where CLIP/PE use the OpenAI constants)
+    norm_mean: tuple = CLIP_MEAN
+    norm_std: tuple = CLIP_STD
 
     @property
     def grid(self) -> int:
@@ -96,6 +112,35 @@ _PE_ARCHS = {
                             image_size=448, embed_dim=1280, mlp_hidden=8960,
                             use_cls_token=False, **_PE),
 }
+# SigLIP vision towers (open_clip '*-SigLIP*' archs / HF SiglipVisionModel).
+# Architecture deltas vs CLIP: no class token, no pre-transformer layernorm,
+# patch conv WITH bias, tanh-approximate GELU, a MAP head (probe MHA + LN +
+# residual MLP) instead of the class-token readout, no output projection
+# (embedding dim == width), and 0.5/0.5 preprocess normalization. The
+# reference reaches these through the same open_clip "Arch/pretrained"
+# dispatch (_1_embed_with_CLIP.py:69-75, utils/embedder.py:61-63).
+_SIGLIP = dict(act="gelu_tanh", use_cls_token=False, use_ln_pre=False,
+               use_proj=False, patch_bias=True, pool="map", ln_eps=1e-6,
+               norm_mean=SIGLIP_MEAN, norm_std=SIGLIP_STD)
+_SIGLIP_ARCHS = {
+    "ViT-B-16-SigLIP": dict(width=768, layers=12, heads=12, patch_size=16,
+                            image_size=224, embed_dim=768,
+                            attn_pooler_heads=12, **_SIGLIP),
+    "ViT-B-16-SigLIP-384": dict(width=768, layers=12, heads=12, patch_size=16,
+                                image_size=384, embed_dim=768,
+                                attn_pooler_heads=12, **_SIGLIP),
+    "ViT-L-16-SigLIP-256": dict(width=1024, layers=24, heads=16, patch_size=16,
+                                image_size=256, embed_dim=1024,
+                                attn_pooler_heads=16, **_SIGLIP),
+    "ViT-L-16-SigLIP-384": dict(width=1024, layers=24, heads=16, patch_size=16,
+                                image_size=384, embed_dim=1024,
+                                attn_pooler_heads=16, **_SIGLIP),
+    # the shape-optimized SoViT-400M tower: mlp 4304 (not 4x), head_dim 72
+    "ViT-SO400M-14-SigLIP-384": dict(width=1152, layers=27, heads=16,
+                                     patch_size=14, image_size=384,
+                                     embed_dim=1152, mlp_hidden=4304,
+                                     attn_pooler_heads=16, **_SIGLIP),
+}
 MODEL_REGISTRY: dict[str, VitConfig] = {
     # tiny configs for tests / multi-chip dry runs (not real pretrained models)
     "ViT-Test/tiny": VitConfig(
@@ -111,6 +156,14 @@ for _arch, _kw in _ARCHS.items():
         MODEL_REGISTRY[f"{_arch}/{tag}"] = VitConfig(**_kw, **_OPEN)
 for _arch, _kw in _PE_ARCHS.items():
     MODEL_REGISTRY[_arch] = VitConfig(**_kw)
+for _arch, _kw in _SIGLIP_ARCHS.items():
+    MODEL_REGISTRY[f"{_arch}/webli"] = VitConfig(**_kw)
+
+# tiny SigLIP config for tests (MAP head, no cls/ln_pre/proj, patch bias)
+MODEL_REGISTRY["SigLIP-Test/tiny"] = VitConfig(
+    width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=64,
+    attn_pooler_heads=4, mlp_hidden=224, **_SIGLIP,
+)
 
 # tiny quick_gelu config matching tests/test_vit_parity.SMALL's HF dims —
 # lets the real-weight runbook (scripts/validate_real_weights.py) exercise its
@@ -134,12 +187,14 @@ def resolve_config(model_name: str) -> VitConfig:
     if model_name in MODEL_REGISTRY:
         return MODEL_REGISTRY[model_name]
     arch = model_name.split("/", 1)[0]
+    if arch in _SIGLIP_ARCHS:  # any pretrained tag (webli, webli2, …)
+        return VitConfig(**_SIGLIP_ARCHS[arch])
     if arch in _ARCHS:
         act = "quick_gelu" if model_name.endswith("/openai") else "gelu"
         return VitConfig(**_ARCHS[arch], act=act)
     raise ValueError(
         f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
-        f"with Arch in {sorted(_ARCHS) + sorted(_PE_ARCHS)}."
+        f"with Arch in {sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS)}."
     )
 
 
@@ -162,8 +217,6 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     params = {
         "patch_kernel": nrm(ks[0], (cfg.patch_size * cfg.patch_size * 3, w), scale),
         "pos_emb": nrm(ks[2], (cfg.seq_len, w), scale),
-        "ln_pre_scale": ones((w,)),
-        "ln_pre_bias": zeros((w,)),
         "blocks": {
             "ln1_scale": ones((L, w)),
             "ln1_bias": zeros((L, w)),
@@ -180,16 +233,23 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
         },
         "ln_post_scale": ones((w,)),
         "ln_post_bias": zeros((w,)),
-        "proj": nrm(ks[7], (w, e), scale),
     }
+    if cfg.use_ln_pre:
+        params["ln_pre_scale"] = ones((w,))
+        params["ln_pre_bias"] = zeros((w,))
+    if cfg.use_proj:
+        params["proj"] = nrm(ks[7], (w, e), scale)
+    if cfg.patch_bias:
+        params["patch_bias"] = zeros((w,))
     if cfg.use_cls_token:
         params["class_emb"] = nrm(ks[1], (w,), scale)
     if cfg.use_rope2d:
         # random init has no pairing convention; mark half-split so save/load
         # round-trips skip the legacy-checkpoint upgrade (clip_weights)
         params["rope_half"] = jnp.ones((), jnp.int8)
-    if cfg.pool == "attn":
-        # PE probe attention-pooling head: learned query + one MHA + layernorm
+    if cfg.pool in ("attn", "map"):
+        # probe MHA shared by the PE head (…+ layernorm) and the SigLIP MAP
+        # head (layernorm + residual MLP, extra leaves below)
         params.update({
             "pool_probe": nrm(ks[8], (w,), 0.02),
             "pool_in_kernel": nrm(ks[9], (w, 3 * w), scale),
@@ -198,6 +258,13 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
             "pool_out_bias": zeros((w,)),
             "pool_ln_scale": ones((w,)),
             "pool_ln_bias": zeros((w,)),
+        })
+    if cfg.pool == "map":
+        params.update({
+            "pool_fc1_kernel": nrm(ks[11], (w, mlp), (2 * w) ** -0.5),
+            "pool_fc1_bias": zeros((mlp,)),
+            "pool_fc2_kernel": nrm(ks[7], (mlp, w), scale),
+            "pool_fc2_bias": zeros((w,)),
         })
     return params
 
@@ -213,6 +280,8 @@ def _layernorm(x, scale, bias, eps):
 def _act(x, kind: str, quantized: bool = False):
     if kind == "quick_gelu":  # OpenAI CLIP's x * sigmoid(1.702 x)
         return x * jax.nn.sigmoid(1.702 * x)
+    if kind == "gelu_tanh":  # SigLIP's gelu_pytorch_tanh — tanh form is exact
+        return jax.nn.gelu(x, approximate=True)
     if quantized:
         # tanh-approximate gelu in int8 paths: exact erf ran the PE fc1 fusion
         # at 104 TOP/s vs 352 for quick_gelu (VPU-bound on [33k, 4096]); the
@@ -261,9 +330,10 @@ def _apply_rope(x, cos, sin):
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
 
 
-def _attention_pool(x, p, heads: int, eps: float):
-    """PE probe attention pooling: a learned query attends over all tokens
-    (one torch nn.MultiheadAttention in the original), then layernorm.
+def _probe_mha(x, p, heads: int):
+    """Probe multi-head attention shared by the PE ('attn') and SigLIP ('map')
+    pooling heads: a learned query attends over all tokens through one
+    nn.MultiheadAttention-equivalent (in_proj + softmax + out_proj).
     x: [B, S, w] → [B, w]."""
     B, S, w = x.shape
     d = w // heads
@@ -277,8 +347,27 @@ def _attention_pool(x, p, heads: int, eps: float):
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
     pooled = jnp.einsum("bhqs,bhsd->bhqd", probs, v).transpose(0, 2, 1, 3)
     pooled = pooled.reshape(B, w) @ p["pool_out_kernel"].astype(dt)
-    pooled = pooled + p["pool_out_bias"].astype(dt)
-    return _layernorm(pooled, p["pool_ln_scale"], p["pool_ln_bias"], eps)
+    return pooled + p["pool_out_bias"].astype(dt)
+
+
+def _attention_pool(x, p, heads: int, eps: float):
+    """PE probe attention pooling: probe MHA, then layernorm
+    (reference PE_Encoder family, utils/embedder.py:103-150)."""
+    return _layernorm(_probe_mha(x, p, heads),
+                      p["pool_ln_scale"], p["pool_ln_bias"], eps)
+
+
+def _map_pool(x, p, heads: int, eps: float, act: str):
+    """SigLIP MAP head (HF SiglipMultiheadAttentionPoolingHead): probe MHA,
+    then a residual MLP over the layernormed probe —
+    ``h + mlp(ln(h))`` where h is the attention output."""
+    h = _probe_mha(x, p, heads)
+    dt = h.dtype
+    y = _layernorm(h, p["pool_ln_scale"], p["pool_ln_bias"], eps)
+    y = _act(y @ p["pool_fc1_kernel"].astype(dt) + p["pool_fc1_bias"].astype(dt),
+             act)
+    y = y @ p["pool_fc2_kernel"].astype(dt) + p["pool_fc2_bias"].astype(dt)
+    return h + y
 
 
 def _linear(x, p, name: str, quantized: bool, residual=None, act_amax=None):
@@ -612,14 +701,20 @@ def _patch_embed(params, images, cfg: VitConfig, compute_dtype,
                    ).astype(compute_dtype)
     else:
         w_patch = params["patch_kernel"].astype(compute_dtype)
+    b_patch = (params["patch_bias"].astype(compute_dtype)
+               if "patch_bias" in params else None)  # SigLIP conv has a bias
+
+    def plus_bias(x):
+        return x if b_patch is None else x + b_patch
+
     if images.ndim == 3:
         # pre-patchified [B, N, p*p*3] (ops/crops.py patch_size= output)
-        return images.astype(compute_dtype) @ w_patch
+        return plus_bias(images.astype(compute_dtype) @ w_patch)
     if images.ndim == 6:
         b, gh, gw, pv, pu, c = images.shape
         kern = w_patch.reshape(pv, pu, c, -1)  # row-major == patchify order
         x = jnp.einsum("byxqpc,qpcw->byxw", images.astype(compute_dtype), kern)
-        return x.reshape(b, gh * gw, -1)
+        return plus_bias(x.reshape(b, gh * gw, -1))
     # [B, R, R, 3]: split the spatial dims (a free reshape) and contract the
     # patch dims in place — materializing patchify's transpose before a 2-D
     # matmul measured 1.5-2.4 ms/step in copies
@@ -629,7 +724,7 @@ def _patch_embed(params, images, cfg: VitConfig, compute_dtype,
     x = images.astype(compute_dtype).reshape(b, gh, p, gw, p, c)
     kern = w_patch.reshape(p, p, c, -1)
     x = jnp.einsum("bhqgpc,qpcw->bhgw", x, kern)
-    return x.reshape(b, gh * gw, -1)
+    return plus_bias(x.reshape(b, gh * gw, -1))
 
 
 def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
@@ -661,7 +756,8 @@ def _stem(params: dict, images: jnp.ndarray, cfg: VitConfig, compute_dtype,
         )
         x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_emb"].astype(compute_dtype)
-    x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
+    if cfg.use_ln_pre:
+        x = _layernorm(x, params["ln_pre_scale"], params["ln_pre_bias"], cfg.ln_eps)
     rope = None
     if cfg.use_rope2d:
         cos, sin = _rope2d_tables(
@@ -725,20 +821,27 @@ def vit_encode_image(
 
         x, _ = jax.lax.scan(body, x, params["blocks"])
 
-    if cfg.pool == "attn":
-        # PE readout: ln_post over ALL tokens, probe attention pooling, proj.
+    if cfg.pool in ("attn", "map"):
+        # PE/SigLIP readout: ln_post over ALL tokens, probe pooling head.
         # Drop the attention-padding rows first — the probe attends over every
         # row it is given, so padded-token garbage would pollute the pool
         # (cls readout below is immune: it reads row 0 only).
         if x.shape[1] != cfg.seq_len:
             x = x[:, : cfg.seq_len]
         x = _layernorm(x, params["ln_post_scale"], params["ln_post_bias"], cfg.ln_eps)
-        pooled = _attention_pool(x, params, cfg.attn_pooler_heads, cfg.ln_eps)
+        if cfg.pool == "map":
+            pooled = _map_pool(x, params, cfg.attn_pooler_heads, cfg.ln_eps,
+                               cfg.act)
+        else:
+            pooled = _attention_pool(x, params, cfg.attn_pooler_heads, cfg.ln_eps)
     else:
         pooled = _layernorm(
             x[:, 0], params["ln_post_scale"], params["ln_post_bias"], cfg.ln_eps
         )
-    emb = (pooled @ params["proj"].astype(compute_dtype)).astype(jnp.float32)
+    if cfg.use_proj:
+        emb = (pooled @ params["proj"].astype(compute_dtype)).astype(jnp.float32)
+    else:  # SigLIP: the pooled vector IS the embedding (embed_dim == width)
+        emb = pooled.astype(jnp.float32)
     if normalize:
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
     return emb

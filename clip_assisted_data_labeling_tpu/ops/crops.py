@@ -245,6 +245,8 @@ def fused_crop_resize_normalize(
     dtype: jnp.dtype = jnp.float32,
     patch_size: int | None = None,
     patch_flatten: bool = True,
+    mean: tuple = CLIP_MEAN,  # per-model constants (SigLIP: 0.5/0.5)
+    std: tuple = CLIP_STD,
 ) -> jnp.ndarray:
     """All crops of all images → normalized [B, n_crops, R, R, 3] in one jit.
 
@@ -262,8 +264,8 @@ def fused_crop_resize_normalize(
     per_crop = jax.vmap(_resample_one_crop, in_axes=(None, 0, None, None, None))
     per_image = jax.vmap(per_crop, in_axes=(0, 0, None, None, None))
     out = per_image(img, params, out_size, parity, patch_size)  # 0..255
-    mean = jnp.asarray(CLIP_MEAN, dtype=jnp.float32) * 255.0
-    std = jnp.asarray(CLIP_STD, dtype=jnp.float32) * 255.0
+    mean = jnp.asarray(mean, dtype=jnp.float32) * 255.0
+    std = jnp.asarray(std, dtype=jnp.float32) * 255.0
     out = ((out - mean) / std).astype(dtype)
     if patch_size is not None and patch_flatten:
         b, n, gh, gw, pv, pu, c = out.shape

@@ -176,6 +176,8 @@ def _block_kernel(
     y = acc.astype(jnp.float32) * row_scale * scale_ref[:] + bias_ref[:]
     if act == "quick_gelu":
         y = y * jax.nn.sigmoid(1.702 * y)
+    elif act == "gelu_tanh":  # SigLIP's gelu_pytorch_tanh (tanh form is exact)
+        y = jax.nn.gelu(y, approximate=True)
     elif act == "gelu":
         y = y * 0.5 * (1.0 + jax.lax.erf(y * (2.0 ** -0.5)))
     if has_res:
@@ -338,6 +340,8 @@ def _rowquant_kernel(*refs, has_ln: bool, act: str | None, ln_eps: float):
         x = x * ln_scale_ref[:] + ln_bias_ref[:]
     if act == "quick_gelu":
         x = x * jax.nn.sigmoid(1.702 * x)
+    elif act == "gelu_tanh":  # SigLIP's gelu_pytorch_tanh (tanh form is exact)
+        x = jax.nn.gelu(x, approximate=True)
     elif act == "gelu":
         x = x * 0.5 * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
     amax = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-8)

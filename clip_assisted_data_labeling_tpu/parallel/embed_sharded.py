@@ -105,6 +105,7 @@ class ShardedEmbedder:
             crops = fused_crop_resize_normalize(
                 canvas, cp, out_size=self.cfg.image_size,
                 parity=self.parity_preprocess, dtype=self.compute_dtype,
+                mean=self.cfg.norm_mean, std=self.cfg.norm_std,
             )
             flat = crops.reshape((-1,) + crops.shape[2:])
             amax = jax.tree.map(np.asarray, vit_act_amax(
@@ -213,7 +214,7 @@ def _crops_jit(canvas_u8, crop_params, cfg, compute_dtype, parity):
     as a separate shard_map program)."""
     return fused_crop_resize_normalize(
         canvas_u8, crop_params, out_size=cfg.image_size, parity=parity,
-        dtype=compute_dtype,
+        dtype=compute_dtype, mean=cfg.norm_mean, std=cfg.norm_std,
     )
 
 
@@ -221,7 +222,7 @@ def _crops_jit(canvas_u8, crop_params, cfg, compute_dtype, parity):
 def _embed_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity):
     crops = fused_crop_resize_normalize(
         canvas_u8, crop_params, out_size=cfg.image_size, parity=parity,
-        dtype=compute_dtype,
+        dtype=compute_dtype, mean=cfg.norm_mean, std=cfg.norm_std,
     )
     b, n = crops.shape[:2]
     emb = vit_encode_image(

@@ -215,17 +215,27 @@ def _tp_static_fn(mesh: Mesh, cfg: VitConfig, compute_dtype, normalize: bool,
 
         x, _ = jax.lax.scan(scan_body, x, params["blocks"])
 
-        if cfg.pool == "attn":
+        if cfg.pool in ("attn", "map"):
             if x.shape[1] != cfg.seq_len:
                 x = x[:, : cfg.seq_len]
             x = _layernorm(x, params["ln_post_scale"], params["ln_post_bias"],
                            cfg.ln_eps)
-            pooled = _attention_pool(x, params, cfg.attn_pooler_heads,
-                                     cfg.ln_eps)
+            if cfg.pool == "map":
+                from clip_assisted_data_labeling_tpu.models.vit import _map_pool
+
+                pooled = _map_pool(x, params, cfg.attn_pooler_heads,
+                                   cfg.ln_eps, cfg.act)
+            else:
+                pooled = _attention_pool(x, params, cfg.attn_pooler_heads,
+                                         cfg.ln_eps)
         else:
             pooled = _layernorm(x[:, 0], params["ln_post_scale"],
                                 params["ln_post_bias"], cfg.ln_eps)
-        emb = (pooled @ params["proj"].astype(compute_dtype)).astype(jnp.float32)
+        if cfg.use_proj:
+            emb = (pooled @ params["proj"].astype(compute_dtype)
+                   ).astype(jnp.float32)
+        else:
+            emb = pooled.astype(jnp.float32)
         if normalize:
             emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         return emb
