@@ -42,11 +42,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
 PARITY_BUDGET = 1e-3  # BASELINE.md: cosine error vs the reference encoder
 
 
-def load_goldens(imgdir: str | None, resolution: int, n: int = 16) -> np.ndarray:
-    """[n, R, R, 3] CLIP-normalized f32 golden batch (two halves: calibration
-    and scoring use DIFFERENT images)."""
-    from clip_assisted_data_labeling_tpu.config import CLIP_MEAN, CLIP_STD
-
+def load_goldens(imgdir: str | None, cfg, n: int = 16) -> np.ndarray:
+    """[n, R, R, 3] model-normalized f32 golden batch (two halves: calibration
+    and scoring use DIFFERENT images). Normalization constants come from the
+    model config (CLIP/PE: OpenAI constants; SigLIP: 0.5/0.5)."""
+    resolution = cfg.image_size
     if imgdir:
         from PIL import Image
 
@@ -71,9 +71,8 @@ def load_goldens(imgdir: str | None, resolution: int, n: int = 16) -> np.ndarray
               "(fine for relative parity; real photos are better)")
         rng = np.random.default_rng(0)
         batch = rng.uniform(0, 1, (n, resolution, resolution, 3)).astype(np.float32)
-    return ((batch - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)).astype(
-        np.float32
-    )
+    return ((batch - np.asarray(cfg.norm_mean)) / np.asarray(cfg.norm_std)
+            ).astype(np.float32)
 
 
 def cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -112,23 +111,36 @@ def torch_parity_hf(checkpoint_path: str, cfg, goldens: np.ndarray,
         return True
     sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
     if not any(k.startswith("vision_model.") for k in sd):
-        print("[torch-parity] not an HF CLIPVision state dict — skipping the "
-              "torch executor (open_clip/PE formats validate through the "
+        print("[torch-parity] not an HF CLIPVision/SigLIP state dict — skipping "
+              "the torch executor (open_clip/PE formats validate through the "
               "quantization ladder; conversion itself is structurally checked "
               "in tests/test_vit_parity.py / test_pe_parity.py)")
         return True
-    hf_cfg = transformers.CLIPVisionConfig(
-        hidden_size=cfg.width, intermediate_size=cfg.mlp_dim,
-        num_hidden_layers=cfg.layers, num_attention_heads=cfg.heads,
-        patch_size=cfg.patch_size, image_size=cfg.image_size,
-        projection_dim=cfg.embed_dim,
-        hidden_act=("quick_gelu" if cfg.act == "quick_gelu" else "gelu"),
-    )
-    model = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
-    model.load_state_dict(sd)
-    with torch.no_grad():
-        ref = model(pixel_values=torch.from_numpy(
-            goldens.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    if any(k.endswith("head.probe") for k in sd):  # HF SiglipVisionModel
+        hf_cfg = transformers.SiglipVisionConfig(
+            hidden_size=cfg.width, intermediate_size=cfg.mlp_dim,
+            num_hidden_layers=cfg.layers, num_attention_heads=cfg.heads,
+            patch_size=cfg.patch_size, image_size=cfg.image_size,
+            hidden_act="gelu_pytorch_tanh", layer_norm_eps=cfg.ln_eps,
+        )
+        model = transformers.SiglipVisionModel(hf_cfg).eval()
+        model.load_state_dict(sd)
+        with torch.no_grad():
+            ref = model(pixel_values=torch.from_numpy(
+                goldens.transpose(0, 3, 1, 2))).pooler_output.numpy()
+    else:
+        hf_cfg = transformers.CLIPVisionConfig(
+            hidden_size=cfg.width, intermediate_size=cfg.mlp_dim,
+            num_hidden_layers=cfg.layers, num_attention_heads=cfg.heads,
+            patch_size=cfg.patch_size, image_size=cfg.image_size,
+            projection_dim=cfg.embed_dim,
+            hidden_act=("quick_gelu" if cfg.act == "quick_gelu" else "gelu"),
+        )
+        model = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+        model.load_state_dict(sd)
+        with torch.no_grad():
+            ref = model(pixel_values=torch.from_numpy(
+                goldens.transpose(0, 3, 1, 2))).image_embeds.numpy()
     err = 1.0 - cosine(ours_f32, ref).min()
     ok = err <= 1e-5
     print(f"[torch-parity] f32 vs HF torch: max cosine err {err:.2e} "
@@ -164,7 +176,7 @@ def main():
     cfg = resolve_config(args.model)
     enc = CLIPImageEncoder(args.model, model_path=args.checkpoint,
                           compute_dtype=jnp.float32)
-    goldens = load_goldens(args.images, cfg.image_size)
+    goldens = load_goldens(args.images, cfg)
     half = len(goldens) // 2
     calib, score = goldens[:half], goldens[half:]
 

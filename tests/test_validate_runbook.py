@@ -58,6 +58,30 @@ def test_runbook_end_to_end(tmp_path):
     out = proc.stdout + proc.stderr
     assert proc.returncode == 0, out
     assert "PASS" in proc.stdout, out
+
+
+@pytest.mark.slow
+def test_runbook_siglip_checkpoint(tmp_path):
+    """The runbook must route an HF SiglipVisionModel checkpoint through the
+    SigLIP converter + torch executor (pooler_output) and the quant ladder."""
+    cfg = transformers.SiglipVisionConfig(
+        hidden_size=64, intermediate_size=224, num_hidden_layers=2,
+        num_attention_heads=4, patch_size=8, image_size=32,
+        hidden_act="gelu_pytorch_tanh", layer_norm_eps=1e-6,
+    )
+    torch.manual_seed(0)
+    model = transformers.SiglipVisionModel(cfg).eval()
+    ckpt = tmp_path / "siglip.pt"
+    torch.save(model.state_dict(), ckpt)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/validate_real_weights.py"),
+         str(ckpt), "SigLIP-Test/tiny", "--cpu"],
+        capture_output=True, text=True, timeout=600,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out
+    assert "PASS" in proc.stdout, out
+    assert "f32 vs HF torch" in proc.stdout, out  # the executor actually ran
     assert "torch-parity" in out and "OK" in out, out
     assert "[margin]" in out, out
 
