@@ -181,6 +181,41 @@ MODEL_REGISTRY["PE-Test/tiny"] = VitConfig(
 )
 
 
+# trunk dims shared by every fixed-resolution SigLIP/SigLIP2 tower of a size
+# family (the SigLIP2 releases reuse the SigLIP vision architecture; only
+# training and the text side changed — naflex variable-aspect variants are NOT
+# covered, they need patch-mask plumbing)
+_SIGLIP_FAMS = {
+    "B": dict(width=768, layers=12, heads=12, mlp_hidden=3072,
+              attn_pooler_heads=12),
+    "L": dict(width=1024, layers=24, heads=16, mlp_hidden=4096,
+              attn_pooler_heads=16),
+    "SO400M": dict(width=1152, layers=27, heads=16, mlp_hidden=4304,
+                   attn_pooler_heads=16),
+}
+
+
+def _parse_siglip_name(arch: str) -> VitConfig | None:
+    """'ViT-{fam}-{patch}-SigLIP[2][-{res}]' → config (default res 224).
+
+    Covers the open_clip SigLIP2 fixed-res names (e.g.
+    'ViT-B-16-SigLIP2-384', 'ViT-SO400M-14-SigLIP2-378',
+    'ViT-SO400M-16-SigLIP2-256') and any future resolution variant without a
+    per-name table — geometry is in the name, trunk dims in _SIGLIP_FAMS."""
+    import re
+
+    m = re.fullmatch(r"ViT-(B|L|SO400M)-(\d+)-SigLIP2?(?:-(\d+))?", arch)
+    if m is None:
+        return None
+    fam = _SIGLIP_FAMS[m.group(1)]
+    patch = int(m.group(2))
+    res = int(m.group(3)) if m.group(3) else 224
+    if res % patch:
+        raise ValueError(f"{arch}: resolution {res} not divisible by patch {patch}")
+    return VitConfig(patch_size=patch, image_size=res,
+                     embed_dim=fam["width"], **fam, **_SIGLIP)
+
+
 def resolve_config(model_name: str) -> VitConfig:
     """Resolve 'Arch/pretrained' or 'PE-…' names (reference naming convention,
     _1_embed_with_CLIP.py:69-75)."""
@@ -189,6 +224,9 @@ def resolve_config(model_name: str) -> VitConfig:
     arch = model_name.split("/", 1)[0]
     if arch in _SIGLIP_ARCHS:  # any pretrained tag (webli, webli2, …)
         return VitConfig(**_SIGLIP_ARCHS[arch])
+    sig = _parse_siglip_name(arch)
+    if sig is not None:
+        return sig
     if arch in _ARCHS:
         act = "quick_gelu" if model_name.endswith("/openai") else "gelu"
         return VitConfig(**_ARCHS[arch], act=act)

@@ -125,6 +125,27 @@ def test_siglip_registry_names():
     assert so.mlp_dim == 4304 and so.head_dim == 72
 
 
+def test_siglip2_name_parsing():
+    """SigLIP2 fixed-res names resolve by geometry parsing (no per-name
+    table): same trunk as SigLIP, resolution/patch from the name."""
+    cases = {
+        "ViT-B-16-SigLIP2/webli": (768, 12, 16, 224),
+        "ViT-B-16-SigLIP2-384/webli": (768, 12, 16, 384),
+        "ViT-L-16-SigLIP2-512/webli": (1024, 24, 16, 512),
+        "ViT-SO400M-14-SigLIP2-378/webli": (1152, 27, 14, 378),
+        "ViT-SO400M-16-SigLIP2-256/webli": (1152, 27, 16, 256),
+    }
+    for name, (w, L, p, r) in cases.items():
+        cfg = resolve_config(name)
+        assert (cfg.width, cfg.layers, cfg.patch_size, cfg.image_size) == (
+            w, L, p, r), name
+        assert cfg.pool == "map" and not cfg.use_proj and cfg.embed_dim == w
+    with pytest.raises(ValueError):  # res not divisible by patch
+        resolve_config("ViT-B-16-SigLIP2-250/webli")
+    with pytest.raises(ValueError):  # unknown family stays a loud error
+        resolve_config("ViT-gopt-16-SigLIP2-384/webli")
+
+
 @pytest.mark.parametrize("mode", ["int8", "int8_static"])
 def test_siglip_int8_within_budget(mode, rng):
     """W8A8 modes must stay inside the ≤1e-3 cosine budget on the SigLIP
