@@ -86,6 +86,25 @@ def test_tp_static_bit_identical_pe(rng):
     np.testing.assert_array_equal(tp, single)
 
 
+def test_tp_static_bit_identical_siglip(rng):
+    """SigLIP family: biased patch embed, gelu_tanh epilogues, MAP-head
+    readout (probe MHA + residual MLP) through the TP static path — the
+    head and patch-bias leaves are replicated compute over sharded trunk
+    activations."""
+    cfg, sparams = _static_params("SigLIP-Test/tiny", rng)
+    x = jnp.asarray(
+        rng.normal(0, 0.5, (4, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    )
+    single = np.asarray(vit_encode_image(
+        sparams, x, cfg, compute_dtype=jnp.float32, fused_attention=False))
+    mesh = get_mesh_2d(2, 2)
+    placed = place_tp_static(sparams, mesh, cfg)
+    tp = np.asarray(vit_encode_tp_static(
+        placed, x, cfg, mesh, compute_dtype=jnp.float32,
+        fused_attention=False))
+    np.testing.assert_array_equal(tp, single)
+
+
 def test_tp_static_bit_identical_fused_attention(rng, monkeypatch):
     """The production default on real hardware runs the FUSED attention
     kernels (models/vit.default_fused_attention), where the TP shard routes
