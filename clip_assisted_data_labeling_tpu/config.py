@@ -102,6 +102,10 @@ class TrainConfig:
     dont_save: bool = False
     export_torch: bool = False  # also write a reference-loadable .pth pickle
     print_network_layout: bool = False
+    # classification head (reference README TODO "class labels +
+    # classification"): distinct label values become softmax classes;
+    # predictions are softmax-expected label values (CSV contract unchanged)
+    classification: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

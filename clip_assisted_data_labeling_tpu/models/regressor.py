@@ -37,6 +37,13 @@ class RegressorMeta:
     dropout_prob: float = 0.0
     data_min: float | None = None
     data_max: float | None = None
+    # classification mode (reference README TODO: "class labels +
+    # classification"): the sorted distinct label values seen at training
+    # time; the network ends in C logits and predicted scores are the
+    # softmax-expected label value — staying inside the CSV contract
+    # (predicted_label is a float in label units) so sort/subset/preview
+    # downstream work unchanged. None = regression (sigmoid head).
+    class_values: tuple | None = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -47,6 +54,8 @@ class RegressorMeta:
         d["clip_models"] = tuple(d["clip_models"])
         d["crop_names"] = tuple(d["crop_names"])
         d["hidden_sizes"] = tuple(d["hidden_sizes"])
+        if d.get("class_values") is not None:
+            d["class_values"] = tuple(d["class_values"])
         return cls(**d)
 
 
@@ -78,6 +87,7 @@ def regressor_apply(
     *,
     dropout_prob: float = 0.0,
     dropout_key: jax.Array | None = None,
+    head: str = "sigmoid",  # 'sigmoid' (regression) | 'linear' (class logits)
 ) -> jnp.ndarray:
     """Forward pass → sigmoid outputs in [0,1]. Dropout only when a key is given.
 
@@ -95,7 +105,7 @@ def regressor_apply(
                 dropout_key, sub = jax.random.split(dropout_key)
                 keep = jax.random.bernoulli(sub, 1.0 - dropout_prob, x.shape)
                 x = jnp.where(keep, x / (1.0 - dropout_prob), 0.0)
-    return jax.nn.sigmoid(x)
+    return x if head == "linear" else jax.nn.sigmoid(x)
 
 
 class SimpleFCRegressor:
@@ -123,7 +133,10 @@ class SimpleFCRegressor:
             if i < len(sizes) - 2:
                 lines.append(f"  LeakyReLU(negative_slope={LEAKY_SLOPE})")
                 lines.append(f"  Dropout(p={m.dropout_prob})")
-        lines.append("  Sigmoid()")
+        if m.class_values is not None:
+            lines.append(f"  Softmax(classes={list(m.class_values)})")
+        else:
+            lines.append("  Sigmoid()")
         lines.append(")")
         n_params = sum(
             int(np.prod(p["kernel"].shape)) + int(np.prod(p["bias"].shape)) for p in self.params
@@ -149,6 +162,8 @@ class SimpleFCRegressor:
         fp16 range (or NaN) silently falls back to the f32 wire."""
         if len(features) == 0:
             return np.zeros((0,), np.float32)
+        cvals = self.meta.class_values
+        cvals_dev = None if cvals is None else jnp.asarray(cvals, jnp.float32)
         outs = []
         for i in range(0, len(features), batch_size):
             x_host = np.asarray(features[i : i + batch_size], np.float32)
@@ -156,8 +171,26 @@ class SimpleFCRegressor:
                 x = jnp.asarray(x_host.astype(np.float16))
             else:  # exact wire; also the NaN path (NaN fails the <= check)
                 x = jnp.asarray(x_host)
-            outs.append(np.asarray(_predict_jit(_as_tuple(self.params), x)))
+            if cvals_dev is None:
+                outs.append(np.asarray(_predict_jit(_as_tuple(self.params), x)))
+            else:  # classification: softmax-expected label value
+                outs.append(np.asarray(
+                    _predict_expected_jit(_as_tuple(self.params), x, cvals_dev)
+                ))
         return np.concatenate(outs, axis=0).reshape(len(features), -1)[:, 0]
+
+    def predict_classes(self, features: np.ndarray,
+                        batch_size: int = 65536) -> np.ndarray:
+        """Classification models only: argmax class label values [N]."""
+        if self.meta.class_values is None:
+            raise ValueError("predict_classes requires a classification model")
+        cvals = np.asarray(self.meta.class_values, np.float32)
+        outs = []
+        for i in range(0, len(features), batch_size):
+            x = jnp.asarray(np.asarray(features[i : i + batch_size], np.float32))
+            logits = np.asarray(_predict_logits_jit(_as_tuple(self.params), x))
+            outs.append(cvals[np.argmax(logits, axis=-1)])
+        return np.concatenate(outs) if outs else np.zeros((0,), np.float32)
 
     # --- native checkpoint format ---------------------------------------------
     def save(self, path: str) -> None:
@@ -222,6 +255,13 @@ class SimpleFCRegressor:
         ``utils.nn_model.SimpleFC`` written here resolves to the reference's
         real class when loaded in the reference environment — models trained
         in this framework flow back into the reference toolchain unchanged."""
+        if self.meta.class_values is not None:
+            raise ValueError(
+                "torch export is regression-only: the reference's SimpleFC "
+                "(utils/nn_model.py:6-41) ends in Sigmoid and its predictor "
+                "treats the output as one score — a C-logit classification "
+                "head would be silently misread there"
+            )
         import torch
 
         shim = _install_nn_model_shim()
@@ -302,3 +342,18 @@ def _predict_jit(param_tuple, x):
     params = [{"kernel": k, "bias": b} for k, b in param_tuple]
     # upcast on device: the wire may be fp16 (predict's transfer-bound default)
     return regressor_apply(params, x.astype(jnp.float32))
+
+
+@jax.jit
+def _predict_logits_jit(param_tuple, x):
+    params = [{"kernel": k, "bias": b} for k, b in param_tuple]
+    return regressor_apply(params, x.astype(jnp.float32), head="linear")
+
+
+@jax.jit
+def _predict_expected_jit(param_tuple, x, class_values):
+    """Classification scores: softmax over C logits @ class label values."""
+    params = [{"kernel": k, "bias": b} for k, b in param_tuple]
+    logits = regressor_apply(params, x.astype(jnp.float32), head="linear")
+    probs = jax.nn.softmax(logits, axis=-1)
+    return (probs @ class_values)[:, None]

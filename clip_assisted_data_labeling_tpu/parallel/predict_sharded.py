@@ -30,16 +30,21 @@ from clip_assisted_data_labeling_tpu.models.regressor import (
 
 
 @functools.lru_cache(maxsize=8)
-def _predict_dp(mesh: Mesh):
+def _predict_dp(mesh: Mesh, classification: bool = False):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
-    def fwd(param_tuple, x):
+    def fwd(param_tuple, x, cvals):
         params = [{"kernel": k, "bias": b} for k, b in param_tuple]
         # upcast on device: the wire may be fp16 (transfer-bound stage)
-        return regressor_apply(params, x.astype(jnp.float32))
+        x32 = x.astype(jnp.float32)
+        if classification:  # softmax-expected label value (models/regressor)
+            logits = regressor_apply(params, x32, head="linear")
+            return (jax.nn.softmax(logits, axis=-1) @ cvals)[:, None]
+        return regressor_apply(params, x32)
 
-    return jax.jit(fwd, in_shardings=(repl, data), out_shardings=data), data
+    return jax.jit(fwd, in_shardings=(repl, data, repl),
+                   out_shardings=data), data
 
 
 def predict_sharded(
@@ -48,6 +53,7 @@ def predict_sharded(
     mesh: Mesh,
     batch_size: int = 65536,
     wire: str = "float16",
+    class_values=None,  # classification models: meta.class_values
 ) -> np.ndarray:
     """Batch-sharded scores for ``features`` [N, F] → [N].
 
@@ -61,7 +67,9 @@ def predict_sharded(
     if wire not in ("float16", "float32"):
         raise ValueError(f"wire must be 'float16' or 'float32', got {wire!r}")
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    fwd, data_sharding = _predict_dp(mesh)
+    fwd, data_sharding = _predict_dp(mesh, class_values is not None)
+    cvals = jnp.asarray(class_values if class_values is not None else [0.0],
+                        jnp.float32)
     # chunk size aligned to the mesh so every shard is equal
     chunk = max(n_dev, (batch_size // n_dev) * n_dev)
     outs = []
@@ -73,7 +81,7 @@ def predict_sharded(
         if wire == "float16" and np.abs(x_host).max(initial=0.0) <= 6.0e4:
             x_host = x_host.astype(np.float16)
         x = jax.device_put(x_host, data_sharding)
-        out = np.asarray(fwd(_as_tuple(params), x))
+        out = np.asarray(fwd(_as_tuple(params), x, cvals))
         outs.append(out[: len(out) - pad] if pad else out)
     if not outs:
         return np.zeros((0,), np.float32)

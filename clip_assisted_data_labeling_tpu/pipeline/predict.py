@@ -137,7 +137,8 @@ def predict_labels(
             predict_sharded,
         )
 
-        all_scores = predict_sharded(model.params, feats, get_mesh(), wire=wire)
+        all_scores = predict_sharded(model.params, feats, get_mesh(), wire=wire,
+                                     class_values=model.meta.class_values)
 
     # one bulk row registration so the per-batch merges below are pure
     # in-place updates (no per-batch frame concat on a fresh dataset)

@@ -133,13 +133,23 @@ def make_optimizer(weight_decay: float):
     )
 
 
+def _xent(logits, y_idx):
+    """Per-sample cross-entropy for integer class targets carried as floats."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(
+        logp, y_idx.astype(jnp.int32)[:, None], axis=1)[:, 0]
+
+
 def _epoch_body(params, opt_state, x, y, w, lr, key,
-                dropout_prob: float, weight_decay: float, batch_size: int):
+                dropout_prob: float, weight_decay: float, batch_size: int,
+                n_classes: int):
     """One epoch, fully on device: shuffle (device PRNG), batch, and scan the
     forward/backward/Adam steps.
 
     x/y/w are pre-padded to a multiple of batch_size with w=0 rows (padding is
-    strictly smaller than one batch, so no batch can be all-padding)."""
+    strictly smaller than one batch, so no batch can be all-padding).
+    n_classes=0 is regression (sigmoid + MSE); otherwise y holds class
+    indices and the loss is softmax cross-entropy over n_classes logits."""
     opt = make_optimizer(weight_decay)
     n = x.shape[0]
     n_batches = n // batch_size
@@ -150,9 +160,15 @@ def _epoch_body(params, opt_state, x, y, w, lr, key,
     wb = w[perm].reshape(n_batches, batch_size)
 
     def loss_fn(p, xi, yi, wi, k):
-        out = regressor_apply(p, xi, dropout_prob=dropout_prob, dropout_key=k)[:, 0]
-        se = (out - yi) ** 2 * wi
-        return jnp.sum(se) / jnp.maximum(jnp.sum(wi), 1.0)
+        if n_classes:
+            logits = regressor_apply(p, xi, dropout_prob=dropout_prob,
+                                     dropout_key=k, head="linear")
+            per = _xent(logits, yi) * wi
+        else:
+            out = regressor_apply(p, xi, dropout_prob=dropout_prob,
+                                  dropout_key=k)[:, 0]
+            per = (out - yi) ** 2 * wi
+        return jnp.sum(per) / jnp.maximum(jnp.sum(wi), 1.0)
 
     def step(carry, batch):
         p, s, k = carry
@@ -171,37 +187,55 @@ def _epoch_body(params, opt_state, x, y, w, lr, key,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dropout_prob", "weight_decay", "batch_size"),
+    static_argnames=("dropout_prob", "weight_decay", "batch_size", "n_classes"),
     donate_argnums=(0, 1),
 )
-def _train_run(params, opt_state, x, y, w, x_test, y_test, lrs, key,
-               dropout_prob: float, weight_decay: float, batch_size: int):
+def _train_run(params, opt_state, x, y, w, x_test, y_test, lrs, key, cvals,
+               dropout_prob: float, weight_decay: float, batch_size: int,
+               n_classes: int = 0):
     """The ENTIRE training run as one XLA program: scan over epochs, each epoch
     an inner scan over shuffled batches, with the test/dummy MSE evaluated per
-    epoch. One dispatch total — only the loss curves return to host."""
+    epoch. One dispatch total — only the loss curves return to host.
+
+    Classification (n_classes > 0): losses are cross-entropy, the per-epoch
+    third metric is test ACCURACY (the regression path reports the
+    dummy-mean baseline there), and final_preds are softmax-expected label
+    values via ``cvals`` [n_classes] so the scatter plot stays in label
+    units."""
     has_test = x_test.shape[0] > 0  # static
+
+    def scores(p, xt):
+        if n_classes:
+            return jax.nn.softmax(
+                regressor_apply(p, xt, head="linear"), axis=-1) @ cvals
+        return regressor_apply(p, xt)[:, 0]
 
     def epoch_step(carry, lr):
         p, s, k = carry
         k, sub = jax.random.split(k)
         p, s, train_loss = _epoch_body(
-            p, s, x, y, w, lr, sub, dropout_prob, weight_decay, batch_size
+            p, s, x, y, w, lr, sub, dropout_prob, weight_decay, batch_size,
+            n_classes
         )
-        if has_test:
+        if has_test and n_classes:
+            logits = regressor_apply(p, x_test, head="linear")
+            test_loss = jnp.mean(_xent(logits, y_test))
+            third = jnp.mean(
+                (jnp.argmax(logits, axis=-1) == y_test.astype(jnp.int32))
+                .astype(jnp.float32))
+        elif has_test:
             out = regressor_apply(p, x_test)[:, 0]
-            test_mse = jnp.mean((out - y_test) ** 2)
-            dummy = jnp.mean((jnp.mean(y_test) - y_test) ** 2)
+            test_loss = jnp.mean((out - y_test) ** 2)
+            third = jnp.mean((jnp.mean(y_test) - y_test) ** 2)
         else:
-            test_mse = jnp.float32(-1.0)
-            dummy = jnp.float32(-1.0)
-        return (p, s, k), (train_loss, test_mse, dummy)
+            test_loss = jnp.float32(-1.0)
+            third = jnp.float32(-1.0)
+        return (p, s, k), (train_loss, test_loss, third)
 
     (params, opt_state, _), history = jax.lax.scan(
         epoch_step, (params, opt_state, key), lrs
     )
-    final_preds = (
-        regressor_apply(params, x_test)[:, 0] if has_test else jnp.zeros((0,))
-    )
+    final_preds = scores(params, x_test) if has_test else jnp.zeros((0,))
     return params, opt_state, history, final_preds
 
 
@@ -228,10 +262,27 @@ def train_regressor(
 ):
     rng = np.random.default_rng(cfg.random_seed)
 
-    # min-max label normalization (reference _4:84-88), bounds kept in metadata
     lmin, lmax = float(labels.min()), float(labels.max())
-    denom = (lmax - lmin) if lmax > lmin else 1.0
-    labels = (labels - lmin) / denom
+    class_values = None
+    if cfg.classification:
+        # classification (reference README TODO "class labels +
+        # classification"): distinct label values become classes; y carries
+        # the class INDEX (as float — one shared device array with the
+        # regression path); labels stay in their raw units in metadata
+        class_values = np.unique(labels.astype(np.float32))
+        if len(class_values) < 2:
+            raise ValueError(
+                f"--classification needs >=2 distinct label values, got "
+                f"{class_values.tolist()}"
+            )
+        labels = np.searchsorted(class_values, labels.astype(np.float32)
+                                 ).astype(np.float32)
+        print(f"Classification over {len(class_values)} classes: "
+              f"{class_values.tolist()}")
+    else:
+        # min-max label normalization (reference _4:84-88), bounds in metadata
+        denom = (lmax - lmin) if lmax > lmin else 1.0
+        labels = (labels - lmin) / denom
 
     n = len(features)
     test_size = int(cfg.test_fraction * n)
@@ -248,10 +299,13 @@ def train_regressor(
         crop_names=tuple(cfg.crop_names),
         input_size=int(features.shape[1]),
         hidden_sizes=tuple(cfg.hidden_sizes),
+        output_size=len(class_values) if class_values is not None else 1,
         use_img_stat_features=cfg.use_img_stat_features,
         dropout_prob=cfg.dropout_prob,
         data_min=lmin,
         data_max=lmax,
+        class_values=(tuple(float(v) for v in class_values)
+                      if class_values is not None else None),
     )
     model = SimpleFCRegressor.create(jax.random.key(cfg.random_seed), meta)
     if cfg.print_network_layout:
@@ -265,6 +319,9 @@ def train_regressor(
     xp, yp, wp = _pad_to_batches(x_train, y_train, cfg.batch_size)
     lrs = [_lr_at_epoch(e, cfg) for e in range(cfg.n_epochs)]
 
+    n_classes = len(class_values) if class_values is not None else 0
+    cvals_dev = jnp.asarray(class_values if class_values is not None
+                            else np.zeros(1), jnp.float32)
     # the whole run is ONE device dispatch (scan over epochs); arrays upload once
     params, opt_state, history_dev, final_preds = _train_run(
         params,
@@ -276,31 +333,46 @@ def train_regressor(
         y_test,
         jnp.asarray(lrs, jnp.float32),
         key,
+        cvals_dev,
         float(cfg.dropout_prob),
         float(cfg.weight_decay),
         int(cfg.batch_size),
+        n_classes,
     )
     train_losses = [float(v) for v in np.asarray(history_dev[0])]
     test_losses = [float(v) for v in np.asarray(history_dev[1])]
-    dummy_losses = [float(v) for v in np.asarray(history_dev[2])]
+    third_metric = [float(v) for v in np.asarray(history_dev[2])]
 
+    loss_name = "xent" if n_classes else "mse"
+    third_name = "test acc" if n_classes else "dummy"
     if verbose:
         for epoch in range(0, cfg.n_epochs, 2):
             print(
-                f"Epoch {epoch + 1}/{cfg.n_epochs}, train-mse: "
-                f"{train_losses[epoch]:.4f}, lr: {lrs[epoch]:.6f}, test mse: "
-                f"{test_losses[epoch]:.4f} (dummy: {dummy_losses[epoch]:.4f})"
+                f"Epoch {epoch + 1}/{cfg.n_epochs}, train-{loss_name}: "
+                f"{train_losses[epoch]:.4f}, lr: {lrs[epoch]:.6f}, "
+                f"test {loss_name}: {test_losses[epoch]:.4f} "
+                f"({third_name}: {third_metric[epoch]:.4f})"
             )
     if test_size > 0 and verbose:
         best = int(np.argmin(test_losses))
-        print(f"---> Best test mse loss: {test_losses[best]:.4f} in epoch {best + 1}")
+        print(f"---> Best test {loss_name} loss: {test_losses[best]:.4f} "
+              f"in epoch {best + 1}")
+        if n_classes:
+            counts = np.bincount(np.asarray(y_test, np.int64), minlength=n_classes)
+            print(f"     (majority-class baseline accuracy: "
+                  f"{counts.max() / max(counts.sum(), 1):.4f}; final test "
+                  f"accuracy: {third_metric[-1]:.4f})")
     plots.plot_losses(
         train_losses, test_losses, lrs,
         out_path=os.path.join(plot_dir, "training_progress.png"),
     )
     if test_size > 0:
+        # scatter stays in label units: classification y_test holds class
+        # indices — map back through class_values
+        y_plot = (np.asarray(cvals_dev)[np.asarray(y_test, np.int64)]
+                  if n_classes else np.asarray(y_test))
         plots.plot_test_scatter(
-            np.asarray(y_test), np.asarray(final_preds), cfg.n_epochs - 1,
+            y_plot, np.asarray(final_preds), cfg.n_epochs - 1,
             out_path=os.path.join(plot_dir, "test_set_predictions.png"),
         )
 
@@ -360,6 +432,11 @@ def main(argv=None):
     parser.add_argument("--random_seed", type=int, default=42)
     parser.add_argument("--print_network_layout", action="store_true",
                         help="print the regressor layer layout (reference _4:261)")
+    parser.add_argument("--classification", action="store_true",
+                        help="train a softmax classifier over the distinct "
+                        "label values instead of the sigmoid regressor "
+                        "(reference README TODO); predicted_label becomes "
+                        "the softmax-expected label value")
     parser.add_argument("--debug_nans", action="store_true",
                         help="trap NaNs in device computations (jax_debug_nans)")
     args = parser.parse_args(argv)
@@ -384,6 +461,7 @@ def main(argv=None):
         dont_save=args.dont_save,
         export_torch=args.export_torch,
         print_network_layout=args.print_network_layout,
+        classification=args.classification,
     )
     np.random.seed(cfg.random_seed)
     features, labels, models = load_training_data(
