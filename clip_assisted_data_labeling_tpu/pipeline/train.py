@@ -388,10 +388,11 @@ def save_model(model: SimpleFCRegressor, history: dict, cfg: TrainConfig,
     os.makedirs(out_dir, exist_ok=True)
     stamp = time.strftime("%Y-%m-%d_%H:%M:%S")
     # test_fraction=0 leaves the -1.0 no-test sentinel in history['test'];
-    # bake the train mse in that case (labeled as such) rather than a bogus
+    # bake the train loss in that case (labeled as such) rather than a bogus
     # "-1.0000_mse" a human or the fuzzy model lookup would read as real
-    mse = (f"{history['test'][-1]:.4f}_mse" if history["test"][-1] >= 0
-           else f"{history['train'][-1]:.4f}_train_mse")
+    loss_name = "xent" if model.meta.class_values is not None else "mse"
+    mse = (f"{history['test'][-1]:.4f}_{loss_name}" if history["test"][-1] >= 0
+           else f"{history['train'][-1]:.4f}_train_{loss_name}")
     name = (
         f"{cfg.model_name}_{stamp}_{history['n_train'] / 1000:.1f}k_imgs_"
         f"{cfg.n_epochs}_epochs_{mse}.npz"
