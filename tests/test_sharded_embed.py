@@ -37,6 +37,30 @@ def test_sharded_embed_matches_single(rng):
     np.testing.assert_allclose(sharded, single, atol=2e-4)
 
 
+def test_sharded_embed_siglip_matches_single(rng):
+    """The DP shard_map path with a SigLIP config: per-model normalization
+    constants (0.5/0.5) flow through _embed_jit via cfg, and the MAP-head
+    readout runs per shard."""
+    cfg = resolve_config("SigLIP-Test/tiny")
+    params = init_vit_params(cfg, jax.random.key(1))
+    canvases, crop_params = _example_batch(8, 128, cfg.image_size, seed=5)
+
+    embedder = ShardedEmbedder(params, cfg, get_mesh(), compute_dtype=jnp.float32)
+    sharded = np.asarray(embedder.embed(canvases, crop_params))
+
+    crops = fused_crop_resize_normalize(
+        canvases, crop_params, out_size=cfg.image_size, parity=False,
+        dtype=jnp.float32, mean=cfg.norm_mean, std=cfg.norm_std,
+    )
+    single = np.asarray(
+        vit_encode_image(
+            params, np.asarray(crops).reshape(-1, cfg.image_size, cfg.image_size, 3),
+            cfg, compute_dtype=jnp.float32,
+        )
+    ).reshape(8, 4, -1)
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
 def test_sharded_embed_with_stats(rng):
     cfg = resolve_config("ViT-Test/tiny")
     params = init_vit_params(cfg, jax.random.key(0))
