@@ -429,7 +429,13 @@ def main(argv=None):
     parser.add_argument("--restart_epochs", type=int, default=10)
     parser.add_argument("--weight_decay", type=float, default=6e-4)
     parser.add_argument("--dropout_prob", type=float, default=0.5)
-    parser.add_argument("--hidden_sizes", type=int, nargs="+", default=[264, 128, 64])
+    parser.add_argument("--hidden_sizes", type=int, nargs="*",
+                        default=[264, 128, 64],
+                        help="hidden layer widths; pass with NO values for a "
+                        "pure linear(-logistic) model — the 'more linear "
+                        "component' the reference README's TODO asks for "
+                        "(more robust on the tiny 10-minute-bootstrap "
+                        "label sets)")
     parser.add_argument("--random_seed", type=int, default=42)
     parser.add_argument("--print_network_layout", action="store_true",
                         help="print the regressor layer layout (reference _4:261)")

@@ -26,12 +26,13 @@ def _separable_data(rng, n=240, f=24, classes=(0.0, 0.5, 0.9)):
 
 def _train(rng, **kw):
     x, y = _separable_data(rng)
-    cfg = TrainConfig(
+    base = dict(
         classification=True, n_epochs=60, batch_size=16, hidden_sizes=(16,),
         dropout_prob=0.0, test_fraction=0.25, crop_names=("centre_crop",),
         lr=3e-3, restart_epochs=60, weight_decay=1e-5,
-        **kw,
     )
+    base.update(kw)
+    cfg = TrainConfig(**base)
     return train_regressor(x, y, cfg, ["ViT-Test/tiny"], verbose=False), (x, y)
 
 
@@ -93,6 +94,24 @@ def test_classification_guards(tmp_path, rng, monkeypatch):
     with pytest.raises(ValueError, match="distinct label values"):
         train_regressor(np.zeros((8, 4), np.float32),
                         np.full(8, 0.5, np.float32), cfg, ["m"], verbose=False)
+
+
+def test_linear_model_no_hidden_layers(tmp_path, rng, monkeypatch):
+    """`--hidden_sizes` with no values trains a pure linear(-logistic) model
+    (the reference README TODO's 'more linear component', README.md:103) —
+    both heads: logistic regression and linear softmax classification."""
+    monkeypatch.chdir(tmp_path)
+    x, y = _separable_data(rng)
+    reg_cfg = TrainConfig(n_epochs=20, batch_size=16, hidden_sizes=(),
+                          dropout_prob=0.0, test_fraction=0.25, lr=3e-3,
+                          restart_epochs=20, crop_names=("centre_crop",))
+    model, history = train_regressor(x, y, reg_cfg, ["m"], verbose=False)
+    assert len(model.params) == 1  # input -> 1, no hidden layers
+    assert history["train"][-1] < history["train"][0]
+
+    (clf, _), (x, y) = _train(rng, hidden_sizes=())
+    assert len(clf.params) == 1 and clf.meta.output_size == 3
+    assert np.mean(clf.predict_classes(x) == y) > 0.9  # linearly separable
 
 
 def test_classification_cli_e2e(tmp_path, rng, monkeypatch):
