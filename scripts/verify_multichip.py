@@ -58,6 +58,9 @@ def parse_args():
     p.add_argument("--dedup_n", type=int, default=1_000_000)
     p.add_argument("--dedup_dim", type=int, default=768)
     p.add_argument("--predict_n", type=int, default=262_144)
+    p.add_argument("--tp", action="store_true",
+                   help="also measure embed on a 2-D (data, model=2) "
+                        "tensor-parallel mesh (needs an even device count ≥4)")
     return p.parse_args()
 
 
@@ -114,13 +117,35 @@ def stage_embed(args, mesh) -> dict:
     meshed = timed(lambda: sharded.embed(big_canvases, big_params),
                    args.batch_per_device * n)
 
-    return {
+    report = {
         "devices": n,
         "single_device_imgs_per_sec": round(single, 2),
         "mesh_imgs_per_sec": round(meshed, 2),
         "imgs_per_sec_per_chip": round(meshed / n, 2),
         "scaling_efficiency": round(meshed / (n * single), 3),
     }
+
+    if args.tp and n >= 4 and n % 2 == 0:
+        # tensor-parallel serving (towers too big to replicate, e.g.
+        # PE-G14-448): 2-D (data, model) mesh; int8_static switches to the
+        # explicit-collective tp_static program, others take GSPMD TP specs
+        from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh_2d
+
+        mesh2 = get_mesh_2d(n // 2, 2)
+        tp = ShardedEmbedder(
+            encoder.params, encoder.cfg, mesh2,
+            compute_dtype=encoder.compute_dtype,
+            parity_preprocess=encoder.parity_preprocess,
+        )
+        tp_canv = np.concatenate([canvases] * (n // 2))
+        tp_cp = np.concatenate([crop_params] * (n // 2))
+        if args.compute_dtype == "int8_static":
+            tp.calibrate_static(tp_canv, tp_cp)
+        tp_thr = timed(lambda: tp.embed(tp_canv, tp_cp),
+                       args.batch_per_device * (n // 2))
+        report["tp_mesh"] = {"data": n // 2, "model": 2}
+        report["tp_imgs_per_sec"] = round(tp_thr, 2)
+    return report
 
 
 def stage_dedup(args, mesh) -> dict:
@@ -202,6 +227,7 @@ def main():
         args.steps, args.warmup = 2, 1
         args.dedup_n, args.dedup_dim = 4096, 64
         args.predict_n = 8192
+        args.tp = True  # cover the 2-D-mesh branch in CI
 
     import jax
 
