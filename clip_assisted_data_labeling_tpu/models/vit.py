@@ -165,6 +165,15 @@ MODEL_REGISTRY["SigLIP-Test/tiny"] = VitConfig(
     attn_pooler_heads=4, mlp_hidden=224, **_SIGLIP,
 )
 
+# tiny NON-patch-divisible SigLIP config (36 = 4·8 + 4) — the SO400M-14 @384
+# geometry class (384 = 27·14 + 6), where a stride-p valid-padding conv drops
+# the trailing remainder pixels (HF SiglipVisionEmbeddings Conv2d
+# padding="valid"); regression coverage for the patchify/resample slice paths
+MODEL_REGISTRY["SigLIP-Test-Ragged/tiny"] = VitConfig(
+    width=64, layers=2, heads=4, patch_size=8, image_size=36, embed_dim=64,
+    attn_pooler_heads=4, mlp_hidden=224, **_SIGLIP,
+)
+
 # tiny quick_gelu config matching tests/test_vit_parity.SMALL's HF dims —
 # lets the real-weight runbook (scripts/validate_real_weights.py) exercise its
 # full torch-parity path in CI on a locally-trained HF checkpoint
@@ -759,6 +768,10 @@ def _patch_embed(params, images, cfg: VitConfig, compute_dtype,
     p = cfg.patch_size
     b, H, W, c = images.shape
     gh, gw = H // p, W // p
+    if H != gh * p or W != gw * p:
+        # non-patch-divisible resolution (SigLIP SO400M-14 @384): a stride-p
+        # valid-padding conv never reads the trailing H%p / W%p pixels
+        images = images[:, : gh * p, : gw * p]
     x = images.astype(compute_dtype).reshape(b, gh, p, gw, p, c)
     kern = w_patch.reshape(p, p, c, -1)
     x = jnp.einsum("bhqgpc,qpcw->bhgw", x, kern)
@@ -770,6 +783,9 @@ def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     torch Conv2d weight conversion in clip_weights.py."""
     B, H, W, C = images.shape
     gh, gw = H // patch_size, W // patch_size
+    if H != gh * patch_size or W != gw * patch_size:
+        # valid-padding stride conv semantics: trailing remainder pixels unread
+        images = images[:, : gh * patch_size, : gw * patch_size]
     x = images.reshape(B, gh, patch_size, gw, patch_size, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(B, gh * gw, patch_size * patch_size * C)

@@ -220,9 +220,16 @@ def _resample_one_crop(
     # [gh, gw, pv, pu, c] directly — identical arithmetic, and the downstream
     # patchify transpose (a 154 MB HBM copy chain per ViT-L batch on the
     # round-3 profile) vanishes into the resample contraction's output layout.
+    # Towers whose resolution is not patch-divisible (SigLIP SO400M-14 @384:
+    # 384 = 27·14 + 6) follow the HF Siglip Conv2d(padding="valid") stride
+    # semantics: the trailing out_size % p pixels are never read. Dropping
+    # those resample-weight rows up front is arithmetically identical (each
+    # output pixel is an independent weighted sum) and keeps the grid reshape
+    # exact.
     g = out_size // patch_size
-    wxr = wx.reshape(g, patch_size, canvas_size)
-    wyr = wy.reshape(g, patch_size, canvas_size)
+    used = g * patch_size
+    wxr = wx[:used].reshape(g, patch_size, canvas_size)
+    wyr = wy[:used].reshape(g, patch_size, canvas_size)
     t = ein("gpx,yxc->ygpc", wxr, img_f32)
     if parity:
         t = _clip8(t)

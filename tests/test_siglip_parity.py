@@ -201,3 +201,87 @@ def test_siglip_random_init_runs(rng):
     out = np.asarray(vit_encode_image(params, x, CFG, compute_dtype=jnp.float32))
     assert out.shape == (2, CFG.width)
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+
+RAGGED = MODEL_REGISTRY["SigLIP-Test-Ragged/tiny"]
+
+
+def make_hf_ragged_model():
+    cfg = transformers.SiglipVisionConfig(
+        hidden_size=RAGGED.width,
+        intermediate_size=RAGGED.mlp_dim,
+        num_hidden_layers=RAGGED.layers,
+        num_attention_heads=RAGGED.heads,
+        patch_size=RAGGED.patch_size,
+        image_size=RAGGED.image_size,
+        hidden_act="gelu_pytorch_tanh",
+        layer_norm_eps=RAGGED.ln_eps,
+    )
+    torch.manual_seed(1)
+    return transformers.SiglipVisionModel(cfg).eval()
+
+
+def test_siglip_non_divisible_resolution_matches_hf(rng):
+    """SO400M-14 @384 geometry class (image_size % patch != 0): HF's
+    valid-padding stride conv drops the trailing remainder pixels
+    (SiglipVisionEmbeddings Conv2d padding="valid"); our patchify slice must
+    reproduce it exactly. Regression for the 384=27*14+6 reshape crash."""
+    model = make_hf_ragged_model()
+    params = convert_torch_state_dict(model.state_dict(), RAGGED)
+    assert RAGGED.image_size % RAGGED.patch_size != 0  # the point of the test
+    x = rng.normal(0, 0.5, (3, RAGGED.image_size, RAGGED.image_size, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = model(
+            pixel_values=torch.tensor(x).permute(0, 3, 1, 2)
+        ).pooler_output.numpy()
+    ref_n = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+    out = np.asarray(vit_encode_image(
+        params, jnp.asarray(x), RAGGED, compute_dtype=jnp.float32))
+    cos = np.sum(out * ref_n, axis=-1)
+    assert np.all(1.0 - cos < 1e-5), f"cosine error {1 - cos}"
+
+
+def test_non_divisible_crop_grid_matches_full_resample(rng):
+    """The pre-patchified crop path must equal patchify(full resample) with
+    the trailing remainder rows/cols dropped, to within ONE uint8 rounding
+    step: the grid-split einsum may associate the canvas contraction
+    differently (±1 ulp before parity mode's floor(x+0.5), flipping exact-.5
+    roundings); the geometry itself must be exact."""
+    from clip_assisted_data_labeling_tpu.ops.crops import (
+        fused_crop_resize_normalize,
+    )
+    from clip_assisted_data_labeling_tpu.models.vit import patchify
+    from __graft_entry__ import _example_batch
+
+    R, p = RAGGED.image_size, RAGGED.patch_size
+    g = R // p
+    canv, cp = _example_batch(2, 64, R, seed=11)
+    ns = dict(mean=RAGGED.norm_mean, std=RAGGED.norm_std)
+    full = np.asarray(fused_crop_resize_normalize(
+        canv, cp, out_size=R, parity=True, dtype=jnp.float32, **ns))
+    b, n = full.shape[:2]
+    sliced = full[:, :, : g * p, : g * p].reshape(b * n, g * p, g * p, 3)
+    want = np.asarray(patchify(jnp.asarray(sliced), p)).reshape(
+        b, n, g * g, p * p * 3)
+    got = np.asarray(fused_crop_resize_normalize(
+        canv, cp, out_size=R, parity=True, dtype=jnp.float32, patch_size=p,
+        **ns))
+    # one uint8 count in normalized units, per channel (SigLIP std = 0.5)
+    step = 1.0 / (255.0 * np.min(RAGGED.norm_std))
+    assert np.abs(got - want).max() <= step * 1.001, (
+        f"max diff {np.abs(got - want).max()} vs one-uint8-step {step}")
+
+
+def test_siglip_ragged_embed_crops_runs(rng):
+    """The full encoder crops path (the one the embed CLI and bench drive)
+    must run at a non-divisible resolution and produce unit embeddings."""
+    from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+    from __graft_entry__ import _example_batch
+
+    enc = CLIPImageEncoder("SigLIP-Test-Ragged/tiny", compute_dtype=np.float32)
+    canv, cp = _example_batch(2, 64, enc.img_resolution, seed=5)
+    out = np.asarray(enc.embed_crops(canv, cp))
+    assert out.shape == (2, 4, RAGGED.width)
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
