@@ -140,7 +140,14 @@ def re_order_images(image_files: list[str], database, root_dir: str, sort: str):
 
 
 def prompt_sort_option(default: str = "uuid") -> str:
-    """Interactive replacement for the reference's tkinter dialog."""
+    """Interactive replacement for the reference's tkinter dialog
+    (_3_label_images.py sort chooser). Non-interactive runs (closed stdin —
+    scripts, CI, headless drives without --sort) get the default instead of
+    an EOFError crash."""
     print("Sort options:", ", ".join(SORT_OPTIONS))
-    choice = input(f"Choose sort order [{default}]: ").strip()
+    try:
+        choice = input(f"Choose sort order [{default}]: ").strip()
+    except EOFError:
+        print(f"(stdin closed — using '{default}')")
+        return default
     return choice or default

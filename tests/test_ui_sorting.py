@@ -175,3 +175,16 @@ def test_prediction_sorts_nan_last_and_nested_paths(tmp_path, rng):
         assert got == expect, (sort, got)
     mid = [uid(f) for f in re_order_images(files, db, str(root), "middle")]
     assert mid[-1] == "c", mid  # NaN last; nested 'b' present
+
+
+def test_prompt_sort_option_eof_falls_back_to_default(monkeypatch, capsys):
+    """Non-interactive runs (closed stdin) must get the default sort, not an
+    EOFError crash — the headless drive path without --sort."""
+    from clip_assisted_data_labeling_tpu.ui.sorting import prompt_sort_option
+
+    def raise_eof(_prompt):
+        raise EOFError
+
+    monkeypatch.setattr("builtins.input", raise_eof)
+    assert prompt_sort_option("uuid") == "uuid"
+    assert prompt_sort_option(default="diversity") == "diversity"
