@@ -248,8 +248,62 @@ def ensure_rope_half(params: dict, cfg: VitConfig) -> dict:
     return rope_interleaved_to_half(params, cfg)
 
 
+def _fold_bn(sd: dict, key: str, eps: float) -> tuple[np.ndarray, np.ndarray]:
+    """BatchNorm running stats → the exact inference-time per-channel affine:
+    scale = gamma / sqrt(var + eps), bias = beta - mean * scale."""
+    gamma, beta = _t(sd[key + ".weight"]), _t(sd[key + ".bias"])
+    mean, var = _t(sd[key + ".running_mean"]), _t(sd[key + ".running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    return scale, beta - mean * scale
+
+
+def _conv_hwio(weight) -> np.ndarray:
+    """Conv2d weight [out, in, kh, kw] → HWIO [kh, kw, in, out]."""
+    return _t(weight).transpose(2, 3, 1, 0)
+
+
+def convert_rn_visual(state_dict: dict, cfg) -> dict:
+    """open_clip modified-ResNet 'visual.*' state dict → our pytree
+    (models/resnet.py layout: flat keys, HWIO conv kernels, folded BN).
+
+    The reference loads these via open_clip (utils/embedder.py:58-63, e.g.
+    'RN50/openai'). Shortcut branches live under ``layerS.B.downsample``: index
+    0 is the 1x1 conv (the avgpool has no weights), index 1 its BatchNorm."""
+    from clip_assisted_data_labeling_tpu.models.resnet import _block_widths
+
+    sd = {k[len("visual."):]: v for k, v in state_dict.items()
+          if k.startswith("visual.")}
+    if not sd:
+        sd = dict(state_dict)
+    eps = cfg.bn_eps
+
+    out = {}
+    for i in (1, 2, 3):
+        out[f"conv{i}"] = _conv_hwio(sd[f"conv{i}.weight"])
+        out[f"bn{i}_scale"], out[f"bn{i}_bias"] = _fold_bn(sd, f"bn{i}", eps)
+    for s, b, cin, mid, stride in _block_widths(cfg):
+        pre, tpre = f"s{s}b{b}_", f"layer{s + 1}.{b}."
+        for i in (1, 2, 3):
+            out[pre + f"conv{i}"] = _conv_hwio(sd[tpre + f"conv{i}.weight"])
+            out[pre + f"bn{i}_scale"], out[pre + f"bn{i}_bias"] = _fold_bn(
+                sd, tpre + f"bn{i}", eps)
+        if stride > 1 or cin != mid * cfg.expansion:
+            out[pre + "down_conv"] = _conv_hwio(sd[tpre + "downsample.0.weight"])
+            out[pre + "down_scale"], out[pre + "down_bias"] = _fold_bn(
+                sd, tpre + "downsample.1", eps)
+    out["pool_pos_emb"] = _t(sd["attnpool.positional_embedding"])
+    for name in ("q", "k", "v", "c"):
+        out[f"pool_{name}_kernel"] = _t(sd[f"attnpool.{name}_proj.weight"]).T
+        out[f"pool_{name}_bias"] = _t(sd[f"attnpool.{name}_proj.bias"])
+    return out
+
+
 def convert_torch_state_dict(state_dict: dict, cfg: VitConfig) -> dict:
     keys = list(state_dict.keys())
+    if any("attnpool." in k for k in keys) or hasattr(cfg, "bn_eps"):
+        # modified-ResNet towers (RNConfig) — checked first: their keys carry
+        # neither 'resblocks' nor 'vision_model.'
+        return convert_rn_visual(state_dict, cfg)
     if any(k.endswith("head.probe") for k in keys) or cfg.pool == "map":
         # SigLIP's HF layout also starts with vision_model. — check first
         return convert_siglip_visual(state_dict, cfg)

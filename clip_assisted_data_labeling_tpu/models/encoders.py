@@ -30,6 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from clip_assisted_data_labeling_tpu.models import clip_weights
+from clip_assisted_data_labeling_tpu.models.resnet import (
+    RNConfig,
+    init_rn_params,
+    rn_encode_image,
+)
 from clip_assisted_data_labeling_tpu.models.vit import (
     VitConfig,
     init_vit_params,
@@ -130,7 +135,16 @@ class CLIPImageEncoder:
         # making embeddings independent of dataset order and resume points
         # (without it, per-layer amaxes come from whichever batch runs first).
         self.calibration_path = calibration_path
-        self.cfg: VitConfig = resolve_config(model_name)
+        self.cfg = resolve_config(model_name)
+        if isinstance(self.cfg, RNConfig) and compute_dtype in ("int8",
+                                                                "int8_static"):
+            # the W8A8 machinery (ops/quant.py) is transformer-block-shaped;
+            # the conv towers run bf16 (convs are already MXU-native there)
+            log.warning(
+                "%s is a modified-ResNet tower — int8 modes are ViT-only; "
+                "running bfloat16", model_name,
+            )
+            compute_dtype = "bfloat16"
         # compute_dtype "int8" selects the W8A8 fast mode: matmul weights are
         # quantized once here, activations dynamically per token (ops/quant.py);
         # non-matmul compute stays bf16. "int8_static" additionally calibrates
@@ -225,7 +239,8 @@ class CLIPImageEncoder:
             "(fine for benchmarks/tests; NOT a trained encoder).",
             self.model_name,
         )
-        return init_vit_params(self.cfg, jax.random.key(_stable_seed(self.model_name)))
+        init = init_rn_params if isinstance(self.cfg, RNConfig) else init_vit_params
+        return init(self.cfg, jax.random.key(_stable_seed(self.model_name)))
 
     def _convert_torch_file(self, path: str) -> dict:
         if path.endswith(".safetensors"):
@@ -311,7 +326,9 @@ class CLIPImageEncoder:
         lead = preprocessed.shape[:-3]
         flat = preprocessed.reshape((-1,) + preprocessed.shape[-3:])
         self._maybe_calibrate(flat)
-        emb = vit_encode_image(self.params, flat, self.cfg, compute_dtype=self.compute_dtype)
+        encode = (rn_encode_image if isinstance(self.cfg, RNConfig)
+                  else vit_encode_image)
+        emb = encode(self.params, flat, self.cfg, compute_dtype=self.compute_dtype)
         return emb.reshape(lead + (self.cfg.embed_dim,))
 
     def embed_crops(self, canvas_u8: jnp.ndarray, crop_params: jnp.ndarray) -> jnp.ndarray:
@@ -350,18 +367,20 @@ def _embed_crops_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity_
     #  image — classic [R,R,3] resample (vertical pass is a clean matmul) +
     #          in-place strided patch contraction in _patch_embed
     patch_mode = knobs.PREPROC  # 'image' measured +3 (import-time snapshot)
+    is_rn = isinstance(cfg, RNConfig)
     crops = fused_crop_resize_normalize(
         canvas_u8,
         crop_params,
         out_size=cfg.image_size,
         parity=parity_preprocess,
         dtype=compute_dtype,
-        patch_size=cfg.patch_size if patch_mode == "grid" else None,
+        patch_size=cfg.patch_size if (patch_mode == "grid" and not is_rn) else None,
         patch_flatten=False,  # patch-embed einsum contracts the grid in place
         mean=cfg.norm_mean, std=cfg.norm_std,
     )
     b, n = crops.shape[:2]
-    emb = vit_encode_image(
+    encode = rn_encode_image if is_rn else vit_encode_image
+    emb = encode(
         params,
         crops.reshape((b * n,) + crops.shape[2:]),
         cfg,

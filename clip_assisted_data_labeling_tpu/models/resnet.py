@@ -1,0 +1,247 @@
+"""CLIP modified-ResNet image tower (RN50/RN101/RN50x4/x16/x64), TPU-native.
+
+The reference reaches these towers through the same open_clip dispatch as the
+ViTs (``CLIP_Encoder`` accepts any "Arch/pretrained" name, reference
+utils/embedder.py:58-63 — e.g. ``RN50/openai``); open_clip's ModifiedResNet
+differs from a torchvision ResNet in three ways that matter for weights and
+parity:
+
+  * a 3-conv stem (stride-2 3x3 → 3x3 → 3x3) followed by a 2x2 average pool,
+  * anti-aliased downsampling: every stride-2 site is an average pool followed
+    by a stride-1 conv (both in the bottleneck mainline and its shortcut),
+  * an attention-pooling readout (``attnpool``): tokens = the final 7x7 grid
+    plus a prepended mean token, learned positional embedding, one multi-head
+    attention with the mean token as the only query, projected to embed_dim.
+
+TPU mapping: convolutions run as NHWC ``lax.conv_general_dilated`` (XLA tiles
+them onto the MXU directly), BatchNorm running stats are folded into per-channel
+affines at conversion time (inference-only framework — the fold is exact, and
+XLA fuses the affine+relu into the conv epilogue), and the whole forward is one
+jitted program shared with the ViT path (encoders.CLIPImageEncoder dispatches
+on the config type). Compute is bf16 with the attention softmax in f32, like
+the ViT tower.
+
+Weight conversion from open_clip ``visual.*`` RN state dicts lives in
+models/clip_weights.convert_rn_visual; parity against a from-spec torch mirror
+is validated in tests/test_rn_parity.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_assisted_data_labeling_tpu.config import CLIP_MEAN, CLIP_STD
+
+
+@dataclasses.dataclass(frozen=True)
+class RNConfig:
+    """Geometry of one modified-ResNet tower (open_clip ModifiedResNet args)."""
+
+    layers: tuple = (3, 4, 6, 3)  # bottleneck blocks per stage
+    width: int = 64  # stem output channels; stage s runs at width * 2**s
+    image_size: int = 224
+    embed_dim: int = 1024  # attnpool output dim
+    heads: int = 32  # attnpool heads (open_clip: vision_width * 32 // 64)
+    bn_eps: float = 1e-5  # torch BatchNorm2d default
+    expansion: int = 4  # bottleneck expansion factor
+    # shared-attribute surface with VitConfig so the encoder wrapper and the
+    # checkpoint loaders need no type switches for these:
+    patch_size: int | None = None  # no patchify path; crops emit [R, R, 3]
+    use_rope2d: bool = False
+    norm_mean: tuple = CLIP_MEAN
+    norm_std: tuple = CLIP_STD
+
+    @property
+    def stage_widths(self) -> tuple:
+        return tuple(self.width * (2 ** s) for s in range(4))
+
+    @property
+    def final_width(self) -> int:
+        # stage 4 runs at width*8; bottleneck expansion ×4 → width*32
+        return self.width * 8 * self.expansion
+
+    @property
+    def grid(self) -> int:
+        # stem divides by 4 (stride-2 conv + 2x2 avgpool), stages 2-4 by 2 each
+        return self.image_size // 32
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1  # +1: the prepended mean token
+
+
+# open_clip modified-ResNet geometries (model_configs/RN*.json): layers tuple,
+# stem width, input resolution, output embedding dim; heads = width * 32 / 64.
+_RN_ARCHS = {
+    "RN50": dict(layers=(3, 4, 6, 3), width=64, image_size=224, embed_dim=1024,
+                 heads=32),
+    "RN101": dict(layers=(3, 4, 23, 3), width=64, image_size=224,
+                  embed_dim=512, heads=32),
+    "RN50x4": dict(layers=(4, 6, 10, 6), width=80, image_size=288,
+                   embed_dim=640, heads=40),
+    "RN50x16": dict(layers=(6, 8, 18, 8), width=96, image_size=384,
+                    embed_dim=768, heads=48),
+    "RN50x64": dict(layers=(3, 15, 36, 10), width=128, image_size=448,
+                    embed_dim=1024, heads=64),
+}
+
+# tiny config for tests / CI (two stages' worth of real depth at toy width)
+RN_TEST_TINY = RNConfig(layers=(1, 1, 1, 1), width=8, image_size=64,
+                        embed_dim=16, heads=4)
+
+
+def resolve_rn_config(arch: str) -> RNConfig | None:
+    """'RN50'/'RN101'/'RN50x4'… → RNConfig (None if not an RN name)."""
+    if arch == "RN-Test":
+        return RN_TEST_TINY
+    if arch in _RN_ARCHS:
+        return RNConfig(**_RN_ARCHS[arch])
+    return None
+
+
+def _block_widths(cfg: RNConfig):
+    """Yield (stage, block, in_ch, mid_ch, stride) for every bottleneck."""
+    in_ch = cfg.width
+    for s, n_blocks in enumerate(cfg.layers):
+        mid = cfg.width * (2 ** s)
+        for b in range(n_blocks):
+            stride = 2 if (s > 0 and b == 0) else 1
+            yield s, b, in_ch, mid, stride
+            in_ch = mid * cfg.expansion
+
+
+def init_rn_params(cfg: RNConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random-init parameter pytree (flat keys; conv kernels HWIO)."""
+    keys = iter(jax.random.split(key, 8 + 4 * sum(cfg.layers) * 4))
+
+    def conv(kh, kw, cin, cout):
+        fan_in = kh * kw * cin
+        return (jax.random.normal(next(keys), (kh, kw, cin, cout))
+                * fan_in ** -0.5).astype(dtype)
+
+    def affine(c):  # folded-BN scale/bias
+        return jnp.ones((c,), dtype), jnp.zeros((c,), dtype)
+
+    half = cfg.width // 2
+    p = {"conv1": conv(3, 3, 3, half), "conv2": conv(3, 3, half, half),
+         "conv3": conv(3, 3, half, cfg.width)}
+    for i in (1, 2, 3):
+        c = half if i < 3 else cfg.width
+        p[f"bn{i}_scale"], p[f"bn{i}_bias"] = affine(c)
+    for s, b, cin, mid, stride in _block_widths(cfg):
+        pre = f"s{s}b{b}_"
+        out_ch = mid * cfg.expansion
+        p[pre + "conv1"] = conv(1, 1, cin, mid)
+        p[pre + "conv2"] = conv(3, 3, mid, mid)
+        p[pre + "conv3"] = conv(1, 1, mid, out_ch)
+        for i, c in ((1, mid), (2, mid), (3, out_ch)):
+            p[pre + f"bn{i}_scale"], p[pre + f"bn{i}_bias"] = affine(c)
+        if stride > 1 or cin != out_ch:
+            p[pre + "down_conv"] = conv(1, 1, cin, out_ch)
+            p[pre + "down_scale"], p[pre + "down_bias"] = affine(out_ch)
+    w_final = cfg.final_width
+    scale = w_final ** -0.5
+    p["pool_pos_emb"] = (jax.random.normal(next(keys),
+                                           (cfg.seq_len, w_final))
+                         * scale).astype(dtype)
+    for name, cout in (("q", w_final), ("k", w_final), ("v", w_final),
+                       ("c", cfg.embed_dim)):
+        p[f"pool_{name}_kernel"] = (jax.random.normal(
+            next(keys), (w_final, cout)) * scale).astype(dtype)
+        p[f"pool_{name}_bias"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def _conv(x, kernel, stride: int = 1, pad: int = 0):
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _affine_relu(x, p, name: str, relu: bool = True):
+    y = x * p[name + "_scale"].astype(x.dtype) + p[name + "_bias"].astype(x.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def _avgpool(x, k: int):
+    if k == 1:
+        return x
+    y = jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        (1, k, k, 1), (1, k, k, 1), "VALID",
+    )
+    return y * (1.0 / (k * k))
+
+
+def _bottleneck(x, p, pre: str, stride: int):
+    """open_clip Bottleneck: 1x1 → 3x3 → [avgpool if stride>1] → 1x1, with an
+    avgpool+1x1-conv shortcut whenever shape changes (anti-aliased rather than
+    strided-conv downsampling)."""
+    y = _affine_relu(_conv(x, p[pre + "conv1"]), p, pre + "bn1")
+    y = _affine_relu(_conv(y, p[pre + "conv2"], pad=1), p, pre + "bn2")
+    y = _avgpool(y, stride)
+    y = _affine_relu(_conv(y, p[pre + "conv3"]), p, pre + "bn3", relu=False)
+    if pre + "down_conv" in p:
+        shortcut = _affine_relu(_conv(_avgpool(x, stride), p[pre + "down_conv"]),
+                                p, pre + "down", relu=False)
+    else:
+        shortcut = x
+    return jax.nn.relu(y + shortcut)
+
+
+def _attention_pool_2d(x, p, cfg: RNConfig):
+    """CLIP AttentionPool2d: [B, g, g, C] grid → [B, embed_dim].
+
+    Tokens = mean token ‖ flattened grid, plus a learned positional embedding;
+    one multi-head attention where ONLY the mean token queries (separate
+    q/k/v projections, then c_proj to embed_dim)."""
+    B, gh, gw, C = x.shape
+    dt = x.dtype
+    tokens = x.reshape(B, gh * gw, C)
+    mean_tok = jnp.mean(tokens.astype(jnp.float32), axis=1,
+                        keepdims=True).astype(dt)
+    tokens = jnp.concatenate([mean_tok, tokens], axis=1)
+    tokens = tokens + p["pool_pos_emb"].astype(dt)
+    h = cfg.heads
+    d = C // h
+    q = tokens[:, :1] @ p["pool_q_kernel"].astype(dt) + p["pool_q_bias"].astype(dt)
+    k = tokens @ p["pool_k_kernel"].astype(dt) + p["pool_k_bias"].astype(dt)
+    v = tokens @ p["pool_v_kernel"].astype(dt) + p["pool_v_bias"].astype(dt)
+    q = q.reshape(B, 1, h, d).transpose(0, 2, 1, 3)
+    k = k.reshape(B, -1, h, d).transpose(0, 2, 1, 3)
+    v = v.reshape(B, -1, h, d).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhsd->bhqs", q, k) * (d ** -0.5)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+    pooled = jnp.einsum("bhqs,bhsd->bhqd", probs, v)
+    pooled = pooled.transpose(0, 2, 1, 3).reshape(B, C)
+    return pooled @ p["pool_c_kernel"].astype(dt) + p["pool_c_bias"].astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "normalize"))
+def rn_encode_image(
+    params: dict,
+    images: jnp.ndarray,  # [B, R, R, 3] preprocessed (CLIP-normalized) NHWC
+    cfg: RNConfig,
+    compute_dtype=jnp.bfloat16,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Full modified-ResNet forward → [B, embed_dim], L2-normalized like the
+    reference's encode_image (utils/embedder.py:98-99)."""
+    x = images.astype(compute_dtype)
+    x = _affine_relu(_conv(x, params["conv1"], stride=2, pad=1), params, "bn1")
+    x = _affine_relu(_conv(x, params["conv2"], pad=1), params, "bn2")
+    x = _affine_relu(_conv(x, params["conv3"], pad=1), params, "bn3")
+    x = _avgpool(x, 2)
+    for s, b, _cin, _mid, stride in _block_widths(cfg):
+        x = _bottleneck(x, params, f"s{s}b{b}_", stride)
+    emb = _attention_pool_2d(x, params, cfg).astype(jnp.float32)
+    if normalize:
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb

@@ -219,15 +219,19 @@ def _parse_siglip_name(arch: str) -> VitConfig | None:
     fam = _SIGLIP_FAMS[m.group(1)]
     patch = int(m.group(2))
     res = int(m.group(3)) if m.group(3) else 224
-    if res % patch:
-        raise ValueError(f"{arch}: resolution {res} not divisible by patch {patch}")
+    # non-patch-divisible resolutions (e.g. SO400M-14 @384: 384 = 27*14 + 6)
+    # are valid — the patchify path implements the stride-p valid-padding conv
+    # semantics (trailing remainder pixels unread), see _patch_embed
     return VitConfig(patch_size=patch, image_size=res,
                      embed_dim=fam["width"], **fam, **_SIGLIP)
 
 
-def resolve_config(model_name: str) -> VitConfig:
+def resolve_config(model_name: str):
     """Resolve 'Arch/pretrained' or 'PE-…' names (reference naming convention,
-    _1_embed_with_CLIP.py:69-75)."""
+    _1_embed_with_CLIP.py:69-75). Returns a VitConfig, or an RNConfig for the
+    open_clip modified-ResNet towers (RN50/RN101/RN50x4/x16/x64 — the
+    reference reaches them through the same open_clip dispatch,
+    utils/embedder.py:58-63)."""
     if model_name in MODEL_REGISTRY:
         return MODEL_REGISTRY[model_name]
     arch = model_name.split("/", 1)[0]
@@ -236,12 +240,20 @@ def resolve_config(model_name: str) -> VitConfig:
     sig = _parse_siglip_name(arch)
     if sig is not None:
         return sig
+    from clip_assisted_data_labeling_tpu.models.resnet import (
+        _RN_ARCHS,
+        resolve_rn_config,
+    )
+
+    rn = resolve_rn_config(arch)
+    if rn is not None:
+        return rn
     if arch in _ARCHS:
         act = "quick_gelu" if model_name.endswith("/openai") else "gelu"
         return VitConfig(**_ARCHS[arch], act=act)
     raise ValueError(
         f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
-        f"with Arch in {sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS)}."
+        f"with Arch in {sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_RN_ARCHS)}."
     )
 
 

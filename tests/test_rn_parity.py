@@ -1,0 +1,254 @@
+"""Modified-ResNet tower parity: our JAX RN forward + weight conversion vs a
+from-spec torch mirror of CLIP's ModifiedResNet.
+
+The reference reaches RN towers through open_clip's generic dispatch
+(utils/embedder.py:58-63, e.g. 'RN50/openai'). open_clip is not installed here
+(zero egress), so the mirror below re-implements the architecture exactly as
+OpenAI CLIP / open_clip define it — 3-conv stem + avgpool, anti-aliased
+bottlenecks (avgpool-then-conv at every stride-2 site, incl. the shortcut),
+and an AttentionPool2d readout driven through torch's own
+``F.multi_head_attention_forward`` so the attention math is authoritative —
+with state-dict keys matching open_clip's ``visual.*`` layout (downsample
+Sequential keyed "-1"/"0"/"1" so the conv lands at ``downsample.0``).
+BatchNorm running stats are randomized so the inference-time BN fold in
+clip_weights.convert_rn_visual is actually exercised.
+"""
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from clip_assisted_data_labeling_tpu.models.clip_weights import (
+    convert_torch_state_dict,
+)
+from clip_assisted_data_labeling_tpu.models.resnet import (
+    RN_TEST_TINY,
+    RNConfig,
+    rn_encode_image,
+)
+from clip_assisted_data_labeling_tpu.models.vit import resolve_config
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+F = torch.nn.functional
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.avgpool = nn.AvgPool2d(stride) if stride > 1 else nn.Identity()
+        self.conv3 = nn.Conv2d(planes, planes * self.expansion, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * self.expansion)
+        self.relu = nn.ReLU()
+        self.downsample = None
+        if stride > 1 or inplanes != planes * self.expansion:
+            self.downsample = nn.Sequential(OrderedDict([
+                ("-1", nn.AvgPool2d(stride)),
+                ("0", nn.Conv2d(inplanes, planes * self.expansion, 1,
+                                stride=1, bias=False)),
+                ("1", nn.BatchNorm2d(planes * self.expansion)),
+            ]))
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.avgpool(out)
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    def __init__(self, spacial_dim, embed_dim, num_heads, output_dim):
+        super().__init__()
+        self.positional_embedding = nn.Parameter(
+            torch.randn(spacial_dim ** 2 + 1, embed_dim) / embed_dim ** 0.5
+        )
+        self.k_proj = nn.Linear(embed_dim, embed_dim)
+        self.q_proj = nn.Linear(embed_dim, embed_dim)
+        self.v_proj = nn.Linear(embed_dim, embed_dim)
+        self.c_proj = nn.Linear(embed_dim, output_dim)
+        self.num_heads = num_heads
+
+    def forward(self, x):
+        x = x.flatten(start_dim=2).permute(2, 0, 1)  # NCHW -> (HW)NC
+        x = torch.cat([x.mean(dim=0, keepdim=True), x], dim=0)
+        x = x + self.positional_embedding[:, None, :].to(x.dtype)
+        x, _ = F.multi_head_attention_forward(
+            query=x[:1], key=x, value=x,
+            embed_dim_to_check=x.shape[-1],
+            num_heads=self.num_heads,
+            q_proj_weight=self.q_proj.weight,
+            k_proj_weight=self.k_proj.weight,
+            v_proj_weight=self.v_proj.weight,
+            in_proj_weight=None,
+            in_proj_bias=torch.cat(
+                [self.q_proj.bias, self.k_proj.bias, self.v_proj.bias]
+            ),
+            bias_k=None, bias_v=None,
+            add_zero_attn=False,
+            dropout_p=0,
+            out_proj_weight=self.c_proj.weight,
+            out_proj_bias=self.c_proj.bias,
+            use_separate_proj_weight=True,
+            training=False,
+            need_weights=False,
+        )
+        return x.squeeze(0)
+
+
+class ModifiedResNet(nn.Module):
+    def __init__(self, layers, output_dim, heads, image_size, width):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, width // 2, 3, stride=2, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width // 2)
+        self.conv2 = nn.Conv2d(width // 2, width // 2, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width // 2)
+        self.conv3 = nn.Conv2d(width // 2, width, 3, padding=1, bias=False)
+        self.bn3 = nn.BatchNorm2d(width)
+        self.avgpool = nn.AvgPool2d(2)
+        self.relu = nn.ReLU()
+        self._inplanes = width
+        self.layer1 = self._make_layer(width, layers[0])
+        self.layer2 = self._make_layer(width * 2, layers[1], stride=2)
+        self.layer3 = self._make_layer(width * 4, layers[2], stride=2)
+        self.layer4 = self._make_layer(width * 8, layers[3], stride=2)
+        self.attnpool = AttentionPool2d(
+            image_size // 32, width * 32, heads, output_dim
+        )
+
+    def _make_layer(self, planes, blocks, stride=1):
+        layers = [Bottleneck(self._inplanes, planes, stride)]
+        self._inplanes = planes * Bottleneck.expansion
+        for _ in range(1, blocks):
+            layers.append(Bottleneck(self._inplanes, planes))
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.relu(self.bn1(self.conv1(x)))
+        x = self.relu(self.bn2(self.conv2(x)))
+        x = self.relu(self.bn3(self.conv3(x)))
+        x = self.avgpool(x)
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        x = self.layer4(x)
+        return self.attnpool(x)
+
+
+def make_mirror(cfg: RNConfig, seed: int = 0) -> nn.Module:
+    torch.manual_seed(seed)
+    model = ModifiedResNet(
+        layers=list(cfg.layers), output_dim=cfg.embed_dim, heads=cfg.heads,
+        image_size=cfg.image_size, width=cfg.width,
+    ).eval()
+    # randomize BN running stats so the fold is non-trivial (fresh modules
+    # carry mean=0/var=1, which would make a broken fold look correct)
+    gen = torch.Generator().manual_seed(seed + 1)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=gen) * 0.2)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen) + 0.5)
+    return model
+
+
+def _parity(cfg: RNConfig, batch: int, rng, prefix: str = "visual."):
+    model = make_mirror(cfg)
+    sd = {prefix + k: v for k, v in model.state_dict().items()}
+    params = convert_torch_state_dict(sd, cfg)
+
+    x = rng.normal(0, 1, (batch, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+
+    out = np.asarray(
+        rn_encode_image(params, jnp.asarray(x), cfg, compute_dtype=jnp.float32)
+    )
+    cos = np.sum(out * ref, axis=-1)
+    assert np.all(1.0 - cos < 1e-5), f"cosine error {1 - cos}"
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_rn_tiny_matches_torch(rng):
+    """Tiny geometry (every stage, stride-1 AND stride-2 downsample paths)."""
+    _parity(RN_TEST_TINY, batch=3, rng=rng)
+
+
+def test_rn50_matches_torch(rng):
+    """Full RN50 geometry — the reference README's cheapest real RN name."""
+    _parity(resolve_config("RN50/openai"), batch=1, rng=rng)
+
+
+def test_rn_unprefixed_state_dict(rng):
+    """Bare (no 'visual.') RN state dicts convert identically."""
+    _parity(RN_TEST_TINY, batch=2, rng=rng, prefix="")
+
+
+def test_rn_bf16_within_parity_budget(rng):
+    """bf16 compute stays within the 1e-3 cosine budget of the f32 path
+    (BASELINE.md budget, same bar as the ViT tower)."""
+    cfg = RN_TEST_TINY
+    model = make_mirror(cfg)
+    sd = {"visual." + k: v for k, v in model.state_dict().items()}
+    params = convert_torch_state_dict(sd, cfg)
+    x = jnp.asarray(rng.normal(0, 1, (4, 64, 64, 3)).astype(np.float32))
+    f32 = np.asarray(rn_encode_image(params, x, cfg, compute_dtype=jnp.float32))
+    bf16 = np.asarray(rn_encode_image(params, x, cfg, compute_dtype=jnp.bfloat16))
+    cos = np.sum(f32 * bf16, axis=-1)
+    assert np.all(1.0 - cos < 1e-3), f"bf16 cosine error {1 - cos}"
+
+
+def test_rn_registry():
+    for name, dim, res in (("RN50", 1024, 224), ("RN101", 512, 224),
+                           ("RN50x4", 640, 288), ("RN50x16", 768, 384),
+                           ("RN50x64", 1024, 448)):
+        cfg = resolve_config(f"{name}/openai")
+        assert isinstance(cfg, RNConfig)
+        assert cfg.embed_dim == dim and cfg.image_size == res
+        assert cfg.patch_size is None
+
+
+def test_rn_encoder_wrapper(rng, caplog):
+    """CLIPImageEncoder dispatches RN names end-to-end: random-init encode,
+    the fused embed_crops path, and the int8→bf16 downgrade guard."""
+    import logging
+
+    from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+    from clip_assisted_data_labeling_tpu.ops.crops import make_crop_params
+
+    enc = CLIPImageEncoder("RN-Test/openai", compute_dtype=jnp.float32)
+    assert enc.img_resolution == 64 and enc.embed_dim == 16
+    x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    emb = np.asarray(enc.encode(jnp.asarray(x)))
+    assert emb.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+
+    # fused crop path: centered uint8 canvases → [B, n_crops, D]
+    canvas_size = 128
+    sizes = [(120, 80), (40, 50)]  # (w, h)
+    canvas = np.zeros((2, canvas_size, canvas_size, 3), dtype=np.uint8)
+    params = np.zeros((2, 4, 2, 4), dtype=np.float32)
+    for i, (w, h) in enumerate(sizes):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        oy, ox = (canvas_size - h) // 2, (canvas_size - w) // 2
+        canvas[i, oy:oy + h, ox:ox + w] = img
+        params[i] = make_crop_params(w, h, canvas_size, enc.img_resolution)
+    out = np.asarray(enc.embed_crops(jnp.asarray(canvas), jnp.asarray(params)))
+    assert out.shape == (2, 4, 16)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+    with caplog.at_level(logging.WARNING):
+        enc8 = CLIPImageEncoder("RN-Test/openai", compute_dtype="int8_static")
+    assert not enc8.quantized and not enc8.static_quant
+    assert any("modified-ResNet" in r.message for r in caplog.records)

@@ -140,8 +140,12 @@ def test_siglip2_name_parsing():
         assert (cfg.width, cfg.layers, cfg.patch_size, cfg.image_size) == (
             w, L, p, r), name
         assert cfg.pool == "map" and not cfg.use_proj and cfg.embed_dim == w
-    with pytest.raises(ValueError):  # res not divisible by patch
-        resolve_config("ViT-B-16-SigLIP2-250/webli")
+    # non-patch-divisible resolutions are VALID (ADVICE r3): the patchify path
+    # implements stride-p valid-padding conv semantics — 250 = 15*16 + 10,
+    # trailing 10 px unread, grid 15 (see models/vit._patch_embed)
+    ragged = resolve_config("ViT-B-16-SigLIP2-250/webli")
+    assert (ragged.image_size, ragged.patch_size) == (250, 16)
+    assert ragged.grid == 15
     with pytest.raises(ValueError):  # unknown family stays a loud error
         resolve_config("ViT-gopt-16-SigLIP2-384/webli")
 
