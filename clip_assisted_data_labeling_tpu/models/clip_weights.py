@@ -106,8 +106,14 @@ def convert_siglip_visual(state_dict: dict, cfg: VitConfig) -> dict:
     def get(k):
         return _t(sd[pre + k])
 
+    patch_w = _t(sd[pre + "embeddings.patch_embedding.weight"])
     return {
-        "patch_kernel": _conv_to_patch_kernel(sd[pre + "embeddings.patch_embedding.weight"]),
+        # naflex checkpoints patch-embed with a Linear over pre-patchified
+        # (p, p, c)-flattened rows (HF Siglip2VisionEmbeddings) — same flatten
+        # order as our patchify, so the 2-D weight just transposes; fixed-res
+        # checkpoints use a Conv2d
+        "patch_kernel": (patch_w.T if patch_w.ndim == 2
+                         else _conv_to_patch_kernel(sd[pre + "embeddings.patch_embedding.weight"])),
         "patch_bias": get("embeddings.patch_embedding.bias"),
         "pos_emb": get("embeddings.position_embedding.weight"),
         "blocks": _hf_blocks(sd, pre, cfg.layers),

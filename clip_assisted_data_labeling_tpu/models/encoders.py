@@ -331,6 +331,39 @@ class CLIPImageEncoder:
         emb = encode(self.params, flat, self.cfg, compute_dtype=self.compute_dtype)
         return emb.reshape(lead + (self.cfg.embed_dim,))
 
+    def encode_variable(self, images: list) -> jnp.ndarray:
+        """Variable-aspect naflex path: list of [H, W, 3] uint8 arrays →
+        [B, width] unit embeddings, each image on its own aspect-preserving
+        patch grid (models/naflex.py). The square-crop pipeline never needs
+        this — embed_crops/encode fill the full positional grid."""
+        if not getattr(self.cfg, "naflex", False):
+            raise ValueError(
+                f"{self.model_name} is not a naflex tower; use encode/embed_crops"
+            )
+        if self.quantized:
+            raise ValueError(
+                "the masked variable-aspect path has no int8 formulation — "
+                "construct the encoder with compute_dtype='bfloat16' (the "
+                "square-crop pipeline path does support int8 modes)"
+            )
+        from clip_assisted_data_labeling_tpu.models.naflex import (
+            build_pos_weights,
+            naflex_encode,
+            preprocess_variable,
+        )
+
+        n_max = self.cfg.seq_len
+        prepped = [preprocess_variable(np.asarray(im), self.cfg, n_max)
+                   for im in images]
+        patches = np.stack([p for p, _, _ in prepped])
+        masks = np.stack([m for _, m, _ in prepped])
+        pos_w = build_pos_weights([s for _, _, s in prepped], n_max,
+                                  self.cfg.grid)
+        return naflex_encode(
+            self.params, jnp.asarray(patches), jnp.asarray(pos_w),
+            jnp.asarray(masks), self.cfg, compute_dtype=self.compute_dtype,
+        )
+
     def embed_crops(self, canvas_u8: jnp.ndarray, crop_params: jnp.ndarray) -> jnp.ndarray:
         """[B, C, C, 3] uint8 + [B, n_crops, 2, 4] → [B, n_crops, D]; one jit."""
         if self.static_quant and "act_amax" not in self.params["blocks"]:

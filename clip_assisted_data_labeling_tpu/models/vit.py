@@ -64,6 +64,12 @@ class VitConfig:
     # normalizes with 0.5/0.5 where CLIP/PE use the OpenAI constants)
     norm_mean: tuple = CLIP_MEAN
     norm_std: tuple = CLIP_STD
+    # SigLIP2 naflex: variable-aspect tower (models/naflex.py). image_size is
+    # set to grid·patch (the full square grid, seq_len == the checkpoint's
+    # max_num_patches) so the 4-square-crop pipeline path runs the standard
+    # fused vit_encode_image with the pos table used verbatim; only
+    # genuinely variable-aspect inputs take the masked naflex_encode path.
+    naflex: bool = False
 
     @property
     def grid(self) -> int:
@@ -165,6 +171,13 @@ MODEL_REGISTRY["SigLIP-Test/tiny"] = VitConfig(
     attn_pooler_heads=4, mlp_hidden=224, **_SIGLIP,
 )
 
+# tiny naflex config for tests (4×4 positional grid, Linear patch embed,
+# variable-aspect masked path in models/naflex.py)
+MODEL_REGISTRY["SigLIP2-Naflex-Test/tiny"] = VitConfig(
+    width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=64,
+    attn_pooler_heads=4, mlp_hidden=224, naflex=True, **_SIGLIP,
+)
+
 # tiny NON-patch-divisible SigLIP config (36 = 4·8 + 4) — the SO400M-14 @384
 # geometry class (384 = 27·14 + 6), where a stride-p valid-padding conv drops
 # the trailing remainder pixels (HF SiglipVisionEmbeddings Conv2d
@@ -190,10 +203,10 @@ MODEL_REGISTRY["PE-Test/tiny"] = VitConfig(
 )
 
 
-# trunk dims shared by every fixed-resolution SigLIP/SigLIP2 tower of a size
-# family (the SigLIP2 releases reuse the SigLIP vision architecture; only
-# training and the text side changed — naflex variable-aspect variants are NOT
-# covered, they need patch-mask plumbing)
+# trunk dims shared by every SigLIP/SigLIP2 tower of a size family (the
+# SigLIP2 releases reuse the SigLIP vision architecture; only training and
+# the text side changed). naflex variable-aspect variants resolve here too
+# (patch-mask + pos-interpolation plumbing in models/naflex.py).
 _SIGLIP_FAMS = {
     "B": dict(width=768, layers=12, heads=12, mlp_hidden=3072,
               attn_pooler_heads=12),
@@ -205,19 +218,26 @@ _SIGLIP_FAMS = {
 
 
 def _parse_siglip_name(arch: str) -> VitConfig | None:
-    """'ViT-{fam}-{patch}-SigLIP[2][-{res}]' → config (default res 224).
+    """'ViT-{fam}-{patch}-SigLIP[2][-{res}|-naflex]' → config (default res 224).
 
     Covers the open_clip SigLIP2 fixed-res names (e.g.
     'ViT-B-16-SigLIP2-384', 'ViT-SO400M-14-SigLIP2-378',
     'ViT-SO400M-16-SigLIP2-256') and any future resolution variant without a
-    per-name table — geometry is in the name, trunk dims in _SIGLIP_FAMS."""
+    per-name table — geometry is in the name, trunk dims in _SIGLIP_FAMS —
+    plus the naflex variable-aspect variants (HF
+    google/siglip2-{base,large,so400m}-patch16-naflex; 256-position grid)."""
     import re
 
-    m = re.fullmatch(r"ViT-(B|L|SO400M)-(\d+)-SigLIP2?(?:-(\d+))?", arch)
+    m = re.fullmatch(r"ViT-(B|L|SO400M)-(\d+)-SigLIP2?(?:-(\d+|naflex))?", arch)
     if m is None:
         return None
     fam = _SIGLIP_FAMS[m.group(1)]
     patch = int(m.group(2))
+    if m.group(3) == "naflex":
+        # image_size = 16·patch so the square-crop pipeline path fills the
+        # full 16×16 positional grid (see VitConfig.naflex)
+        return VitConfig(patch_size=patch, image_size=16 * patch, naflex=True,
+                         embed_dim=fam["width"], **fam, **_SIGLIP)
     res = int(m.group(3)) if m.group(3) else 224
     # non-patch-divisible resolutions (e.g. SO400M-14 @384: 384 = 27*14 + 6)
     # are valid — the patchify path implements the stride-p valid-padding conv
