@@ -1,0 +1,92 @@
+"""Round-4 on-chip measurement batch — ONE process, one axon chip grant.
+
+Closes the VERDICT r3 asks that only need measurements:
+  #1 SigLIP family on-chip (SO400M-14@384 double-run + a size-B row) with
+     attention-kernel routing confirmation under real Mosaic,
+  headline + ViT-L-336 revalidation (tunnel noise guard: double-run),
+  RN50 bench row (new tower this round).
+
+Timing convention (CLAUDE.md): block via a host fetch of a small slice;
+steps amortized inside steady state; every number double-run.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
+
+from __graft_entry__ import _example_batch
+from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+
+
+def measure(encoder, canvases, crop_params, batch, steps=10, warmup=2):
+    for _ in range(warmup):
+        np.asarray(encoder.embed_crops(canvases, crop_params)[:1, :1, :4])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        emb = encoder.embed_crops(canvases, crop_params)
+    np.asarray(emb[:1, :1, :4])
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def routing_report(model):
+    from clip_assisted_data_labeling_tpu.models.vit import resolve_config
+    from clip_assisted_data_labeling_tpu.ops import attention as A
+
+    cfg = resolve_config(model)
+    s, w = cfg.seq_len, cfg.width
+    s_pad = A._pad_for_tiling(s)
+    if A.packed_attention_fits(s, w, 2):
+        kernel = "whole-block"
+        detail = f"s_pad={s_pad} q_tile={A._q_tile(s_pad)}"
+    elif A.grouped_attention_fits(s, w, cfg.heads, 2):
+        kernel, detail = "grouped", ""
+    else:
+        kernel, detail = "flash", ""
+    q8s = A.packed_q8s_fits(s, w, cfg.heads)
+    print(f"[route] {model}: S={s} w={w} d={cfg.head_dim} -> {kernel} "
+          f"({detail}); q8s wire fits: {q8s}", flush=True)
+
+
+def bench_model(model, batch, dtype, runs=2, steps=10):
+    enc = CLIPImageEncoder(model, compute_dtype=dtype)
+    canv, cp = _example_batch(batch, 1024, enc.img_resolution)
+    dev = jax.devices()[0]
+    canv = jax.device_put(canv, dev)
+    cp = jax.device_put(cp, dev)
+    vals = [measure(enc, canv, cp, batch, steps=steps) for _ in range(runs)]
+    print(json.dumps({
+        "model": model, "batch": batch, "dtype": dtype,
+        "imgs_per_sec": [round(v, 2) for v in vals],
+    }), flush=True)
+    del enc, canv, cp
+    return vals
+
+
+def main():
+    which = set(sys.argv[1:]) or {"headline", "siglip", "336", "rn50"}
+    print(f"[measure] devices: {jax.devices()}", flush=True)
+
+    if "headline" in which:
+        bench_model("ViT-L-14/openai", 40, "int8_static")
+    if "siglip" in which:
+        routing_report("ViT-SO400M-14-SigLIP-384/webli")
+        routing_report("ViT-B-16-SigLIP/webli")
+        bench_model("ViT-SO400M-14-SigLIP-384/webli", 16, "int8_static")
+        bench_model("ViT-B-16-SigLIP/webli", 64, "int8_static")
+    if "336" in which:
+        routing_report("ViT-L-14-336/openai")
+        bench_model("ViT-L-14-336/openai", 16, "int8_static")
+    if "rn50" in which:
+        bench_model("RN50/openai", 32, "bfloat16")
+        bench_model("RN50/openai", 64, "bfloat16")
+
+
+if __name__ == "__main__":
+    main()
