@@ -52,7 +52,14 @@ class EmbedConfig:
     model_path: str | None = None  # local weights dir
     crop_names: Sequence[str] = ALL_CROPS
     canvas_size: int = 1024  # host canvas; images larger than this get pre-downscaled
-    compute_dtype: str = "bfloat16"  # "float32" for parity-exact runs
+    # int8_static is the stage default (the headline fast path, ~39% over
+    # bf16 at ViT-L-224): calibrated activation scales persist to
+    # <root_dir>/<model>.calib.npz (calibration="auto" below) so embeddings
+    # are dataset-order- and resume-independent, and the measured cosine
+    # error vs f32 (9.1e-5, tests/test_quant.py) is far inside the ≤1e-3
+    # parity budget. "bfloat16"/"float32" for strict-parity runs; conv
+    # towers (RN*) downgrade to bfloat16 with a warning.
+    compute_dtype: str = "int8_static"
     with_image_stats: bool = True
     exact_stats: bool = False  # host cv2 img_stat path (reference-exact values)
     host_index: int = 0  # multi-host scale-out: this host's shard of the file list

@@ -405,13 +405,14 @@ def main(argv=None):
     parser.add_argument("--model_path", type=str, default=None,
                         help="Local directory with model weights (.npz or torch)")
     parser.add_argument("--canvas_size", type=int, default=1024)
-    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+    parser.add_argument("--compute_dtype", type=str, default="int8_static",
                         choices=["bfloat16", "float32", "int8", "int8_static"],
-                        help="int8 = W8A8 dynamic-quantized fast mode (~2x, "
-                        "embedding cosine ~1e-3 off the bf16 path); int8_static "
-                        "additionally calibrates fixed activation scales on the "
-                        "first batch (fastest; cosine ~1e-4 on the trained-"
-                        "weights harness)")
+                        help="int8_static (default) = W8A8 with fixed "
+                        "activation scales calibrated on the first batch and "
+                        "pinned to <root_dir>/<model>.calib.npz (fastest; "
+                        "cosine ~1e-4 vs f32 on the trained-weights harness); "
+                        "int8 = dynamic quantization (no calibration file, "
+                        "cosine ~1e-3); bfloat16/float32 = strict-parity paths")
     parser.add_argument("--no_sidecars", action="store_true",
                         help="Skip per-image .pt sidecars (columnar store only)")
     parser.add_argument("--no_image_stats", action="store_true")

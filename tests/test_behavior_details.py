@@ -203,3 +203,29 @@ def test_thumbnail_cache_eviction_and_none(tmp_path):
     assert cache.get("broken", ".")[0] is None  # cached None, not re-probed
     assert calls == ["a", "b", "c", "b", "broken"]
     assert cache.hits == 3 and cache.misses == 5
+
+
+def test_embed_stage_default_dtype_is_int8_static(tmp_path, rng):
+    """The embed stage defaults to the headline fast path (int8_static with
+    pinned 'auto' calibration) — VERDICT r3 #7. A default-config run must
+    produce unit embeddings plus the pinned <root>/<model>.calib.npz so
+    re-runs are order- and resume-independent."""
+    import torch
+
+    assert EmbedConfig().compute_dtype == "int8_static"
+    assert EmbedConfig().calibration == "auto"
+
+    root = tmp_path / "fresh"
+    root.mkdir()
+    for i in range(3):
+        arr = rng.integers(0, 256, (70, 90, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(root / f"u{i}.jpg", quality=95)
+    embed_dataset(str(root), EmbedConfig(
+        models_to_use=(MODEL,), batch_size=2, canvas_size=256,
+        shuffle_filenames=False, with_image_stats=False))
+    calib = [f for f in os.listdir(root) if f.endswith(".calib.npz")]
+    assert calib, "int8_static default must pin its calibration file"
+    pt = next(str(root / f) for f in os.listdir(root) if f.endswith(".pt"))
+    d = torch.load(pt, weights_only=False)
+    v = d[MODEL]["centre_crop"].numpy()
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-2)
