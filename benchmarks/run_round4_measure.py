@@ -69,9 +69,43 @@ def bench_model(model, batch, dtype, runs=2, steps=10):
     return vals
 
 
+def wire_ab(model, batch, steps=10):
+    """A/B the int8 attention wire (VERDICT r3 #2) in ONE process: default
+    int8_static (wire OFF), then CTPU_INT8_WIRE=1 with knobs.reload() + a jit
+    cache clear (CLAUDE.md one-grant pattern), then OFF again to confirm the
+    flip-back reproduces the baseline (guards against cache contamination)."""
+    import os
+
+    from clip_assisted_data_labeling_tpu.models import encoders as E
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    def set_wire(on: bool):
+        if on:
+            os.environ["CTPU_INT8_WIRE"] = "1"
+        else:
+            os.environ.pop("CTPU_INT8_WIRE", None)
+        knobs.reload()
+        E._embed_crops_jit.clear_cache()
+
+    routing_report(model)
+    for phase, on in (("wire_off", False), ("wire_on", True),
+                      ("wire_off_again", False)):
+        set_wire(on)
+        print(f"[wire_ab] {phase}", flush=True)
+        bench_model(model, batch, "int8_static", steps=steps)
+    set_wire(False)
+
+
 def main():
     which = set(sys.argv[1:]) or {"headline", "siglip", "336", "rn50"}
     print(f"[measure] devices: {jax.devices()}", flush=True)
+
+    if "wire336" in which:
+        wire_ab("ViT-L-14-336/openai", 16)
+    if "wire224" in which:
+        wire_ab("ViT-L-14/openai", 40)
+    if "wire-so400m" in which:
+        wire_ab("ViT-SO400M-14-SigLIP-384/webli", 16)
 
     if "headline" in which:
         bench_model("ViT-L-14/openai", 40, "int8_static")

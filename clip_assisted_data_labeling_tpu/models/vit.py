@@ -682,10 +682,10 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     a = p.get("act_amax") if quantized else None
     if quantized and fused_attention:
         if a is not None and "qkv_amax" in p and rope is None:
-            # the q8s wire kernel has no query-row tiling and unrolls its head
-            # loop (temporaries coexist), so the gate is the measured VMEM
-            # budget heads·S_pad² — not a fixed sequence cutoff (a 16-head
-            # tower overflows near S~450 while a 8-head one fits)
+            # the q8s wire kernel q-row-tiles long sequences (ViT-L-336's 592
+            # padded tokens fit since round 4); the gate is still the VMEM
+            # budget — int8 blocks + per-head bf16 k/v dequant temporaries +
+            # one tile's f32 score set — not a fixed sequence cutoff
             from clip_assisted_data_labeling_tpu.ops.attention import (
                 packed_q8s_fits,
             )

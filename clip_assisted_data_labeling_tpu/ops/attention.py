@@ -130,17 +130,21 @@ def packed_attention_fits(s: int, width: int, itemsize: int = 2) -> bool:
 
 
 def packed_q8s_fits(s: int, width: int, heads: int) -> bool:
-    """VMEM gate for :func:`fused_attention_packed_q8s`. Its head loop is a
-    Python unroll with per-head [S_pad, S_pad] f32 score/prob temporaries that
-    Mosaic's stack allocator does NOT reuse across unrolled iterations (see
-    _packed_kernel's tiling comment), so the working set scales with
-    heads·S_pad² — a fixed sequence-length cutoff would overflow for many-head
-    towers well below it. Double-buffered int8 in/out blocks + the unrolled
-    f32 temporaries must fit the ~14 MB scoped budget."""
-    s_pad = _round_up(s, 8)
+    """VMEM gate for :func:`fused_attention_packed_q8s`. The kernel q-row-tiles
+    long sequences exactly like :func:`_packed_kernel` (the [q_tile, S_pad] f32
+    score/prob set lives inside a fori_loop, so there is ONE shared copy), so
+    the budget is: double-buffered int8 in/out blocks + the per-head
+    dequantized bf16 k/v temporaries (the unrolled head loop's coexisting
+    allocations, same shape as the proven rope temporaries in the bf16 tiled
+    kernel) + one tile's f32 score/prob/q working set — within the ~14 MB
+    scoped budget. ViT-L-336's (577, 1024, 16) now fits (~8.9 MB)."""
+    d = width // heads
+    s_pad = _pad_for_tiling(s)
+    q_tile = _q_tile(s_pad)
     blocks = 2 * (s_pad * 4 * width)  # int8 [S,3w] in + [S,w] out, 2 buffers
-    working = heads * 2 * s_pad * s_pad * 4  # per-head f32 scores + probs
-    return blocks + working <= 14 * 2**20
+    kv = heads * 2 * s_pad * d * 2  # bf16 k/v per unrolled head
+    working = 2 * q_tile * s_pad * 4 + 3 * q_tile * d * 4  # scores+probs, q/out
+    return blocks + kv + working <= 14 * 2**20
 
 
 def _env_interpret(interpret: bool) -> bool:
@@ -750,38 +754,58 @@ def _packed_q8s_kernel(qkv_ref, cs_ref, o_ref, *, heads: int, s_real: int):
       cs[2w:]  = v channel scales × 127/attn_out_amax (so quantizing the
                  output is a bare round/clip).
     Per-head dequant is an [S, d]·[d] VPU broadcast — trivial next to the
-    halved HBM wire (int8 qkv is the block's largest inter-op tensor)."""
+    halved HBM wire (int8 qkv is the block's largest inter-op tensor).
+
+    Long sequences (ViT-L-336's 592 padded tokens) q-row-tile exactly like
+    :func:`_packed_kernel`: a lax.fori_loop over query-row tiles shares ONE
+    score/prob working set; k/v dequant to bf16 once per head OUTSIDE the
+    loop (the same per-head [S, d] temporary shape as the proven rope path).
+    Because the static out-scale is folded into the v channel scales, each
+    tile writes its int8 rows directly — no whole-row accumulator needed."""
     s_pad = qkv_ref.shape[1]
     w = o_ref.shape[2]
     d = w // heads
-    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    q_tile = _q_tile(s_pad)
+    n_tiles = -(-s_pad // q_tile)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, s_pad), 1)
     for h in range(heads):
         qs = cs_ref[0, h * d : (h + 1) * d]
         ks = cs_ref[0, w + h * d : w + (h + 1) * d]
         vs = cs_ref[0, 2 * w + h * d : 2 * w + (h + 1) * d]
-        q = (qkv_ref[0, :, h * d : (h + 1) * d].astype(jnp.float32) * qs
-             ).astype(jnp.bfloat16)
         k = (qkv_ref[0, :, w + h * d : w + (h + 1) * d].astype(jnp.float32)
              * ks).astype(jnp.bfloat16)
         v = (qkv_ref[0, :, 2 * w + h * d : 2 * w + (h + 1) * d].astype(
             jnp.float32) * vs).astype(jnp.bfloat16)
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # exact -inf mask: see _packed_kernel's docstring for why the O(S)
-        # denominator-correction alternative is rejected (f32 cancellation)
-        if s_real < s_pad:
-            scores = jnp.where(col < s_real, scores, -jnp.inf)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        probs = jnp.exp(scores - m)
-        denom = jnp.sum(probs, axis=-1, keepdims=True)
-        head_out = jax.lax.dot_general(
-            probs.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / denom
-        o_ref[0, :, h * d : (h + 1) * d] = jnp.clip(
-            jnp.round(head_out), -127, 127
-        ).astype(jnp.int8)
+
+        def tile_body(t, _, k=k, v=v, h=h, qs=qs):
+            # both candidates are 8-aligned; the hint makes it provable
+            r0 = pl.multiple_of(jnp.minimum(t * q_tile, s_pad - q_tile), 8)
+            q = (qkv_ref[0, pl.ds(r0, q_tile), h * d : (h + 1) * d].astype(
+                jnp.float32) * qs).astype(jnp.bfloat16)
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # exact -inf mask: see _packed_kernel's docstring for why the O(S)
+            # denominator-correction alternative is rejected (f32 cancellation)
+            if s_real < s_pad:
+                scores = jnp.where(col < s_real, scores, -jnp.inf)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            probs = jnp.exp(scores - m)
+            denom = jnp.sum(probs, axis=-1, keepdims=True)
+            head_out = jax.lax.dot_general(
+                probs.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / denom
+            o_ref[0, pl.ds(r0, q_tile), h * d : (h + 1) * d] = jnp.clip(
+                jnp.round(head_out), -127, 127
+            ).astype(jnp.int8)
+            return 0
+
+        if n_tiles == 1:
+            tile_body(0, 0)
+        else:
+            jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 @functools.partial(
@@ -796,13 +820,15 @@ def fused_attention_packed_q8s(
     s_real: int | None = None,
 ):
     """Static-wire attention: int8 in (per-channel scales), int8 out
-    (attn-out static scale pre-folded into ch_scale's v section)."""
+    (attn-out static scale pre-folded into ch_scale's v section). Long
+    sequences pad to an exactly-tiling length (:func:`_pad_for_tiling`) so
+    the kernel's q-row tiles need no overlapping clamped final tile."""
     del scale
     b, s, w3 = qkv_q.shape
     if s_real is None:
         s_real = s
     w = w3 // 3
-    s_pad = _round_up(s, 8)
+    s_pad = _pad_for_tiling(s)
     if s_pad != s:
         qkv_q = jnp.pad(qkv_q, [(0, 0), (0, s_pad - s), (0, 0)])
     out = pl.pallas_call(

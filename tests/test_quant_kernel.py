@@ -282,6 +282,54 @@ def test_q8s_static_wire_attention_matches_reference(rng):
     np.testing.assert_array_equal(got_pad[:, :s], got_q)
 
 
+def test_q8s_wire_long_sequence_row_tiling(rng):
+    """S > 448 engages the q8s wire kernel's query-row tiling (round 4: the
+    wire now fits ViT-L-336's shapes). The tiled fori_loop path — including
+    the _pad_for_tiling wrapper pad and the pad-column -inf mask — must match
+    the dequantize->attention->requantize XLA reference."""
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        _pad_for_tiling,
+        _q_tile,
+        attention_xla,
+        fused_attention_packed_q8s,
+        packed_q8s_fits,
+    )
+
+    # the gate must now admit ViT-L-336 and still reject G14-448-scale shapes
+    assert packed_q8s_fits(577, 1024, 16)
+    assert packed_q8s_fits(257, 1024, 16)
+    assert not packed_q8s_fits(1025, 1536, 16)
+
+    b, s, h, d = 1, 577, 2, 8
+    w = h * d
+    s_pad = _pad_for_tiling(s)
+    assert s_pad % _q_tile(s_pad) == 0 and s_pad // _q_tile(s_pad) > 1, \
+        "test shape must exercise the multi-tile fori_loop path"
+    qkv = rng.normal(0, 1.5, (b, s, 3 * w)).astype(np.float32)
+    ch_amax = np.maximum(np.abs(qkv).reshape(-1, 3 * w).max(0), 1e-6)
+    qkv_q = np.clip(np.round(qkv * (127.0 / ch_amax)), -127, 127).astype(np.int8)
+    out_amax = float(np.abs(qkv[..., 2 * w :]).max())
+    scale = d ** -0.5
+    cs = np.concatenate([
+        ch_amax[:w] / 127.0 * scale,
+        ch_amax[w : 2 * w] / 127.0,
+        ch_amax[2 * w :] / out_amax,
+    ]).astype(np.float32)
+
+    got_q = np.asarray(fused_attention_packed_q8s(
+        jnp.asarray(qkv_q), jnp.asarray(cs), heads=h, scale=scale,
+        s_real=s, interpret=True))
+    got = got_q.astype(np.float32) * (out_amax / 127.0)
+
+    deq = (qkv_q.astype(np.float32) * (ch_amax / 127.0)).astype(np.float32)
+    rs = lambda t: t.reshape(b, s, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+    q, k, v = np.split(deq, 3, axis=-1)
+    ref = np.asarray(attention_xla(
+        jnp.asarray(rs(q)), jnp.asarray(rs(k)), jnp.asarray(rs(v)), scale
+    )).transpose(0, 2, 1, 3).reshape(b, s, w)
+    assert np.abs(got - ref).max() < out_amax / 90 + 2e-2 * np.abs(ref).max()
+
+
 def test_rowquant_static_matches_ln_plus_quant(rng):
     from clip_assisted_data_labeling_tpu.ops.quant_kernel import rowquant_static
 
