@@ -304,10 +304,111 @@ def convert_rn_visual(state_dict: dict, cfg) -> dict:
     return out
 
 
+def convert_cnx_visual(state_dict: dict, cfg) -> dict:
+    """open_clip/timm ConvNeXt ('visual.trunk.*' + 'visual.head.*') or HF
+    ``ConvNextModel`` ('embeddings.* / encoder.stages.*') state dicts → our
+    pytree (models/convnext.py layout: HWIO conv kernels, per-stage blocks
+    STACKED along a leading depth axis for the scanned forward).
+
+    The reference reaches ConvNeXt towers through open_clip's generic dispatch
+    (utils/embedder.py:58-63, e.g. 'convnext_base_w/laion2b_s13b_b82k'). A
+    trunk-only checkpoint (HF ConvNextModel has no CLIP projection) converts
+    when ``cfg.embed_dim == cfg.final_width`` with an identity projection —
+    the parity-test configuration."""
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("visual.", "convnext.", "module."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v
+
+    hf = any(k.startswith("embeddings.") for k in sd)
+
+    def conv(k):  # torch OIHW → HWIO
+        return _t(sd[k]).transpose(2, 3, 1, 0)
+
+    if hf:
+        stem_conv, stem_ln = ("embeddings.patch_embeddings",
+                              "embeddings.layernorm")
+        down = "encoder.stages.{s}.downsampling_layer"
+        blk = "encoder.stages.{s}.layers.{b}."
+        names = dict(dw="dwconv", ln="layernorm", fc1="pwconv1",
+                     fc2="pwconv2", gamma="layer_scale_parameter")
+        head_ln = "layernorm"
+    else:
+        stem_conv, stem_ln = "trunk.stem.0", "trunk.stem.1"
+        down = "trunk.stages.{s}.downsample"
+        blk = "trunk.stages.{s}.blocks.{b}."
+        names = dict(dw="conv_dw", ln="norm", fc1="mlp.fc1", fc2="mlp.fc2",
+                     gamma="gamma")
+        head_ln = "trunk.head.norm"
+
+    p = {
+        "stem_kernel": conv(stem_conv + ".weight"),
+        "stem_bias": _t(sd[stem_conv + ".bias"]),
+        "stem_ln_scale": _t(sd[stem_ln + ".weight"]),
+        "stem_ln_bias": _t(sd[stem_ln + ".bias"]),
+        "head_ln_scale": _t(sd[head_ln + ".weight"]),
+        "head_ln_bias": _t(sd[head_ln + ".bias"]),
+    }
+    for s, (depth, c) in enumerate(zip(cfg.depths, cfg.dims)):
+        if s > 0:
+            d = down.format(s=s)
+            p[f"s{s}_down_ln_scale"] = _t(sd[d + ".0.weight"])
+            p[f"s{s}_down_ln_bias"] = _t(sd[d + ".0.bias"])
+            p[f"s{s}_down_kernel"] = conv(d + ".1.weight")
+            p[f"s{s}_down_bias"] = _t(sd[d + ".1.bias"])
+        stacks: dict[str, list] = {k: [] for k in (
+            "dw_kernel", "dw_bias", "ln_scale", "ln_bias", "fc1_kernel",
+            "fc1_bias", "fc2_kernel", "fc2_bias", "gamma")}
+        for b in range(depth):
+            pre = blk.format(s=s, b=b)
+            stacks["dw_kernel"].append(conv(pre + names["dw"] + ".weight"))
+            stacks["dw_bias"].append(_t(sd[pre + names["dw"] + ".bias"]))
+            stacks["ln_scale"].append(_t(sd[pre + names["ln"] + ".weight"]))
+            stacks["ln_bias"].append(_t(sd[pre + names["ln"] + ".bias"]))
+            stacks["fc1_kernel"].append(_t(sd[pre + names["fc1"] + ".weight"]).T)
+            stacks["fc1_bias"].append(_t(sd[pre + names["fc1"] + ".bias"]))
+            stacks["fc2_kernel"].append(_t(sd[pre + names["fc2"] + ".weight"]).T)
+            stacks["fc2_bias"].append(_t(sd[pre + names["fc2"] + ".bias"]))
+            g = pre + names["gamma"]
+            stacks["gamma"].append(
+                _t(sd[g]) if g in sd else np.ones((c,), np.float32))
+        for k, v in stacks.items():
+            p[f"s{s}_{k}"] = np.stack(v)
+    if "head.proj.weight" in sd:  # open_clip TimmModel proj='linear'
+        p["proj_kernel"] = _t(sd["head.proj.weight"]).T
+        p["proj_bias"] = (_t(sd["head.proj.bias"])
+                          if "head.proj.bias" in sd
+                          else np.zeros((cfg.embed_dim,), np.float32))
+    elif "head.mlp.fc1.weight" in sd:  # proj='mlp' (the _d models)
+        p["proj_fc1_kernel"] = _t(sd["head.mlp.fc1.weight"]).T
+        p["proj_fc1_bias"] = _t(sd["head.mlp.fc1.bias"])
+        p["proj_fc2_kernel"] = _t(sd["head.mlp.fc2.weight"]).T
+        p["proj_fc2_bias"] = (_t(sd["head.mlp.fc2.bias"])
+                              if "head.mlp.fc2.bias" in sd
+                              else np.zeros((cfg.embed_dim,), np.float32))
+    elif cfg.embed_dim == cfg.final_width:
+        p["proj_kernel"] = np.eye(cfg.final_width, dtype=np.float32)
+        p["proj_bias"] = np.zeros((cfg.embed_dim,), np.float32)
+    else:
+        raise ValueError(
+            "ConvNeXt checkpoint has no projection head (looked for "
+            "head.proj / head.mlp) and cfg.embed_dim != trunk width — "
+            "trunk-only checkpoints need embed_dim == final_width"
+        )
+    return {k: jnp.asarray(v) for k, v in p.items()}
+
+
 def convert_torch_state_dict(state_dict: dict, cfg: VitConfig) -> dict:
     keys = list(state_dict.keys())
+    if (any(".dwconv." in k or ".conv_dw." in k or ".pwconv1." in k
+            for k in keys) or hasattr(cfg, "dims")):
+        # ConvNeXt towers (CNXConfig) — checked first: depthwise-conv keys
+        # appear in no other family
+        return convert_cnx_visual(state_dict, cfg)
     if any("attnpool." in k for k in keys) or hasattr(cfg, "bn_eps"):
-        # modified-ResNet towers (RNConfig) — checked first: their keys carry
+        # modified-ResNet towers (RNConfig) — their keys carry
         # neither 'resblocks' nor 'vision_model.'
         return convert_rn_visual(state_dict, cfg)
     if any(k.endswith("head.probe") for k in keys) or cfg.pool == "map":

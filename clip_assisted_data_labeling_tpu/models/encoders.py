@@ -30,6 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from clip_assisted_data_labeling_tpu.models import clip_weights
+from clip_assisted_data_labeling_tpu.models.convnext import (
+    CNXConfig,
+    cnx_encode_image,
+    init_cnx_params,
+)
 from clip_assisted_data_labeling_tpu.models.resnet import (
     RNConfig,
     init_rn_params,
@@ -41,6 +46,24 @@ from clip_assisted_data_labeling_tpu.models.vit import (
     resolve_config,
     vit_encode_image,
 )
+
+
+def _encode_fn(cfg):
+    """Per-family jitted forward (the reference's CLIP_Encoder dispatches the
+    same way on the open_clip architecture, utils/embedder.py:58-63)."""
+    if isinstance(cfg, RNConfig):
+        return rn_encode_image
+    if isinstance(cfg, CNXConfig):
+        return cnx_encode_image
+    return vit_encode_image
+
+
+def _init_fn(cfg):
+    if isinstance(cfg, RNConfig):
+        return init_rn_params
+    if isinstance(cfg, CNXConfig):
+        return init_cnx_params
+    return init_vit_params
 from clip_assisted_data_labeling_tpu.ops.crops import fused_crop_resize_normalize
 
 log = logging.getLogger(__name__)
@@ -136,13 +159,13 @@ class CLIPImageEncoder:
         # (without it, per-layer amaxes come from whichever batch runs first).
         self.calibration_path = calibration_path
         self.cfg = resolve_config(model_name)
-        if isinstance(self.cfg, RNConfig) and compute_dtype in ("int8",
-                                                                "int8_static"):
+        if isinstance(self.cfg, (RNConfig, CNXConfig)) and compute_dtype in (
+                "int8", "int8_static"):
             # the W8A8 machinery (ops/quant.py) is transformer-block-shaped;
             # the conv towers run bf16 (convs are already MXU-native there)
             log.warning(
-                "%s is a modified-ResNet tower — int8 modes are ViT-only; "
-                "running bfloat16", model_name,
+                "%s is a conv tower (modified-ResNet/ConvNeXt) — int8 modes "
+                "are ViT-only; running bfloat16", model_name,
             )
             compute_dtype = "bfloat16"
         # compute_dtype "int8" selects the W8A8 fast mode: matmul weights are
@@ -239,7 +262,7 @@ class CLIPImageEncoder:
             "(fine for benchmarks/tests; NOT a trained encoder).",
             self.model_name,
         )
-        init = init_rn_params if isinstance(self.cfg, RNConfig) else init_vit_params
+        init = _init_fn(self.cfg)
         return init(self.cfg, jax.random.key(_stable_seed(self.model_name)))
 
     def _convert_torch_file(self, path: str) -> dict:
@@ -326,8 +349,7 @@ class CLIPImageEncoder:
         lead = preprocessed.shape[:-3]
         flat = preprocessed.reshape((-1,) + preprocessed.shape[-3:])
         self._maybe_calibrate(flat)
-        encode = (rn_encode_image if isinstance(self.cfg, RNConfig)
-                  else vit_encode_image)
+        encode = _encode_fn(self.cfg)
         emb = encode(self.params, flat, self.cfg, compute_dtype=self.compute_dtype)
         return emb.reshape(lead + (self.cfg.embed_dim,))
 
@@ -400,19 +422,19 @@ def _embed_crops_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity_
     #  image — classic [R,R,3] resample (vertical pass is a clean matmul) +
     #          in-place strided patch contraction in _patch_embed
     patch_mode = knobs.PREPROC  # 'image' measured +3 (import-time snapshot)
-    is_rn = isinstance(cfg, RNConfig)
+    is_conv = isinstance(cfg, (RNConfig, CNXConfig))
     crops = fused_crop_resize_normalize(
         canvas_u8,
         crop_params,
         out_size=cfg.image_size,
         parity=parity_preprocess,
         dtype=compute_dtype,
-        patch_size=cfg.patch_size if (patch_mode == "grid" and not is_rn) else None,
+        patch_size=cfg.patch_size if (patch_mode == "grid" and not is_conv) else None,
         patch_flatten=False,  # patch-embed einsum contracts the grid in place
         mean=cfg.norm_mean, std=cfg.norm_std,
     )
     b, n = crops.shape[:2]
-    encode = rn_encode_image if is_rn else vit_encode_image
+    encode = _encode_fn(cfg)
     emb = encode(
         params,
         crops.reshape((b * n,) + crops.shape[2:]),

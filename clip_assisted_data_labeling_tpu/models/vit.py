@@ -260,6 +260,10 @@ def resolve_config(model_name: str):
     sig = _parse_siglip_name(arch)
     if sig is not None:
         return sig
+    from clip_assisted_data_labeling_tpu.models.convnext import (
+        _CNX_ARCHS,
+        resolve_cnx_config,
+    )
     from clip_assisted_data_labeling_tpu.models.resnet import (
         _RN_ARCHS,
         resolve_rn_config,
@@ -268,12 +272,15 @@ def resolve_config(model_name: str):
     rn = resolve_rn_config(arch)
     if rn is not None:
         return rn
+    cnx = resolve_cnx_config(arch)
+    if cnx is not None:
+        return cnx
     if arch in _ARCHS:
         act = "quick_gelu" if model_name.endswith("/openai") else "gelu"
         return VitConfig(**_ARCHS[arch], act=act)
     raise ValueError(
         f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
-        f"with Arch in {sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_RN_ARCHS)}."
+        f"with Arch in {sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
     )
 
 
