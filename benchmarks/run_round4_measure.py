@@ -12,8 +12,11 @@ steps amortized inside steady state; every number double-run.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -80,10 +83,8 @@ def wire_ab(model, batch, steps=10):
     from clip_assisted_data_labeling_tpu.ops import knobs
 
     def set_wire(on: bool):
-        if on:
-            os.environ["CTPU_INT8_WIRE"] = "1"
-        else:
-            os.environ.pop("CTPU_INT8_WIRE", None)
+        # explicit 1/0: the default is per-shape 'auto' since round 8
+        os.environ["CTPU_INT8_WIRE"] = "1" if on else "0"
         knobs.reload()
         E._embed_crops_jit.clear_cache()
 
@@ -93,7 +94,9 @@ def wire_ab(model, batch, steps=10):
         set_wire(on)
         print(f"[wire_ab] {phase}", flush=True)
         bench_model(model, batch, "int8_static", steps=steps)
-    set_wire(False)
+    os.environ.pop("CTPU_INT8_WIRE", None)
+    knobs.reload()
+    E._embed_crops_jit.clear_cache()
 
 
 def main():

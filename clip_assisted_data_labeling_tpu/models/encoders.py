@@ -289,19 +289,22 @@ class CLIPImageEncoder:
             return True
         if not (self.calibration_path and os.path.exists(self.calibration_path)):
             return False
-        from clip_assisted_data_labeling_tpu.models.vit import attach_act_amax
-        from clip_assisted_data_labeling_tpu.ops import knobs
+        from clip_assisted_data_labeling_tpu.models.vit import (
+            attach_act_amax,
+            int8_wire_enabled,
+        )
 
         amax = load_calibration(self.calibration_path)
         check_calibration(amax, self.cfg, self.calibration_path, self.model_name)
         amax.pop("_model_name", None)
-        if knobs.INT8_WIRE and "qkv_amax" not in amax:
+        wire = int8_wire_enabled(self.cfg)
+        if wire and "qkv_amax" not in amax:
             log.info(
                 "%s lacks qkv_amax (saved without the int8 wire); recalibrating",
                 self.calibration_path,
             )
             return False
-        if not knobs.INT8_WIRE:
+        if not wire:
             amax = {"act_amax": amax["act_amax"]}
         log.info("Loaded static int8 calibration from %s", self.calibration_path)
         self.params = attach_act_amax(self.params, amax)
@@ -332,15 +335,17 @@ class CLIPImageEncoder:
         if self.calibration_path:
             save_calibration(self.calibration_path, amax, self.model_name)
             log.info("Saved static int8 calibration to %s", self.calibration_path)
-        # The int8 attention wire (per-channel qkv_amax + the q8s kernel) is
-        # measured-neutral at ViT-L scale — the attention kernel and the qkv
-        # matmul are both compute-bound, so halving their HBM wire buys
-        # nothing (263 vs 266 imgs/s, round-3 bench) — but it halves the
-        # block's largest tensor, which matters when VMEM/HBM pressure does
-        # (bigger towers or sequences). Opt in via CTPU_INT8_WIRE=1.
-        from clip_assisted_data_labeling_tpu.ops import knobs
+        # The int8 attention wire (per-channel qkv_amax + the q8s kernel)
+        # defaults per shape (models/vit.int8_wire_enabled): ON where the
+        # non-wire route would fall to the flash kernel (SO400M-384 measured
+        # +29%), OFF where the bf16 packed kernel serves the shape (neutral
+        # at L-224, -14% at L-336 — BENCH_NOTES round-8). CTPU_INT8_WIRE=1/0
+        # forces it.
+        from clip_assisted_data_labeling_tpu.models.vit import (
+            int8_wire_enabled,
+        )
 
-        if not knobs.INT8_WIRE:
+        if not int8_wire_enabled(self.cfg):
             amax = {"act_amax": amax["act_amax"]}
         self.params = attach_act_amax(self.params, amax)
 

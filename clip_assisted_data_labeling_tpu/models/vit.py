@@ -284,6 +284,36 @@ def resolve_config(model_name: str):
     )
 
 
+def int8_wire_enabled(cfg) -> bool:
+    """Resolve the int8 attention-wire knob for one tower (BENCH_NOTES
+    round-8 A/Bs). ``CTPU_INT8_WIRE=1`` forces on, ``=0`` forces off; the
+    default ``auto`` enables the wire exactly where it measured a win: towers
+    whose non-wire int8_static route falls to the flash kernel (both the
+    whole-block and grouped VMEM gates reject) while the tiled q8s kernel
+    fits — SO400M-384: 65.0 vs 50.4 imgs/s (+29%). Where the bf16 packed
+    kernel serves the shape, the wire measured neutral (L-224, 263 vs 266)
+    to -14% (L-336, 104 vs 121.5) and stays off. RoPE towers have no q8s
+    formulation (models/vit._block also gates on rope-free)."""
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    if knobs.INT8_WIRE == "on":
+        return True
+    if knobs.INT8_WIRE == "off" or not isinstance(cfg, VitConfig):
+        return False
+    if cfg.use_rope2d:
+        return False
+    from clip_assisted_data_labeling_tpu.ops.attention import (
+        grouped_attention_fits,
+        packed_attention_fits,
+        packed_q8s_fits,
+    )
+
+    s, w, h = cfg.seq_len, cfg.width, cfg.heads
+    if packed_attention_fits(s, w, 2) or grouped_attention_fits(s, w, h, 2):
+        return False
+    return packed_q8s_fits(s, w, h)
+
+
 def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     """Random-init parameter pytree (open_clip-style scaled normal init)."""
     ks = jax.random.split(key, 12)

@@ -45,9 +45,14 @@ def reload() -> None:
     # dynamic-int8 block implementation: 'xla-plain' | 'xla' | 'hybrid'
     # (models/vit._int8_block_mode docstring has the measurements)
     g["INT8_BLOCK"] = os.environ.get("CTPU_INT8_BLOCK", "xla-plain")
-    # calibrate per-channel qkv scales for the int8 attention wire (measured
-    # neutral at ViT-L scale; useful for bigger towers)
-    g["INT8_WIRE"] = os.environ.get("CTPU_INT8_WIRE") == "1"
+    # int8 attention wire (per-channel qkv scales + the q8s kernel): 'auto'
+    # (default) enables it per shape — exactly the towers whose non-wire
+    # route falls to the flash kernel while the tiled q8s kernel fits
+    # (SO400M-384 measured +29%; neutral at 224, -14% at 336 — BENCH_NOTES
+    # round-8). '1' forces on everywhere, '0' forces off. Resolution per
+    # tower lives in models/vit.int8_wire_enabled.
+    g["INT8_WIRE"] = {"1": "on", "0": "off"}.get(
+        os.environ.get("CTPU_INT8_WIRE", ""), "auto")
     # fully-fused Pallas W8A8 GEMM prototype (slower until Mosaic gains
     # native-int8 matmuls; ops/quant.q_matmul docstring)
     g["FUSED_QMATMUL"] = os.environ.get("CTPU_FUSED_QMATMUL") == "1"
@@ -59,7 +64,7 @@ ATTN_PIPELINE: bool
 ATTN_WHOLESCORES_ROUTE: bool
 LN_KERNEL: bool
 INT8_BLOCK: str
-INT8_WIRE: bool
+INT8_WIRE: str  # 'auto' | 'on' | 'off'
 FUSED_QMATMUL: bool
 
 reload()

@@ -79,11 +79,18 @@ class ShardedEmbedder:
             load_calibration,
             save_calibration,
         )
-        from clip_assisted_data_labeling_tpu.ops import knobs
-
         if "act_amax" in self.params.get("blocks", {}):
             return
         import os
+
+        from clip_assisted_data_labeling_tpu.models.vit import (
+            int8_wire_enabled,
+        )
+
+        # the q8s wire has no TP formulation (explicit int32-psum path,
+        # parallel/tp_static.py) — per-shape auto-enable applies to the DP
+        # path only; 2-D meshes run wire-free regardless of the knob
+        wire = int8_wire_enabled(self.cfg) and self._dp_only
 
         amax = None
         if self.calibration_path and os.path.exists(self.calibration_path):
@@ -95,7 +102,7 @@ class ShardedEmbedder:
             check_calibration(amax, self.cfg, self.calibration_path,
                               self.model_name)
             amax.pop("_model_name", None)
-            if knobs.INT8_WIRE and "qkv_amax" not in amax:
+            if wire and "qkv_amax" not in amax:
                 amax = None  # saved without the wire scales; recalibrate
             else:
                 print(f"Loaded static int8 calibration from {self.calibration_path}")
@@ -113,7 +120,7 @@ class ShardedEmbedder:
             if self.calibration_path:
                 save_calibration(self.calibration_path, amax, self.model_name)
                 print(f"Saved static int8 calibration to {self.calibration_path}")
-        if not knobs.INT8_WIRE:  # mirror encoders.py
+        if not wire:  # mirror encoders.py (resolved above)
             amax = {"act_amax": amax["act_amax"]}
         if self._dp_only:
             self.params = attach_act_amax(self.params, amax)

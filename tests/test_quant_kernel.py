@@ -330,6 +330,46 @@ def test_q8s_wire_long_sequence_row_tiling(rng):
     assert np.abs(got - ref).max() < out_amax / 90 + 2e-2 * np.abs(ref).max()
 
 
+def test_int8_wire_per_shape_default():
+    """CTPU_INT8_WIRE tri-state + the per-shape 'auto' resolution (BENCH_NOTES
+    round-8 A/Bs): the wire auto-enables ONLY where the non-wire route falls
+    to the flash kernel and the tiled q8s kernel fits (SO400M-384, +29%);
+    it stays off where the bf16 packed kernel serves the shape (L-224
+    neutral, L-336 -14%), on conv towers, and on RoPE towers."""
+    import os
+
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        int8_wire_enabled,
+        resolve_config,
+    )
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    prev = os.environ.get("CTPU_INT8_WIRE")
+    try:
+        os.environ.pop("CTPU_INT8_WIRE", None)
+        knobs.reload()
+        assert knobs.INT8_WIRE == "auto"
+        assert int8_wire_enabled(
+            resolve_config("ViT-SO400M-14-SigLIP-384/webli"))
+        assert not int8_wire_enabled(resolve_config("ViT-L-14/openai"))
+        assert not int8_wire_enabled(resolve_config("ViT-L-14-336/openai"))
+        assert not int8_wire_enabled(resolve_config("RN50/openai"))
+        assert not int8_wire_enabled(resolve_config("PE-Test/tiny"))  # rope
+        os.environ["CTPU_INT8_WIRE"] = "0"
+        knobs.reload()
+        assert not int8_wire_enabled(
+            resolve_config("ViT-SO400M-14-SigLIP-384/webli"))
+        os.environ["CTPU_INT8_WIRE"] = "1"
+        knobs.reload()
+        assert int8_wire_enabled(resolve_config("ViT-L-14/openai"))
+    finally:
+        if prev is None:
+            os.environ.pop("CTPU_INT8_WIRE", None)
+        else:
+            os.environ["CTPU_INT8_WIRE"] = prev
+        knobs.reload()
+
+
 def test_rowquant_static_matches_ln_plus_quant(rng):
     from clip_assisted_data_labeling_tpu.ops.quant_kernel import rowquant_static
 
