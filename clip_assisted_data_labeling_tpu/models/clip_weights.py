@@ -215,6 +215,112 @@ def convert_pe_visual(state_dict: dict, cfg: VitConfig) -> dict:
     return base
 
 
+def convert_eva_visual(state_dict: dict, cfg: VitConfig) -> dict:
+    """BAAI EVA / open_clip 'visual.*' EVA state dict → our pytree.
+
+    The reference reaches EVA towers through open_clip's generic dispatch
+    (utils/embedder.py:58-63, e.g. 'EVA02-L-14/merged2b_s4b_b131k'). The EVA
+    trunk uses timm-style naming (``blocks.N.…``) with EVA-specific pieces:
+    separate q/k/v projections where ONLY q and v carry biases (k's is
+    zero-filled here — attention is bias-shift-invariant in k only up to the
+    softmax, and EVA simply defines it bias-free), an ``inner_attn_ln``
+    sub-LN before the attention out-projection, and a SwiGLU MLP
+    (``mlp.w1/w2/w3`` or fused ``w12``) with an ``ffn_ln`` sub-LN. w1 and w2
+    stack into ONE packed fc1 matmul (models/vit._block's swiglu branch).
+    Fused-qkv checkpoints (``attn.qkv.weight`` + ``q_bias``/``v_bias``
+    parameters) convert too. EVA02's rope rotates interleaved feature pairs;
+    like PE, the q/k projection columns are permuted to our half-split
+    convention (:func:`rope_interleaved_to_half`)."""
+    sd = {k[len("visual."):]: v for k, v in state_dict.items()
+          if k.startswith("visual.")}
+    if not sd:
+        sd = dict(state_dict)
+
+    w = cfg.width
+    swiglu = cfg.mlp_type == "swiglu"
+    blocks: dict[str, list] = {k: [] for k in (
+        "ln1_scale", "ln1_bias", "qkv_kernel", "qkv_bias", "out_kernel",
+        "out_bias", "ln2_scale", "ln2_bias", "fc1_kernel", "fc1_bias",
+        "fc2_kernel", "fc2_bias")}
+    if cfg.attn_inner_ln:
+        blocks["attn_ln_scale"], blocks["attn_ln_bias"] = [], []
+    if swiglu:
+        blocks["ffn_ln_scale"], blocks["ffn_ln_bias"] = [], []
+    for i in range(cfg.layers):
+        b = f"blocks.{i}."
+        blocks["ln1_scale"].append(_t(sd[b + "norm1.weight"]))
+        blocks["ln1_bias"].append(_t(sd[b + "norm1.bias"]))
+        if b + "attn.qkv.weight" in sd:  # fused qkv + bare q/v bias params
+            qkv_w = _t(sd[b + "attn.qkv.weight"]).T  # [w, 3w]
+            qb = _t(sd[b + "attn.q_bias"]) if b + "attn.q_bias" in sd else (
+                np.zeros((w,), np.float32))
+            vb = _t(sd[b + "attn.v_bias"]) if b + "attn.v_bias" in sd else (
+                np.zeros((w,), np.float32))
+        else:  # separate projections; k has NO bias
+            qkv_w = np.concatenate(
+                [_t(sd[b + f"attn.{n}_proj.weight"]).T for n in ("q", "k", "v")],
+                axis=1)
+            qb = (_t(sd[b + "attn.q_proj.bias"])
+                  if b + "attn.q_proj.bias" in sd
+                  else _t(sd[b + "attn.q_bias"]))
+            vb = (_t(sd[b + "attn.v_proj.bias"])
+                  if b + "attn.v_proj.bias" in sd
+                  else _t(sd[b + "attn.v_bias"]))
+        blocks["qkv_kernel"].append(qkv_w)
+        blocks["qkv_bias"].append(
+            np.concatenate([qb, np.zeros((w,), np.float32), vb]))
+        if cfg.attn_inner_ln:
+            blocks["attn_ln_scale"].append(_t(sd[b + "attn.inner_attn_ln.weight"]))
+            blocks["attn_ln_bias"].append(_t(sd[b + "attn.inner_attn_ln.bias"]))
+        blocks["out_kernel"].append(_t(sd[b + "attn.proj.weight"]).T)
+        blocks["out_bias"].append(_t(sd[b + "attn.proj.bias"]))
+        blocks["ln2_scale"].append(_t(sd[b + "norm2.weight"]))
+        blocks["ln2_bias"].append(_t(sd[b + "norm2.bias"]))
+        if swiglu:
+            if b + "mlp.w12.weight" in sd:  # fused w1‖w2 (row-stacked torch)
+                fc1_w = _t(sd[b + "mlp.w12.weight"]).T
+                fc1_b = _t(sd[b + "mlp.w12.bias"])
+            else:
+                fc1_w = np.concatenate(
+                    [_t(sd[b + "mlp.w1.weight"]).T,
+                     _t(sd[b + "mlp.w2.weight"]).T], axis=1)
+                fc1_b = np.concatenate(
+                    [_t(sd[b + "mlp.w1.bias"]), _t(sd[b + "mlp.w2.bias"])])
+            blocks["fc1_kernel"].append(fc1_w)
+            blocks["fc1_bias"].append(fc1_b)
+            blocks["ffn_ln_scale"].append(_t(sd[b + "mlp.ffn_ln.weight"]))
+            blocks["ffn_ln_bias"].append(_t(sd[b + "mlp.ffn_ln.bias"]))
+            blocks["fc2_kernel"].append(_t(sd[b + "mlp.w3.weight"]).T)
+            blocks["fc2_bias"].append(_t(sd[b + "mlp.w3.bias"]))
+        else:  # EVA01: plain timm Mlp
+            blocks["fc1_kernel"].append(_t(sd[b + "mlp.fc1.weight"]).T)
+            blocks["fc1_bias"].append(_t(sd[b + "mlp.fc1.bias"]))
+            blocks["fc2_kernel"].append(_t(sd[b + "mlp.fc2.weight"]).T)
+            blocks["fc2_bias"].append(_t(sd[b + "mlp.fc2.bias"]))
+
+    out = {
+        "patch_kernel": _conv_to_patch_kernel(sd["patch_embed.proj.weight"]),
+        "patch_bias": _t(sd["patch_embed.proj.bias"]),
+        "class_emb": _t(sd["cls_token"]).reshape(-1),
+        "pos_emb": _t(sd["pos_embed"]).reshape(-1, w),
+        "blocks": {k: np.stack(v) for k, v in blocks.items()},
+        "ln_post_scale": _t(sd["norm.weight"]),
+        "ln_post_bias": _t(sd["norm.bias"]),
+    }
+    if "head.weight" in sd:  # Linear head to the CLIP embedding dim
+        out["proj"] = _t(sd["head.weight"]).T
+        if "head.bias" in sd:
+            # our readout has no proj bias; EVA's head is bias-free in the
+            # CLIP checkpoints — reject a biased one rather than mis-load
+            if np.abs(_t(sd["head.bias"])).max() > 0:
+                raise ValueError("EVA head.bias is non-zero — unsupported")
+    elif "proj" in sd:
+        out["proj"] = _t(sd["proj"])
+    if cfg.use_rope2d:
+        out = rope_interleaved_to_half(out, cfg)
+    return out
+
+
 def rope_interleaved_to_half(params: dict, cfg: VitConfig) -> dict:
     """Permute each head's q/k projection columns from interleaved RoPE
     pairing to the half-split convention and mark the pytree with a
@@ -416,6 +522,9 @@ def convert_torch_state_dict(state_dict: dict, cfg: VitConfig) -> dict:
         return convert_siglip_visual(state_dict, cfg)
     if any(k.startswith("vision_model.") for k in keys):
         return convert_hf_clip_vision(state_dict, cfg)
+    if any(k.endswith("blocks.0.norm1.weight") for k in keys):
+        # EVA trunks use timm-style 'blocks.N.' naming (never 'resblocks')
+        return convert_eva_visual(state_dict, cfg)
     if any("attn_pool." in k for k in keys) or cfg.pool == "attn":
         return convert_pe_visual(state_dict, cfg)
     if any("resblocks" in k for k in keys):

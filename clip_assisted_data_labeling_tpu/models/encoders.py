@@ -159,13 +159,18 @@ class CLIPImageEncoder:
         # (without it, per-layer amaxes come from whichever batch runs first).
         self.calibration_path = calibration_path
         self.cfg = resolve_config(model_name)
-        if isinstance(self.cfg, (RNConfig, CNXConfig)) and compute_dtype in (
-                "int8", "int8_static"):
-            # the W8A8 machinery (ops/quant.py) is transformer-block-shaped;
-            # the conv towers run bf16 (convs are already MXU-native there)
+        if compute_dtype in ("int8", "int8_static") and (
+                isinstance(self.cfg, (RNConfig, CNXConfig))
+                or getattr(self.cfg, "mlp_type", "mlp") == "swiglu"
+                or getattr(self.cfg, "attn_inner_ln", False)):
+            # the W8A8 machinery (ops/quant.py) is shaped for the standard
+            # transformer block: conv towers run bf16 (convs are already
+            # MXU-native), and the EVA02 block (swiglu MLP + sub-LNs) has no
+            # int8 formulation yet (models/vit._block guard)
             log.warning(
-                "%s is a conv tower (modified-ResNet/ConvNeXt) — int8 modes "
-                "are ViT-only; running bfloat16", model_name,
+                "%s has no int8 block formulation (modified-ResNet/ConvNeXt "
+                "conv tower or EVA02 swiglu/sub-LN block) — running "
+                "bfloat16", model_name,
             )
             compute_dtype = "bfloat16"
         # compute_dtype "int8" selects the W8A8 fast mode: matmul weights are

@@ -64,6 +64,12 @@ class VitConfig:
     # normalizes with 0.5/0.5 where CLIP/PE use the OpenAI constants)
     norm_mean: tuple = CLIP_MEAN
     norm_std: tuple = CLIP_STD
+    # --- EVA family options (open_clip 'EVA01/EVA02-*' archs; the reference
+    # reaches them through the same "Arch/pretrained" dispatch, _1:69-75) ---
+    mlp_type: str = "mlp"  # 'swiglu' (EVA02): silu(w1·x)⊙(w2·x) → ffn_ln → w3;
+    # w1/w2 are PACKED into one [w, 2·mlp_hidden] fc1 matmul (MXU-friendly)
+    attn_inner_ln: bool = False  # EVA02 sub-LN on the concatenated head
+    # outputs, before the attention out-projection
     # SigLIP2 naflex: variable-aspect tower (models/naflex.py). image_size is
     # set to grid·patch (the full square grid, seq_len == the checkpoint's
     # max_num_patches) so the 4-square-crop pipeline path runs the standard
@@ -147,6 +153,34 @@ _SIGLIP_ARCHS = {
                                      embed_dim=1152, mlp_hidden=4304,
                                      attn_pooler_heads=16, **_SIGLIP),
 }
+# EVA family (open_clip 'EVA01-g-14' / 'EVA02-{B,L}-…' archs, BAAI EVA-CLIP —
+# reached through the same open_clip dispatch, utils/embedder.py:58-63).
+# EVA02 trunk deltas vs CLIP: 2-D RoPE on q/k (on TOP of the learned pos
+# embedding), SwiGLU MLP with an inner sub-LN, sub-LN on the attention
+# outputs, separate q/k/v projections with NO k bias (converter zero-fills),
+# no pre-transformer LN, biased patch conv, LN eps 1e-6. EVA01-g shares the
+# checkpoint dialect but plain-MLP blocks without rope/sub-LN. RoPE theta and
+# the swiglu hidden rounding are config fields to re-pin the day real
+# checkpoints land (zero egress — same policy as the PE constants).
+_EVA02 = dict(act="gelu", use_ln_pre=False, patch_bias=True,
+              mlp_type="swiglu", attn_inner_ln=True, use_rope2d=True,
+              ln_eps=1e-6)
+_EVA_ARCHS = {
+    "EVA01-g-14": dict(width=1408, layers=40, heads=16, patch_size=14,
+                       image_size=224, embed_dim=1024, mlp_hidden=6144,
+                       act="gelu", use_ln_pre=False, patch_bias=True,
+                       ln_eps=1e-6),
+    "EVA02-B-16": dict(width=768, layers=12, heads=12, patch_size=16,
+                       image_size=224, embed_dim=512, mlp_hidden=2048,
+                       **_EVA02),
+    "EVA02-L-14": dict(width=1024, layers=24, heads=16, patch_size=14,
+                       image_size=224, embed_dim=768, mlp_hidden=2730,
+                       **_EVA02),
+    "EVA02-L-14-336": dict(width=1024, layers=24, heads=16, patch_size=14,
+                           image_size=336, embed_dim=768, mlp_hidden=2730,
+                           **_EVA02),
+}
+
 MODEL_REGISTRY: dict[str, VitConfig] = {
     # tiny configs for tests / multi-chip dry runs (not real pretrained models)
     "ViT-Test/tiny": VitConfig(
@@ -200,6 +234,12 @@ MODEL_REGISTRY["PE-Test/tiny"] = VitConfig(
     width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16,
     act="gelu", use_rope2d=True, pool="attn", attn_pooler_heads=2,
     use_cls_token=False,
+)
+
+# tiny EVA02 config for tests (swiglu + sub-LNs + rope WITH a cls token)
+MODEL_REGISTRY["EVA-Test/tiny"] = VitConfig(
+    width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16,
+    mlp_hidden=112, **_EVA02,
 )
 
 
@@ -275,12 +315,14 @@ def resolve_config(model_name: str):
     cnx = resolve_cnx_config(arch)
     if cnx is not None:
         return cnx
+    if arch in _EVA_ARCHS:  # any pretrained tag (merged2b, laion400m, …)
+        return VitConfig(**_EVA_ARCHS[arch])
     if arch in _ARCHS:
         act = "quick_gelu" if model_name.endswith("/openai") else "gelu"
         return VitConfig(**_ARCHS[arch], act=act)
     raise ValueError(
         f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
-        f"with Arch in {sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
+        f"with Arch in {sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_EVA_ARCHS) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
     )
 
 
@@ -342,14 +384,24 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
             "out_bias": zeros((L, w)),
             "ln2_scale": ones((L, w)),
             "ln2_bias": zeros((L, w)),
-            "fc1_kernel": nrm(ks[5], (L, w, mlp), (2 * w) ** -0.5),
-            "fc1_bias": zeros((L, mlp)),
+            # swiglu packs w1‖w2 into ONE [w, 2·mlp] matmul (models/vit._block)
+            "fc1_kernel": nrm(
+                ks[5], (L, w, 2 * mlp if cfg.mlp_type == "swiglu" else mlp),
+                (2 * w) ** -0.5),
+            "fc1_bias": zeros(
+                (L, 2 * mlp if cfg.mlp_type == "swiglu" else mlp)),
             "fc2_kernel": nrm(ks[6], (L, mlp, w), scale),
             "fc2_bias": zeros((L, w)),
         },
         "ln_post_scale": ones((w,)),
         "ln_post_bias": zeros((w,)),
     }
+    if cfg.attn_inner_ln:
+        params["blocks"]["attn_ln_scale"] = ones((L, w))
+        params["blocks"]["attn_ln_bias"] = zeros((L, w))
+    if cfg.mlp_type == "swiglu":
+        params["blocks"]["ffn_ln_scale"] = ones((L, mlp))
+        params["blocks"]["ffn_ln_bias"] = zeros((L, mlp))
     if cfg.use_ln_pre:
         params["ln_pre_scale"] = ones((w,))
         params["ln_pre_bias"] = zeros((w,))
@@ -717,7 +769,11 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     by :func:`attach_act_amax`), activation quantization is static (fused into
     producer epilogues); otherwise dynamic per-row."""
     a = p.get("act_amax") if quantized else None
-    if quantized and fused_attention:
+    # EVA02 blocks (swiglu MLP / inner attention LN) have no int8 block
+    # formulation yet — encoders.py downgrades them to bf16 anyway; the guard
+    # here keeps a hand-built quantized call from taking a wrong fast path
+    eva_block = cfg.mlp_type == "swiglu" or cfg.attn_inner_ln
+    if quantized and fused_attention and not eva_block:
         if a is not None and "qkv_amax" in p and rope is None:
             # the q8s wire kernel q-row-tiles long sequences (ViT-L-336's 592
             # padded tokens fit since round 4); the gate is still the VMEM
@@ -775,6 +831,9 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
             k = _apply_rope(k, *rope)
         attn = attention_xla(q, k, v, scale=d ** -0.5)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, w)
+    if cfg.attn_inner_ln:  # EVA02 sub-LN on the concatenated head outputs
+        attn = _layernorm(attn, p["attn_ln_scale"], p["attn_ln_bias"],
+                          cfg.ln_eps)
     # NOTE: residual placement is measured, not guessed (round-3 profile):
     # the fc2 residual fuses into the static MLP mega-fusion's epilogue
     # (+4 imgs/s), but BOTH the dynamic-path epilogue residuals (-40: XLA
@@ -784,6 +843,14 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
                     act_amax=None if a is None else a[1])
 
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
+    if cfg.mlp_type == "swiglu":
+        # EVA02 SwiGLU: w1 and w2 ride ONE packed matmul (converter stacks
+        # [w1‖w2]); silu(w1·x) ⊙ (w2·x) → ffn sub-LN → w3.
+        h = _linear(y, p, "fc1_kernel", quantized)
+        h1, h2 = jnp.split(h, 2, axis=-1)
+        y = jax.nn.silu(h1) * h2
+        y = _layernorm(y, p["ffn_ln_scale"], p["ffn_ln_bias"], cfg.ln_eps)
+        return x + _linear(y, p, "fc2_kernel", quantized)
     y = _act(_linear(y, p, "fc1_kernel", quantized,
                      act_amax=None if a is None else a[2]), cfg.act,
              quantized=quantized)

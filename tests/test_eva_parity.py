@@ -1,0 +1,262 @@
+"""EVA tower parity: our JAX EVA02 forward + weight conversion vs a from-spec
+torch mirror of the BAAI EVA-CLIP vision trunk.
+
+The reference reaches EVA towers through open_clip's generic dispatch
+(utils/embedder.py:58-63, e.g. 'EVA02-L-14/merged2b_s4b_b131k'). Neither
+open_clip nor timm is installed here (zero egress), so the mirror below
+re-implements the EVA02 block from its spec — separate q/k/v projections
+with NO k bias, interleaved-pair 2-D rope on q/k (identity on the cls
+token), an inner_attn_ln sub-LN before the attention out-projection, and a
+SwiGLU MLP (silu(w1·x)⊙(w2·x) → ffn_ln → w3) — emitting the EVA state-dict
+key layout so convert_eva_visual's mapping (incl. the packed w1‖w2 fc1, the
+zero-filled k bias, and the interleaved→half-split rope column permutation)
+is exercised end to end. Exact constants (rope theta, swiglu hidden
+rounding) re-pin when real checkpoints land — same policy as PE."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from clip_assisted_data_labeling_tpu.models.clip_weights import (
+    convert_torch_state_dict,
+)
+from clip_assisted_data_labeling_tpu.models.vit import (
+    VitConfig,
+    resolve_config,
+    vit_encode_image,
+)
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+F = torch.nn.functional
+
+
+def _rope_tables(grid: int, d: int, theta: float):
+    """Interleaved-pair 2-D axial rope angles [S, d/2] (cls row = identity):
+    the first d/4 pairs rotate by the patch column, the next d/4 by its row —
+    the SAME frequencies as models/vit._rope2d_tables, in the interleaved
+    (2i, 2i+1) pairing the converter permutes away."""
+    quarter = d // 4
+    freqs = 1.0 / (theta ** (np.arange(0, d, 4)[:quarter] / d))
+    idx = np.arange(grid * grid)
+    tx, ty = (idx % grid).astype(np.float64), (idx // grid).astype(np.float64)
+    ang = np.concatenate([np.outer(tx, freqs), np.outer(ty, freqs)], axis=-1)
+    ang = np.concatenate([np.zeros((1, ang.shape[1])), ang], axis=0)  # cls
+    return (torch.tensor(np.cos(ang), dtype=torch.float32),
+            torch.tensor(np.sin(ang), dtype=torch.float32))
+
+
+def _apply_rope_interleaved(x, cos, sin):
+    """x: [B, h, S, d]; rotate pairs (2i, 2i+1) by the per-token angles."""
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    return torch.stack(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], dim=-1
+    ).flatten(-2)
+
+
+class EvaAttention(nn.Module):
+    def __init__(self, dim, heads, rope):
+        super().__init__()
+        self.q_proj = nn.Linear(dim, dim, bias=True)
+        self.k_proj = nn.Linear(dim, dim, bias=False)  # EVA: k has no bias
+        self.v_proj = nn.Linear(dim, dim, bias=True)
+        self.inner_attn_ln = nn.LayerNorm(dim, eps=1e-6)
+        self.proj = nn.Linear(dim, dim)
+        self.heads = heads
+        self.rope = rope
+
+    def forward(self, x):
+        B, S, w = x.shape
+        h = self.heads
+        d = w // h
+        rs = lambda t: t.reshape(B, S, h, d).permute(0, 2, 1, 3)  # noqa: E731
+        q, k, v = rs(self.q_proj(x)), rs(self.k_proj(x)), rs(self.v_proj(x))
+        cos, sin = self.rope
+        q = _apply_rope_interleaved(q, cos, sin)
+        k = _apply_rope_interleaved(k, cos, sin)
+        out = F.scaled_dot_product_attention(q, k, v, scale=d ** -0.5)
+        out = out.permute(0, 2, 1, 3).reshape(B, S, w)
+        return self.proj(self.inner_attn_ln(out))
+
+
+class EvaSwiGLU(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.w1 = nn.Linear(dim, hidden)
+        self.w2 = nn.Linear(dim, hidden)
+        self.ffn_ln = nn.LayerNorm(hidden, eps=1e-6)
+        self.w3 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.w3(self.ffn_ln(F.silu(self.w1(x)) * self.w2(x)))
+
+
+class EvaBlock(nn.Module):
+    def __init__(self, dim, heads, hidden, rope):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = EvaAttention(dim, heads, rope)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = EvaSwiGLU(dim, hidden)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class _PatchEmbed(nn.Module):
+    def __init__(self, patch, dim):
+        super().__init__()
+        self.proj = nn.Conv2d(3, dim, patch, stride=patch)
+
+    def forward(self, x):
+        return self.proj(x).flatten(2).transpose(1, 2)
+
+
+class EvaMirror(nn.Module):
+    def __init__(self, cfg: VitConfig, seed: int = 0):
+        super().__init__()
+        torch.manual_seed(seed)
+        w, S = cfg.width, cfg.seq_len
+        self.patch_embed = _PatchEmbed(cfg.patch_size, w)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, w) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, S, w) * 0.02)
+        rope = _rope_tables(cfg.grid, cfg.head_dim, cfg.rope_theta)
+        self.blocks = nn.ModuleList([
+            EvaBlock(w, cfg.heads, cfg.mlp_dim, rope)
+            for _ in range(cfg.layers)
+        ])
+        self.norm = nn.LayerNorm(w, eps=1e-6)
+        self.head = nn.Linear(w, cfg.embed_dim, bias=False)
+        # non-degenerate LN weights so conversion bugs in them can't hide
+        gen = torch.Generator().manual_seed(seed + 1)
+        with torch.no_grad():
+            for name, t in self.named_parameters():
+                if "norm" in name or "ln" in name:
+                    t.copy_(torch.randn(t.shape, generator=gen) * 0.2 + 1.0)
+
+    def forward(self, x):  # x: [B, 3, R, R]
+        x = self.patch_embed(x)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.head(self.norm(x)[:, 0])
+
+
+def _parity(cfg: VitConfig, batch: int, rng, seed: int = 0):
+    model = EvaMirror(cfg, seed=seed).eval()
+    sd = {"visual." + k: v for k, v in model.state_dict().items()}
+    params = convert_torch_state_dict(sd, cfg)
+    x = rng.normal(0, 1, (batch, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+    out = np.asarray(vit_encode_image(
+        params, jnp.asarray(x), cfg, compute_dtype=jnp.float32,
+        fused_attention=False))
+    cos = np.sum(out * ref, axis=-1)
+    assert np.all(1.0 - cos < 1e-5), f"cosine error {1 - cos}"
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_eva02_tiny_matches_torch(rng):
+    """Tiny EVA02 geometry: swiglu + both sub-LNs + rope-with-cls exercised."""
+    _parity(resolve_config("EVA-Test/tiny"), batch=3, rng=rng)
+
+
+def test_eva02_b16_matches_torch(rng):
+    """Full EVA02-B-16 geometry (the cheapest real EVA02 name)."""
+    _parity(resolve_config("EVA02-B-16/merged2b_s8b_b131k"), batch=1, rng=rng)
+
+
+def test_eva_fused_qkv_and_w12_checkpoint(rng):
+    """The fused-checkpoint dialect (attn.qkv.weight + bare q_bias/v_bias
+    params, mlp.w12 fused) must convert identically to the separate one."""
+    cfg = resolve_config("EVA-Test/tiny")
+    model = EvaMirror(cfg, seed=4).eval()
+    sd = {"visual." + k: v for k, v in model.state_dict().items()}
+    fused = {}
+    for k, v in sd.items():
+        if ".attn.q_proj.weight" in k:
+            b = k[: -len("q_proj.weight")]
+            fused[b + "qkv.weight"] = torch.cat(
+                [sd[b + "q_proj.weight"], sd[b + "k_proj.weight"],
+                 sd[b + "v_proj.weight"]], dim=0)
+            fused[b + "q_bias"] = sd[b + "q_proj.bias"]
+            fused[b + "v_bias"] = sd[b + "v_proj.bias"]
+        elif ".attn.k_proj." in k or ".attn.v_proj.weight" in k or \
+                ".attn.q_proj.bias" in k or ".attn.v_proj.bias" in k:
+            continue
+        elif ".mlp.w1.weight" in k:
+            b = k[: -len("w1.weight")]
+            fused[b + "w12.weight"] = torch.cat(
+                [sd[b + "w1.weight"], sd[b + "w2.weight"]], dim=0)
+            fused[b + "w12.bias"] = torch.cat(
+                [sd[b + "w1.bias"], sd[b + "w2.bias"]], dim=0)
+        elif ".mlp.w1.bias" in k or ".mlp.w2." in k:
+            continue
+        else:
+            fused[k] = v
+    pa = convert_torch_state_dict(sd, cfg)
+    pb = convert_torch_state_dict(fused, cfg)
+    for key in ("qkv_kernel", "qkv_bias", "fc1_kernel", "fc1_bias"):
+        np.testing.assert_array_equal(np.asarray(pa["blocks"][key]),
+                                      np.asarray(pb["blocks"][key]))
+
+
+def test_eva_bf16_and_fused_attention_within_budget(rng):
+    """bf16 + the Pallas fused-attention path stay within the 1e-3 cosine
+    budget of the f32 XLA path (the rope-in-kernel path serves EVA too)."""
+    cfg = resolve_config("EVA-Test/tiny")
+    model = EvaMirror(cfg, seed=7).eval()
+    sd = {"visual." + k: v for k, v in model.state_dict().items()}
+    params = convert_torch_state_dict(sd, cfg)
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    f32 = np.asarray(vit_encode_image(params, x, cfg,
+                                      compute_dtype=jnp.float32,
+                                      fused_attention=False))
+    import os
+
+    os.environ["CTPU_PALLAS_INTERPRET"] = "1"
+    try:
+        fused = np.asarray(vit_encode_image(params, x, cfg,
+                                            compute_dtype=jnp.bfloat16,
+                                            fused_attention=True))
+    finally:
+        os.environ.pop("CTPU_PALLAS_INTERPRET", None)
+    cos = np.sum(f32 * fused, axis=-1)
+    assert np.all(1.0 - cos < 1e-3), f"fused/bf16 cosine error {1 - cos}"
+
+
+def test_eva_registry():
+    for name, dim, res, swiglu in (
+            ("EVA01-g-14", 1024, 224, False),
+            ("EVA02-B-16", 512, 224, True),
+            ("EVA02-L-14", 768, 224, True),
+            ("EVA02-L-14-336", 768, 336, True)):
+        cfg = resolve_config(f"{name}/merged2b_s8b_b131k")
+        assert cfg.embed_dim == dim and cfg.image_size == res
+        assert (cfg.mlp_type == "swiglu") == swiglu
+        assert cfg.attn_inner_ln == swiglu and cfg.use_rope2d == swiglu
+
+
+def test_eva_encoder_wrapper(rng, caplog):
+    """CLIPImageEncoder dispatches EVA names end-to-end, incl. the int8→bf16
+    downgrade (no int8 formulation for swiglu/sub-LN blocks yet)."""
+    import logging
+
+    from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+
+    enc = CLIPImageEncoder("EVA-Test/tiny", compute_dtype=jnp.float32)
+    assert enc.img_resolution == 32 and enc.embed_dim == 16
+    x = rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    emb = np.asarray(enc.encode(jnp.asarray(x)))
+    assert emb.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+
+    with caplog.at_level(logging.WARNING):
+        enc8 = CLIPImageEncoder("EVA-Test/tiny", compute_dtype="int8_static")
+    assert not enc8.quantized and not enc8.static_quant
+    assert any("swiglu" in r.message for r in caplog.records)
