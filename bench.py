@@ -38,6 +38,21 @@ def model_flops_per_image(cfg) -> float:
     Counts the MXU work only (patch/conv + attention + MLP + readout);
     preprocess resampling and elementwise ops are excluded, so the derived
     "effective TOPS" is slightly conservative."""
+    if hasattr(cfg, "dims"):  # ConvNeXt tower (CNXConfig)
+        hw = (cfg.image_size // 4) ** 2
+        f = 2 * hw * (4 * 4 * 3) * cfg.dims[0]  # stem
+        for s, (depth, c) in enumerate(zip(cfg.depths, cfg.dims)):
+            if s > 0:
+                hw //= 4
+                f += 2 * hw * (2 * 2 * cfg.dims[s - 1]) * c  # downsample conv
+            # dw 7x7 + two pointwise (C->4C->C) per block
+            f += depth * (2 * hw * 49 * c + 2 * 2 * hw * c * 4 * c)
+        cl = cfg.dims[-1]
+        if cfg.proj == "mlp":
+            f += 2 * cl * 2 * cfg.embed_dim + 2 * 2 * cfg.embed_dim * cfg.embed_dim
+        else:
+            f += 2 * cl * cfg.embed_dim
+        return float(f) * N_CROPS
     if getattr(cfg, "patch_size", None) is None:  # modified-ResNet tower
         from clip_assisted_data_labeling_tpu.models.resnet import _block_widths
 
@@ -60,10 +75,12 @@ def model_flops_per_image(cfg) -> float:
         f += 2 * S * C * C * 3 + 2 * 2 * S * C + 2 * C * cfg.embed_dim  # attnpool
         return float(f) * N_CROPS
     S, w, mlp = cfg.seq_len, cfg.width, cfg.mlp_dim
+    # swiglu (EVA02) runs THREE mlp matmuls: packed w1||w2 (2*mlp wide) + w3
+    mlp_f = (6 if getattr(cfg, "mlp_type", "mlp") == "swiglu" else 4) * S * w * mlp
     per_layer = (2 * S * w * 3 * w      # qkv projection
                  + 4 * S * S * w        # scores + AV
                  + 2 * S * w * w        # out projection
-                 + 4 * S * w * mlp)     # fc1 + fc2
+                 + mlp_f)               # fc1 + fc2 (or w1||w2 + w3)
     f = cfg.layers * per_layer
     f += 2 * S * (cfg.patch_size ** 2 * 3) * w  # patch embed
     if cfg.pool in ("attn", "map"):

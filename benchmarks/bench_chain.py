@@ -48,11 +48,12 @@ def _plant_labels(root: str, uuids: list[str], rng) -> None:
     db.save()
 
 
-def _train(data_dir: str, name: str, model_name: str) -> str:
+def _train(data_dir: str, name: str, model_name: str,
+           extra: tuple = ()) -> str:
     from clip_assisted_data_labeling_tpu.pipeline import train
 
     train.main(["--train_data_dir", data_dir, "--train_data_names", name,
-                "--model_name", model_name, *TRAIN_ARGS])
+                "--model_name", model_name, *TRAIN_ARGS, *extra])
     cands = sorted(
         (f for f in os.listdir("models") if f.startswith(model_name)),
         key=lambda f: os.path.getmtime(os.path.join("models", f)),
@@ -96,7 +97,8 @@ def predict_1m(n: int, batch_size: int) -> None:
 
     _plant_labels(root, uuids, rng)
     t0 = time.perf_counter()
-    model_path = _train(base, "imgs", f"chain1m_{n}")
+    model_path = _train(base, "imgs", f"chain1m_{n}",
+                        extra=("--crop_names", *crops))
     print(f"[train] {N_LABELED} rows, 30 epochs: "
           f"{time.perf_counter() - t0:.1f}s -> {model_path}", flush=True)
 
@@ -178,8 +180,12 @@ def chain(n: int, model: str, batch: int) -> None:
 
     run("embed", E.main, "--root_dir", root, "--models_to_use", model,
         "--batch_size", str(batch))
+    # --test (dry-run) + a tight threshold: random-INIT weights embed noise
+    # images into a narrow cone (any pair can read cos >0.96), so a real
+    # move would gut the dataset before predict; the similarity compute —
+    # the part being measured — is identical either way
     run("dedup", D.main, "--root_dir", root, "--mode", "move",
-        "--threshold", "0.96")
+        "--threshold", "0.999", "--test")
     _plant_labels(root, uuids, rng)  # untimed: interactive stage stand-in
     t0 = time.perf_counter()
     model_path = _train(base, "imgs", f"chain_{n}")
