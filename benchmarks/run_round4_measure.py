@@ -123,6 +123,12 @@ def main():
     if "rn50" in which:
         bench_model("RN50/openai", 32, "bfloat16")
         bench_model("RN50/openai", 64, "bfloat16")
+    if "cnx" in which:  # conv towers run bf16 (int8 downgrades)
+        bench_model("convnext_base_w/laion2b_s13b_b82k", 32, "bfloat16")
+        bench_model("convnext_base_w/laion2b_s13b_b82k", 64, "bfloat16")
+    if "eva" in which:  # swiglu blocks run bf16 (no int8 formulation yet)
+        routing_report("EVA02-L-14/merged2b_s4b_b131k")
+        bench_model("EVA02-L-14/merged2b_s4b_b131k", 40, "bfloat16")
 
 
 if __name__ == "__main__":

@@ -159,17 +159,23 @@ class CLIPImageEncoder:
         # (without it, per-layer amaxes come from whichever batch runs first).
         self.calibration_path = calibration_path
         self.cfg = resolve_config(model_name)
-        if compute_dtype in ("int8", "int8_static") and (
-                isinstance(self.cfg, (RNConfig, CNXConfig))
-                or getattr(self.cfg, "mlp_type", "mlp") == "swiglu"
-                or getattr(self.cfg, "attn_inner_ln", False)):
-            # the W8A8 machinery (ops/quant.py) is shaped for the standard
-            # transformer block: conv towers run bf16 (convs are already
-            # MXU-native), and the EVA02 block (swiglu MLP + sub-LNs) has no
-            # int8 formulation yet (models/vit._block guard)
+        eva_block = (getattr(self.cfg, "mlp_type", "mlp") == "swiglu"
+                     or getattr(self.cfg, "attn_inner_ln", False))
+        if compute_dtype in ("int8", "int8_static") and isinstance(
+                self.cfg, (RNConfig, CNXConfig)):
+            # the W8A8 machinery (ops/quant.py) is transformer-block-shaped;
+            # the conv towers run bf16 (convs are already MXU-native there)
             log.warning(
-                "%s has no int8 block formulation (modified-ResNet/ConvNeXt "
-                "conv tower or EVA02 swiglu/sub-LN block) — running "
+                "%s is a conv tower (modified-ResNet/ConvNeXt) — int8 modes "
+                "are ViT-only; running bfloat16", model_name,
+            )
+            compute_dtype = "bfloat16"
+        elif compute_dtype == "int8" and eva_block:
+            # EVA02's swiglu/sub-LN block has a STATIC int8 path
+            # (vit._block_int8_static_lnk EVA branches) but no dynamic one
+            log.warning(
+                "%s (EVA02 swiglu/sub-LN block) has no dynamic-int8 "
+                "formulation — use int8_static for the fast path; running "
                 "bfloat16", model_name,
             )
             compute_dtype = "bfloat16"

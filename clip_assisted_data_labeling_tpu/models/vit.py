@@ -242,6 +242,13 @@ MODEL_REGISTRY["EVA-Test/tiny"] = VitConfig(
     mlp_hidden=112, **_EVA02,
 )
 
+# width-128 EVA02 test config: wide enough for the fused int8_static lnk
+# path's rowquant kernels (width % 128 == 0 gate in models/vit._block)
+MODEL_REGISTRY["EVA-Test-Wide/tiny"] = VitConfig(
+    width=128, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16,
+    mlp_hidden=224, **_EVA02,
+)
+
 
 # trunk dims shared by every SigLIP/SigLIP2 tower of a size family (the
 # SigLIP2 releases reuse the SigLIP vision architecture; only training and
@@ -691,8 +698,15 @@ def _block_int8_static_lnk(x, p, cfg: VitConfig, rope=None):
         qkv.reshape(B, S, 3 * w), heads=cfg.heads,
         scale=cfg.head_dim ** -0.5, s_real=cfg.seq_len, rope=rope,
     )
+    if cfg.attn_inner_ln:
+        # EVA02 sub-LN before the out projection: a[1] is calibrated on the
+        # POST-LN values (vit_act_amax), so ln+quantize run as one fused pass
+        attn_q = rowquant_static(attn.reshape(B * S, w), p["attn_ln_scale"],
+                                 p["attn_ln_bias"], a[1], ln_eps=cfg.ln_eps)
+    else:
+        attn_q = quant_static(attn, a[1]).reshape(B * S, w)
     x2 = x2 + q_matmul_pre(
-        quant_static(attn, a[1]).reshape(B * S, w), a[1] * inv127,
+        attn_q, a[1] * inv127,
         p["out_kernel"], p["out_kernel_scale"], p["out_bias"],
         out_dtype=x.dtype,
     )
@@ -700,7 +714,16 @@ def _block_int8_static_lnk(x, p, cfg: VitConfig, rope=None):
                          ln_eps=cfg.ln_eps)
     h = q_matmul_pre(hq, a[2] * inv127, p["fc1_kernel"],
                      p["fc1_kernel_scale"], p["fc1_bias"])
-    g = _act(h, cfg.act, quantized=True)
+    if cfg.mlp_type == "swiglu":
+        # EVA02: packed w1‖w2 came out of ONE int8 matmul; silu-gate, then
+        # the ffn sub-LN + static quantize. The XLA ln chain is used here —
+        # the fused rowquant kernel needs width % 128 == 0 and EVA02's
+        # swiglu hiddens are ragged (L: 2730)
+        h1, h2 = jnp.split(h, 2, axis=-1)
+        g = _layernorm(jax.nn.silu(h1) * h2, p["ffn_ln_scale"],
+                       p["ffn_ln_bias"], cfg.ln_eps)
+    else:
+        g = _act(h, cfg.act, quantized=True)
     x2 = q_matmul_pre(quant_static(g, a[3]), a[3] * inv127, p["fc2_kernel"],
                       p["fc2_kernel_scale"], p["fc2_bias"], residual=x2,
                       out_dtype=x.dtype)
@@ -769,12 +792,14 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     by :func:`attach_act_amax`), activation quantization is static (fused into
     producer epilogues); otherwise dynamic per-row."""
     a = p.get("act_amax") if quantized else None
-    # EVA02 blocks (swiglu MLP / inner attention LN) have no int8 block
-    # formulation yet — encoders.py downgrades them to bf16 anyway; the guard
-    # here keeps a hand-built quantized call from taking a wrong fast path
+    # EVA02 blocks (swiglu MLP / inner attention LN): int8_static is served
+    # by _block_int8_static_lnk's EVA branches; the q8s wire and the DYNAMIC
+    # int8 paths have no EVA formulation (encoders.py downgrades dynamic-int8
+    # EVA encoders to bf16)
     eva_block = cfg.mlp_type == "swiglu" or cfg.attn_inner_ln
-    if quantized and fused_attention and not eva_block:
-        if a is not None and "qkv_amax" in p and rope is None:
+    if quantized and fused_attention:
+        if (a is not None and "qkv_amax" in p and rope is None
+                and not eva_block):
             # the q8s wire kernel q-row-tiles long sequences (ViT-L-336's 592
             # padded tokens fit since round 4); the gate is still the VMEM
             # budget — int8 blocks + per-head bf16 k/v dequant temporaries +
@@ -794,7 +819,7 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
             # widths not divisible by 128 fall back.
             if knobs.LN_KERNEL and cfg.width % 128 == 0:
                 return _block_int8_static_lnk(x, p, cfg, rope)
-        if a is None and rope is None:
+        if a is None and rope is None and not eva_block:
             mode = _int8_block_mode()
             # same width gate as the static lnk dispatch above: the fused
             # block's rowquant needs K % 128 == 0; narrow towers fall through
@@ -1077,12 +1102,21 @@ def vit_act_amax(
             k = _apply_rope(k, *rope)
         attn = attention_xla(q, k, v, scale=d ** -0.5)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, w)
+        if cfg.attn_inner_ln:  # EVA02: a[1] quantizes the POST-sub-LN values
+            attn = _layernorm(attn, p["attn_ln_scale"], p["attn_ln_bias"],
+                              cfg.ln_eps)
         s_attn = jnp.max(jnp.abs(attn.astype(jnp.float32)))
         x = x + _linear(attn, p, "out_kernel", quantized)
         y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
         s_fc1 = jnp.max(jnp.abs(y.astype(jnp.float32)))
-        g = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act,
-                 quantized=quantized)
+        if cfg.mlp_type == "swiglu":  # EVA02: a[3] quantizes post-ffn-LN
+            h1, h2 = jnp.split(_linear(y, p, "fc1_kernel", quantized), 2,
+                               axis=-1)
+            g = _layernorm(jax.nn.silu(h1) * h2, p["ffn_ln_scale"],
+                           p["ffn_ln_bias"], cfg.ln_eps)
+        else:
+            g = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act,
+                     quantized=quantized)
         s_act = jnp.max(jnp.abs(g.astype(jnp.float32)))
         x = x + _linear(g, p, "fc2_kernel", quantized)
         return x, {

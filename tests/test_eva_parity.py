@@ -230,6 +230,50 @@ def test_eva_bf16_and_fused_attention_within_budget(rng):
     assert np.all(1.0 - cos < 1e-3), f"fused/bf16 cosine error {1 - cos}"
 
 
+def test_eva02_int8_static_within_budget(rng):
+    """EVA02's static-W8A8 path (the swiglu + sub-LN branches of
+    vit_act_amax and _block_int8_static_lnk) must track f32 within the
+    fast-mode budget — on the generic XLA path AND the fused lnk path
+    (interpret mode; width-128 config passes the rowquant kernel gate)."""
+    import os
+
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        attach_act_amax,
+        vit_act_amax,
+    )
+    from clip_assisted_data_labeling_tpu.ops.quant import quantize_vit_params
+
+    cfg = resolve_config("EVA-Test-Wide/tiny")
+    model = EvaMirror(cfg, seed=9).eval()
+    sd = {"visual." + k: v for k, v in model.state_dict().items()}
+    params = convert_torch_state_dict(sd, cfg)
+    qparams = quantize_vit_params(params)
+    calib = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    amax = vit_act_amax(qparams, calib, cfg, compute_dtype=jnp.float32)
+    assert amax["act_amax"].shape == (cfg.layers, 4)
+    assert all(np.all(np.asarray(v) > 0) for v in amax.values())
+    sparams = attach_act_amax(qparams, {"act_amax": amax["act_amax"]})
+
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(vit_encode_image(params, x, cfg,
+                                      compute_dtype=jnp.float32,
+                                      fused_attention=False))
+    stat = np.asarray(vit_encode_image(sparams, x, cfg,
+                                       compute_dtype=jnp.float32,
+                                       fused_attention=False))
+    assert np.all(np.sum(ref * stat, axis=-1) > 0.995)
+
+    os.environ["CTPU_PALLAS_INTERPRET"] = "1"
+    try:
+        lnk = np.asarray(vit_encode_image(sparams, x, cfg,
+                                          compute_dtype=jnp.bfloat16,
+                                          fused_attention=True))
+    finally:
+        os.environ.pop("CTPU_PALLAS_INTERPRET", None)
+    assert np.all(np.sum(ref * lnk, axis=-1) > 0.995)
+    assert np.all(np.sum(stat * lnk, axis=-1) > 0.995)
+
+
 def test_eva_registry():
     for name, dim, res, swiglu in (
             ("EVA01-g-14", 1024, 224, False),
@@ -243,8 +287,9 @@ def test_eva_registry():
 
 
 def test_eva_encoder_wrapper(rng, caplog):
-    """CLIPImageEncoder dispatches EVA names end-to-end, incl. the int8→bf16
-    downgrade (no int8 formulation for swiglu/sub-LN blocks yet)."""
+    """CLIPImageEncoder dispatches EVA names end-to-end: f32 encode,
+    int8_static SUPPORTED (lazy calibration attaches act_amax), and the
+    dynamic-int8 downgrade (no dynamic formulation for swiglu blocks)."""
     import logging
 
     from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
@@ -256,7 +301,14 @@ def test_eva_encoder_wrapper(rng, caplog):
     assert emb.shape == (2, 16)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
 
+    enc_s = CLIPImageEncoder("EVA-Test/tiny", compute_dtype="int8_static")
+    assert enc_s.quantized and enc_s.static_quant
+    emb_s = np.asarray(enc_s.encode(jnp.asarray(x)))
+    assert "act_amax" in enc_s.params["blocks"]  # calibrated on first batch
+    cos = np.sum(emb * emb_s, axis=-1)
+    assert np.all(cos > 0.99), f"int8_static EVA cosine {cos}"
+
     with caplog.at_level(logging.WARNING):
-        enc8 = CLIPImageEncoder("EVA-Test/tiny", compute_dtype="int8_static")
-    assert not enc8.quantized and not enc8.static_quant
+        enc8 = CLIPImageEncoder("EVA-Test/tiny", compute_dtype="int8")
+    assert not enc8.quantized
     assert any("swiglu" in r.message for r in caplog.records)
