@@ -126,8 +126,9 @@ def main():
     if "cnx" in which:  # conv towers run bf16 (int8 downgrades)
         bench_model("convnext_base_w/laion2b_s13b_b82k", 32, "bfloat16")
         bench_model("convnext_base_w/laion2b_s13b_b82k", 64, "bfloat16")
-    if "eva" in which:  # swiglu blocks run bf16 (no int8 formulation yet)
+    if "eva" in which:
         routing_report("EVA02-L-14/merged2b_s4b_b131k")
+        bench_model("EVA02-L-14/merged2b_s4b_b131k", 40, "int8_static")
         bench_model("EVA02-L-14/merged2b_s4b_b131k", 40, "bfloat16")
 
 

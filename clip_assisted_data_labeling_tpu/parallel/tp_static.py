@@ -268,6 +268,16 @@ def vit_encode_tp_static(params, images, cfg: VitConfig, mesh: Mesh,
     if "act_amax" not in params["blocks"]:
         raise ValueError("vit_encode_tp_static needs calibrated act_amax "
                          "scales (models/vit.attach_act_amax)")
+    if cfg.mlp_type == "swiglu" or cfg.attn_inner_ln:
+        # the explicit Megatron dataflow below is written for the standard
+        # gelu block — running an EVA02 tower through it would silently skip
+        # the sub-LNs / swiglu gate. GSPMD TP (parallel/tp.py) handles EVA
+        # correctly (logical-shape program); use that or DP until an EVA
+        # formulation is written.
+        raise NotImplementedError(
+            "tp_static has no EVA02 (swiglu/sub-LN) block formulation — "
+            "use the GSPMD TP path (parallel/tp.apply_tp_sharding) or DP"
+        )
     spec_key = tuple(
         (name, tuple(sorted(leaf)) if isinstance(leaf, dict) else None)
         for name, leaf in sorted(params.items())
