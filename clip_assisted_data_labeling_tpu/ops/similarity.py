@@ -236,6 +236,15 @@ def _extract_hits_q(stacked_q, scales, hit_rows_q, hit_scales, hit_gidx,
     return jax.lax.fori_loop(0, p, body, init)
 
 
+# Per-buffer f32-element budget for pass 2 (~256 MB): bounds both the
+# [h_chunk, b] metric/sort tiles and the [h_chunk, k] running top-k, so
+# extraction never OOMs no matter how many rows hit. A narrow embedding cone
+# at a tight threshold can make EVERY row a hit — observed on 100k random-init
+# ViT-L embeddings at threshold 0.999 over the int8 wire (scan at 0.979):
+# the unchunked [131072, 8192] sort buffers alone exceed a v5e's 16 GB HBM.
+EXTRACT_BUDGET_ELEMS = 64 * 1024 * 1024
+
+
 def _bucket(n: int, lo: int = 128) -> int:
     """Round up to a power of two (bounded recompilation across hit counts)."""
     size = lo
@@ -287,6 +296,54 @@ def _exact_metric_host(normed: np.ndarray, rows: np.ndarray, cols: np.ndarray,
     if euclidean:
         return np.sqrt(np.maximum(2.0 - 2.0 * cos, 0.0))
     return cos
+
+
+def filter_and_recheck(v: np.ndarray, j: np.ndarray, hit_global: np.ndarray,
+                       normed: np.ndarray, scan_threshold: float,
+                       threshold: float, euclidean: bool):
+    """Host side of pass 2 for one hit chunk: slack-banded candidate filter,
+    then the exact f32 recheck that makes the reported pair set and metrics
+    wire-independent. v/j: [h, k] extracted values/global col indices;
+    hit_global: [h] global row indices. Returns (rows, cols, metrics)."""
+    # small slack: pass 2's matmul has a different reduction shape than pass
+    # 1's count tiles, so a pair exactly at the threshold could otherwise
+    # round below it here after rounding above it there and silently vanish
+    hit_r, hit_k = np.nonzero(v > scan_threshold - THRESHOLD_SLACK)
+    rows = hit_global[hit_r].astype(np.int64)
+    cols = j[hit_r, hit_k].astype(np.int64)
+    metrics = v[hit_r, hit_k].astype(np.float32)
+    if len(rows):
+        # exact f32 recheck of the (few) candidates: drops the slack band's
+        # false positives and replaces approximate metrics with exact ones
+        exact = _exact_metric_host(normed, rows, cols, euclidean)
+        keep = exact > threshold - THRESHOLD_SLACK
+        rows, cols, metrics = rows[keep], cols[keep], exact[keep]
+    return rows, cols, metrics
+
+
+def extract_chunk_size(tile_elems: int, k: int) -> int:
+    """Hit-panel chunk size that keeps every pass-2 device buffer within
+    EXTRACT_BUDGET_ELEMS f32 elements: the per-tile sort buffers scale with
+    ``tile_elems`` (the column-tile width) and the running top-k with ``k``."""
+    return max(128, min(8192, EXTRACT_BUDGET_ELEMS // max(tile_elems, k, 1)))
+
+
+def warn_if_degenerate(counts: np.ndarray, n: int, threshold: float,
+                       scan_threshold: float) -> None:
+    """Loud, non-fatal notice when the device scan marks a large share of all
+    pairs as candidates: extraction is memory-bounded (chunked) but the run
+    degrades to O(N²) work and a large host recheck — almost always a
+    too-low threshold for the embedding distribution, not real duplicates."""
+    total = int(counts.sum())
+    if total > max(1_000_000, 32 * n):
+        print(
+            f"[dedup] WARNING: {total:,} candidate pairs above the device-scan "
+            f"threshold {scan_threshold:.4f} (threshold {threshold} minus the "
+            f"wire slack) across {n:,} rows — the embedding distribution is "
+            f"near-degenerate at this threshold. Extraction is memory-bounded "
+            f"and exact but slow; consider a higher --threshold or the fp16 "
+            f"wire (10x tighter scan slack).", flush=True,
+        )
 
 
 def find_duplicate_pairs(
@@ -370,39 +427,40 @@ def find_duplicate_pairs(
     # match count from above, so the capacity escalates itself: if any row has
     # more matches than max_per_row, extract with a (power-of-two-bucketed) k
     # that fits the worst row — no user re-run needed, overflow_rows is
-    # informational only.
+    # informational only. Hit rows are processed in bounded chunks so device
+    # and host memory stay O(chunk · max(b, k)) even when EVERY row hits (a
+    # degenerate dataset / too-low threshold); results are chunk-order
+    # invariant because each row's top-k is independent.
+    warn_if_degenerate(counts, n, threshold, scan_threshold)
     k = min(_required_k(counts, max_per_row), n_pad)
-    if int8_wire:
-        hit_q, hit_s, gidx = build_hit_panel_q(hit, q, s_row, n_pad)
-        run_vals, run_idx = _extract_hits_q(
-            stacked_q, scales, jnp.asarray(hit_q), jnp.asarray(hit_s),
-            jnp.asarray(gidx), n, scan_threshold, k, euclidean,
-        )
-    else:
-        hit_panel, gidx = build_hit_panel(hit, normed, n_pad, dtype=np.float16)
-        run_vals, run_idx = _extract_hits(
-            stacked, jnp.asarray(hit_panel), jnp.asarray(gidx), n,
-            scan_threshold, k, euclidean,
-        )
-    v = np.asarray(run_vals)[: len(hit)]
-    j = np.asarray(run_idx)[: len(hit)]
-    # small slack: pass 2's matmul has a different reduction shape than pass 1's
-    # count tiles, so a pair exactly at the threshold could otherwise round
-    # below it here after rounding above it there and silently vanish
-    hit_r, hit_k = np.nonzero(v > scan_threshold - THRESHOLD_SLACK)
-    rows = hit[hit_r].astype(np.int64)
-    cols = j[hit_r, hit_k].astype(np.int64)
-    metrics = v[hit_r, hit_k]
-    if len(rows):
-        # exact f32 recheck of the (few) candidates: drops the slack band's
-        # false positives and replaces approximate metrics with exact ones
-        exact = _exact_metric_host(normed, rows, cols, euclidean)
-        keep = exact > threshold - THRESHOLD_SLACK
-        rows, cols, metrics = rows[keep], cols[keep], exact[keep]
+    chunk = extract_chunk_size(b, k)
+    rows_l, cols_l, metrics_l = [], [], []
+    for c0 in range(0, len(hit), chunk):
+        hc = hit[c0:c0 + chunk]
+        if int8_wire:
+            hit_q, hit_s, gidx = build_hit_panel_q(hc, q, s_row, n_pad)
+            run_vals, run_idx = _extract_hits_q(
+                stacked_q, scales, jnp.asarray(hit_q), jnp.asarray(hit_s),
+                jnp.asarray(gidx), n, scan_threshold, k, euclidean,
+            )
+        else:
+            hit_panel, gidx = build_hit_panel(hc, normed, n_pad,
+                                              dtype=np.float16)
+            run_vals, run_idx = _extract_hits(
+                stacked, jnp.asarray(hit_panel), jnp.asarray(gidx), n,
+                scan_threshold, k, euclidean,
+            )
+        v = np.asarray(run_vals)[: len(hc)]
+        j = np.asarray(run_idx)[: len(hc)]
+        r, c, m = filter_and_recheck(v, j, hc, normed, scan_threshold,
+                                     threshold, euclidean)
+        rows_l.append(r)
+        cols_l.append(c)
+        metrics_l.append(m)
     return DedupResult(
-        rows=rows,
-        cols=cols,
-        metrics=metrics,
+        rows=np.concatenate(rows_l),
+        cols=np.concatenate(cols_l),
+        metrics=np.concatenate(metrics_l),
         overflow_rows=np.nonzero(counts > max_per_row)[0].astype(np.int64),
     )
 

@@ -34,10 +34,11 @@ from clip_assisted_data_labeling_tpu.parallel.mesh import (
 from clip_assisted_data_labeling_tpu.ops.similarity import (
     FP16_SLACK,
     INT8_SLACK,
-    THRESHOLD_SLACK,
     DedupResult,
-    _exact_metric_host,
     _required_k,
+    extract_chunk_size,
+    filter_and_recheck,
+    warn_if_degenerate,
     _tile_metric as _metric,
     _tile_metric_q as _metric_q,
     build_hit_panel,
@@ -282,46 +283,48 @@ def find_duplicate_pairs_sharded(
         return empty
 
     # auto-escalate per-row capacity to fit the worst exact count (see
-    # ops/similarity._required_k) — overflow never requires a user re-run
+    # ops/similarity._required_k) — overflow never requires a user re-run.
+    # Hit rows are chunked so the replicated [h, m] per-device metric/sort
+    # tiles and [h, k] merges stay within the extraction budget even when
+    # every row hits (degenerate data / too-low threshold) — same bounded-
+    # memory contract as the single-device path (ops/similarity).
+    warn_if_degenerate(counts, n, threshold, scan_threshold)
     k = min(_required_k(counts, max_per_row), n_pad)
-    if int8_wire:
-        hit_q, hit_s, gidx = build_hit_panel_q(hit, q8, s_row, n_pad)
-        h_pad = len(hit_q)
-        vals, idx = _sharded_extract_q(
-            sharded_q, sharded_s, _put_replicated(hit_q, mesh),
-            _put_replicated(hit_s, mesh), _put_replicated(gidx, mesh),
-            n, mesh, n_devices, k, euclidean, axis,
-        )
-    else:
-        hit_panel, gidx = build_hit_panel(hit, normed, n_pad, dtype=np.float16)
-        h_pad = len(hit_panel)
-        vals, idx = _sharded_extract(
-            sharded, _put_replicated(hit_panel, mesh),
-            _put_replicated(gidx, mesh), n, mesh, n_devices, k, euclidean,
-            axis,
-        )
-    # merge the d per-device top-k lists: [d, H, k_tile] → [H, d*k_tile] → top-k
-    v = _fetch(vals, mesh).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hit)]
-    j = _fetch(idx, mesh).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hit)]
-    order = np.argsort(-v, axis=1)[:, :k]
-    v = np.take_along_axis(v, order, axis=1)
-    j = np.take_along_axis(j, order, axis=1)
-
-    # slack: pass 2's matmul reduction shape differs from pass 1's, so an
-    # exactly-at-threshold pair must not round below it here and vanish
-    hit_r, hit_k = np.nonzero(v > scan_threshold - THRESHOLD_SLACK)
-    rows = hit[hit_r].astype(np.int64)
-    cols = j[hit_r, hit_k].astype(np.int64)
-    metrics = v[hit_r, hit_k].astype(np.float32)
-    if len(rows):
-        # exact f32 recheck (host): drops the slack band's false positives,
-        # replaces wire-rounded metrics with exact ones
-        exact = _exact_metric_host(normed_f32, rows, cols, euclidean)
-        keep = exact > threshold - THRESHOLD_SLACK
-        rows, cols, metrics = rows[keep], cols[keep], exact[keep]
+    chunk = extract_chunk_size(m, k)
+    rows_l, cols_l, metrics_l = [], [], []
+    for c0 in range(0, len(hit), chunk):
+        hc = hit[c0:c0 + chunk]
+        if int8_wire:
+            hit_q, hit_s, gidx = build_hit_panel_q(hc, q8, s_row, n_pad)
+            h_pad = len(hit_q)
+            vals, idx = _sharded_extract_q(
+                sharded_q, sharded_s, _put_replicated(hit_q, mesh),
+                _put_replicated(hit_s, mesh), _put_replicated(gidx, mesh),
+                n, mesh, n_devices, k, euclidean, axis,
+            )
+        else:
+            hit_panel, gidx = build_hit_panel(hc, normed, n_pad,
+                                              dtype=np.float16)
+            h_pad = len(hit_panel)
+            vals, idx = _sharded_extract(
+                sharded, _put_replicated(hit_panel, mesh),
+                _put_replicated(gidx, mesh), n, mesh, n_devices, k, euclidean,
+                axis,
+            )
+        # merge the d per-device top-k lists: [d, H, k_tile] → [H, d*k_tile]
+        v = _fetch(vals, mesh).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hc)]
+        j = _fetch(idx, mesh).transpose(1, 0, 2).reshape(h_pad, -1)[: len(hc)]
+        order = np.argsort(-v, axis=1)[:, :k]
+        v = np.take_along_axis(v, order, axis=1)
+        j = np.take_along_axis(j, order, axis=1)
+        r, c, mets = filter_and_recheck(v, j, hc, normed_f32, scan_threshold,
+                                        threshold, euclidean)
+        rows_l.append(r)
+        cols_l.append(c)
+        metrics_l.append(mets)
     return DedupResult(
-        rows=rows,
-        cols=cols,
-        metrics=metrics,
+        rows=np.concatenate(rows_l),
+        cols=np.concatenate(cols_l),
+        metrics=np.concatenate(metrics_l),
         overflow_rows=np.nonzero(counts > max_per_row)[0].astype(np.int64),
     )

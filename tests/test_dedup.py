@@ -232,3 +232,49 @@ def test_sharded_int8_wire_matches_fp16(rng):
     normed = normalize_rows(emb)
     for i, j, m in a.pairs():
         assert abs(float(normed[i] @ normed[j]) - m) < 1e-6
+
+
+def test_chunked_extraction_matches_unchunked(rng, monkeypatch):
+    """A tiny extraction budget forces many hit chunks; the pair set and
+    metrics must be identical to the single-panel result (chunk-order
+    invariance of per-row top-k)."""
+    import clip_assisted_data_labeling_tpu.ops.similarity as S
+
+    emb, expected = make_embeddings(rng, n=300, d=32, n_dupes=30,
+                                    threshold=0.95)
+    ref = find_duplicate_pairs(emb, threshold=0.95, row_block=64)
+    # budget of 64*k elems → chunk floor of 128 rows → ≥2 chunks over the hits
+    monkeypatch.setattr(S, "EXTRACT_BUDGET_ELEMS", 1)
+    for wire in ("int8", "fp16"):
+        res = find_duplicate_pairs(emb, threshold=0.95, row_block=64,
+                                   wire=wire)
+        assert (set(zip(res.rows.tolist(), res.cols.tolist()))
+                == set(zip(ref.rows.tolist(), ref.cols.tolist()))
+                == expected), wire
+    sharded = find_duplicate_pairs_sharded(emb, threshold=0.95,
+                                           mesh=get_mesh())
+    assert (set(zip(sharded.rows.tolist(), sharded.cols.tolist()))
+            == expected)
+
+
+def test_degenerate_cone_is_memory_bounded(rng, monkeypatch, capsys):
+    """Every row a duplicate of every other (narrow-cone data at a too-low
+    threshold — the failure that OOM'd the 100k chain run): extraction must
+    chunk, warn, and still return the exact full pair set."""
+    import clip_assisted_data_labeling_tpu.ops.similarity as S
+
+    base = normalize_rows(rng.normal(0, 1, (1, 32)))
+    emb = normalize_rows(base + rng.normal(0, 0.02, (512, 32)))
+    monkeypatch.setattr(S, "EXTRACT_BUDGET_ELEMS", 1)
+    res = find_duplicate_pairs(emb, threshold=0.9, row_block=128)
+    normed = normalize_rows(emb)
+    sims = normed @ normed.T
+    iu, ju = np.triu_indices(512, k=1)
+    mask = sims[iu, ju] > 0.9
+    assert (set(zip(res.rows.tolist(), res.cols.tolist()))
+            == set(zip(iu[mask].tolist(), ju[mask].tolist())))
+    # the warning fires only past the 1M-candidate absolute floor
+    S.warn_if_degenerate(np.full(512, 1000), 512, 0.9, 0.88)
+    assert "near-degenerate" not in capsys.readouterr().out
+    S.warn_if_degenerate(np.full(100_000, 40), 100_000, 0.999, 0.979)
+    assert "near-degenerate" in capsys.readouterr().out
