@@ -291,11 +291,19 @@ def build_hit_panel_q(hit: np.ndarray, q: np.ndarray, s_row: np.ndarray,
 
 def _exact_metric_host(normed: np.ndarray, rows: np.ndarray, cols: np.ndarray,
                        euclidean: bool) -> np.ndarray:
-    """f32 host metric for candidate pairs (the int8 wire's exact recheck)."""
-    cos = np.einsum("ij,ij->i", normed[rows], normed[cols]).astype(np.float32)
+    """f32 host metric for candidate pairs (the int8 wire's exact recheck).
+
+    Sliced: the fancy-index gathers materialize [P, D] f32 copies, and a
+    degenerate scan can emit millions of candidates per chunk — slicing keeps
+    the recheck's host footprint to ~0.8 GB regardless of candidate count."""
+    out = np.empty(len(rows), np.float32)
+    step = 1 << 18
+    for s in range(0, len(rows), step):
+        out[s:s + step] = np.einsum(
+            "ij,ij->i", normed[rows[s:s + step]], normed[cols[s:s + step]])
     if euclidean:
-        return np.sqrt(np.maximum(2.0 - 2.0 * cos, 0.0))
-    return cos
+        return np.sqrt(np.maximum(2.0 - 2.0 * out, 0.0))
+    return out
 
 
 def filter_and_recheck(v: np.ndarray, j: np.ndarray, hit_global: np.ndarray,
