@@ -87,10 +87,11 @@ class ShardedEmbedder:
             int8_wire_enabled,
         )
 
-        # the q8s wire has no TP formulation (explicit int32-psum path,
-        # parallel/tp_static.py) — per-shape auto-enable applies to the DP
-        # path only; 2-D meshes run wire-free regardless of the knob
-        wire = int8_wire_enabled(self.cfg) and self._dp_only
+        # per-shape auto wire resolution uses the GLOBAL tower shape; on 2-D
+        # meshes tp_static re-gates per LOCAL shard geometry (a shard whose
+        # non-wire route would be the bf16 whole-block kernel still runs the
+        # wire if the global auto said so — documented trade, ROADMAP)
+        wire = int8_wire_enabled(self.cfg)
 
         amax = None
         if self.calibration_path and os.path.exists(self.calibration_path):
@@ -148,9 +149,10 @@ class ShardedEmbedder:
 
         host_params = jax.tree.map(np.asarray, self.params)
         host_params = attach_act_amax(host_params, amax)
-        # the q8s attention wire is not formulated for TP shards; keep the
-        # per-tensor static sites only (the wire is measured-neutral anyway)
-        host_params["blocks"].pop("qkv_amax", None)
+        # qkv_amax (when the wire resolved on) rides into place_tp_static:
+        # reorder_qkv_tp permutes it with the qkv columns and it shards
+        # P(None, 'model') — _block_tp_static folds the local slice exactly
+        # as the single-device wire block (bit-identity test: test_tp_static)
         self.params = place_tp_static(host_params, self.mesh, self.cfg)
         self._tp_static = True
         print(f"int8_static: explicit-collective TP over {dict(self.mesh.shape)}")

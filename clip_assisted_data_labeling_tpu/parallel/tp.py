@@ -41,6 +41,8 @@ TP_BLOCK_SPECS: dict[str, P] = {
     "fc2_kernel": P(None, "model", None),
     # W8A8 per-output-channel scales follow their kernel's output sharding
     "qkv_kernel_scale": P(None, "model"),
+    # int8 attention-wire per-channel amax: one value per qkv output column
+    "qkv_amax": P(None, "model"),
     "fc1_kernel_scale": P(None, "model"),
     "out_kernel_scale": P(None, None),
     "fc2_kernel_scale": P(None, None),

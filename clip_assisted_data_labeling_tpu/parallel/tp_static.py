@@ -124,33 +124,71 @@ def _block_tp_static(x, p, cfg: VitConfig, heads_local: int, rope,
 
     y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
     yq = quant_static(y, a[0]).reshape(B * S, w)
-    qkv = q_matmul_pre(yq, a[0] * inv127, p["qkv_kernel"],
-                       p["qkv_kernel_scale"], p["qkv_bias"],
-                       out_dtype=x.dtype).reshape(B, S, -1)
-    wl = qkv.shape[-1] // 3
-    if fused_attention:
+
+    # int8 attention wire, TP formulation: the per-channel qkv_amax was
+    # permuted with the qkv columns (reorder_qkv_tp), so each device folds its
+    # OWN [3·wl] scale slice exactly as the single-device wire block does
+    # (models/vit._block_int8_static_wire) — per-head attention is shard-local
+    # and the attn-out scale a[1] is a replicated scalar, so the int8 output
+    # feeds the int32-psum row-parallel out-projection bit-identically.
+    wl = p["qkv_kernel"].shape[-1] // 3
+    wire = "qkv_amax" in p and rope is None and fused_attention
+    if wire:
         from clip_assisted_data_labeling_tpu.ops.attention import (
-            packed_attention_auto,
+            packed_q8s_fits,
         )
 
-        attn = packed_attention_auto(qkv, heads=heads_local, scale=d ** -0.5,
-                                     s_real=cfg.seq_len, rope=rope)
-    else:
-        from clip_assisted_data_labeling_tpu.models.vit import _apply_rope
-        from clip_assisted_data_labeling_tpu.ops.attention import attention_xla
+        wire = packed_q8s_fits(S, wl, heads_local)
+    if wire:
+        from clip_assisted_data_labeling_tpu.ops.attention import (
+            fused_attention_packed_q8s,
+        )
 
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        rs = lambda t: t.reshape(B, S, heads_local, d).transpose(0, 2, 1, 3)  # noqa: E731
-        q, k, v = rs(q), rs(k), rs(v)
-        if rope is not None:
-            q = _apply_rope(q, *rope)
-            k = _apply_rope(k, *rope)
-        attn = attention_xla(q, k, v, scale=d ** -0.5)
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, wl)
+        qkv_f = q_matmul_pre(yq, a[0] * inv127, p["qkv_kernel"],
+                             p["qkv_kernel_scale"], p["qkv_bias"],
+                             out_dtype=jnp.float32)
+        qa = p["qkv_amax"]  # local [3·wl] per-channel slice
+        qkv_q = quant_static(qkv_f, qa).reshape(B, S, 3 * wl)
+        cs = jnp.concatenate([
+            qa[:wl] * (inv127 * d ** -0.5),
+            qa[wl : 2 * wl] * inv127,
+            qa[2 * wl :] / a[1],
+        ])
+        attn_q8 = fused_attention_packed_q8s(
+            qkv_q, cs, heads=heads_local, scale=d ** -0.5,
+            s_real=cfg.seq_len,
+        )
+        aq = attn_q8.reshape(B * S, wl)
+    else:
+        qkv = q_matmul_pre(yq, a[0] * inv127, p["qkv_kernel"],
+                           p["qkv_kernel_scale"], p["qkv_bias"],
+                           out_dtype=x.dtype).reshape(B, S, -1)
+        if fused_attention:
+            from clip_assisted_data_labeling_tpu.ops.attention import (
+                packed_attention_auto,
+            )
+
+            attn = packed_attention_auto(qkv, heads=heads_local,
+                                         scale=d ** -0.5,
+                                         s_real=cfg.seq_len, rope=rope)
+        else:
+            from clip_assisted_data_labeling_tpu.models.vit import _apply_rope
+            from clip_assisted_data_labeling_tpu.ops.attention import (
+                attention_xla,
+            )
+
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            rs = lambda t: t.reshape(B, S, heads_local, d).transpose(0, 2, 1, 3)  # noqa: E731
+            q, k, v = rs(q), rs(k), rs(v)
+            if rope is not None:
+                q = _apply_rope(q, *rope)
+                k = _apply_rope(k, *rope)
+            attn = attention_xla(q, k, v, scale=d ** -0.5)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, wl)
+        aq = quant_static(attn, a[1]).reshape(B * S, wl)
 
     # row-parallel out-projection: psum the INT32 accumulator (exact), then
     # the single dequant+bias epilogue exactly as the single-device path
-    aq = quant_static(attn, a[1]).reshape(B * S, wl)
     acc = jax.lax.psum(
         jax.lax.dot_general(aq, p["out_kernel"], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32),

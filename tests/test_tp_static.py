@@ -126,6 +126,42 @@ def test_tp_static_bit_identical_fused_attention(rng, monkeypatch):
     np.testing.assert_array_equal(tp, single)
 
 
+def test_tp_static_bit_identical_int8_wire(rng, monkeypatch):
+    """The q8s int8 attention wire's TP formulation: qkv_amax is permuted
+    with the qkv columns (reorder_qkv_tp) and sharded P(None, 'model'), each
+    device folds its local [3·wl] scale slice, and the kernel's int8 output
+    (under the replicated attn-out scalar) feeds the int32-psum row-parallel
+    out-projection — BIT-identical to the single-device wire block
+    (models/vit._block_int8_static_wire), interpreter-mode Pallas."""
+    monkeypatch.setenv("CTPU_PALLAS_INTERPRET", "1")
+    cfg = resolve_config("ViT-Test/tiny")
+    qparams = quantize_vit_params(init_vit_params(cfg, jax.random.key(0)))
+    calib = jnp.asarray(
+        rng.normal(0, 1, (2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    )
+    amax = vit_act_amax(qparams, calib, cfg, compute_dtype=jnp.float32)
+    sparams = attach_act_amax(
+        qparams, {"act_amax": amax["act_amax"], "qkv_amax": amax["qkv_amax"]})
+
+    from clip_assisted_data_labeling_tpu.ops.attention import packed_q8s_fits
+
+    # this shape must take the wire block on BOTH sides (global and 2-shard)
+    assert packed_q8s_fits(cfg.seq_len, cfg.width, cfg.heads)
+    assert packed_q8s_fits(cfg.seq_len, cfg.width // 2, cfg.heads // 2)
+
+    x = jnp.asarray(
+        rng.normal(0, 1, (4, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    )
+    single = np.asarray(vit_encode_image(
+        sparams, x, cfg, compute_dtype=jnp.float32, fused_attention=True))
+    mesh = get_mesh_2d(2, 2)
+    placed = place_tp_static(sparams, mesh, cfg)
+    tp = np.asarray(vit_encode_tp_static(
+        placed, x, cfg, mesh, compute_dtype=jnp.float32,
+        fused_attention=True))
+    np.testing.assert_array_equal(tp, single)
+
+
 def test_tp_static_requires_calibration(rng):
     import pytest
 
