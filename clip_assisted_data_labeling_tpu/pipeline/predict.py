@@ -55,16 +55,21 @@ def load_model(path: str) -> SimpleFCRegressor:
     return SimpleFCRegressor.load_torch_pickle(path)
 
 
-def _gather_features(root_dir: str, uuids: list[str], model: SimpleFCRegressor):
-    """Returns (kept_uuids, features[N,F]). Prefers the columnar store."""
+_UNSET = object()
+
+
+def _open_feature_stores(root_dir: str, model: SimpleFCRegressor):
+    """Open every columnar store the model needs ONCE (each open builds a
+    uuid index — O(dataset) work that must not repeat per chunk). Returns the
+    store dict, or None when any model lacks a store (sidecar fallback)."""
     clip_models = list(model.meta.clip_models)
-    crop_names = list(model.meta.crop_names)
     stores = {}
     for m in clip_models:
         if EmbeddingStore.exists(root_dir, m):
             stores[m] = EmbeddingStore.open(root_dir, m)
-
-    if len(stores) == len(clip_models) and model.meta.use_img_stat_features:
+    if len(stores) != len(clip_models):
+        return None
+    if model.meta.use_img_stat_features:
         missing = [m for m, s in stores.items() if s.img_stats is None]
         if missing:
             # fail ONCE and loudly: per-uuid skipping would finish the run
@@ -73,7 +78,18 @@ def _gather_features(root_dir: str, uuids: list[str], model: SimpleFCRegressor):
                 f"model needs img_stat features but store(s) {missing} have "
                 "none — re-embed without --no_image_stats"
             )
-    if len(stores) == len(clip_models):
+    return stores
+
+
+def _gather_features(root_dir: str, uuids: list[str], model: SimpleFCRegressor,
+                     stores=_UNSET):
+    """Returns (kept_uuids, features[N,F]). Prefers the columnar store."""
+    clip_models = list(model.meta.clip_models)
+    crop_names = list(model.meta.crop_names)
+    if stores is _UNSET:
+        stores = _open_feature_stores(root_dir, model)
+
+    if stores is not None:
         # vectorized batch gather (~13x the per-uuid loop on a warm store —
         # the host-side bound of a production 1M-row predict)
         keep, feats = assemble_batch_from_stores(
@@ -104,6 +120,45 @@ def _gather_features(root_dir: str, uuids: list[str], model: SimpleFCRegressor):
     return kept, np.stack(feats).astype(np.float32)
 
 
+# rows per assembly chunk: big enough that the vectorized store gather runs at
+# full speed and the device sees full batches, small enough that the feature
+# matrix never materializes whole (1M × 1536 f32 = 6 GB; one chunk is ~400 MB)
+ASSEMBLE_CHUNK = 65536
+
+
+def _prefetched_chunks(root_dir, uuids, model, stores, chunk: int):
+    """Yield per-chunk (kept_uuids, features) with the NEXT chunk assembling
+    on a background thread while the caller runs device inference on the
+    current one. The measured 1M-row predict splits ~50/50 between host
+    assembly (218.6 s) and tunnel-bound device batches (185.5 s, BENCH_NOTES
+    round-9) and both sides release the GIL (numpy memmap gathers / jax
+    dispatch), so overlapping them approaches max() instead of sum().
+    maxsize=1 bounds live memory to ~3 chunks (assembling + queued + in use)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=1)
+
+    def worker():
+        try:
+            for s in range(0, len(uuids), chunk):
+                q.put((None, _gather_features(
+                    root_dir, uuids[s : s + chunk], model, stores)))
+        except BaseException as e:  # surface in the consumer, never hang it
+            q.put((e, None))
+        else:
+            q.put((None, None))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        err, item = q.get()
+        if err is not None:
+            raise err
+        if item is None:
+            return
+        yield item
+
+
 def predict_labels(
     root_dir: str,
     model_file: str,
@@ -123,10 +178,8 @@ def predict_labels(
     uuids = [
         os.path.splitext(f)[0] for f in os.listdir(root_dir) if f.endswith(".jpg")
     ]
-    kept, feats = _gather_features(root_dir, uuids, model)
-    print(f"Predicting labels for {len(kept)} of {len(uuids)} images...")
-    if not kept:
-        return 0
+    print(f"Predicting labels for up to {len(uuids)} images...")
+    stores = _open_feature_stores(root_dir, model)
 
     all_scores = None
     if sharded:
@@ -137,57 +190,75 @@ def predict_labels(
             predict_sharded,
         )
 
+        kept, feats = _gather_features(root_dir, uuids, model, stores)
+        if not kept:
+            return 0
         all_scores = predict_sharded(model.params, feats, get_mesh(), wire=wire,
                                      class_values=model.meta.class_values)
-
-    # one bulk row registration so the per-batch merges below are pure
-    # in-place updates (no per-batch frame concat on a fresh dataset)
-    db.ensure_rows(kept)
+        chunks = iter([(kept, feats)])
+    else:
+        # host assembly overlaps device inference chunk-by-chunk (the two
+        # dominant, ~equal phases of a large-N run — BENCH_NOTES round-9)
+        chunks = _prefetched_chunks(root_dir, uuids, model, stores,
+                                    max(batch_size, ASSEMBLE_CHUNK))
 
     output_dir = root_dir.rstrip("/") + "_predicted_scores"
     rng = np.random.default_rng(seed)
     n_flushed = 0
+    batch_no = 0
     last_save = time.monotonic()
-    for start in range(0, len(kept), batch_size):
-        batch_uuids = kept[start : start + batch_size]
-        if all_scores is not None:
-            scores = all_scores[start : start + batch_size]
-        else:
-            scores = model.predict(feats[start : start + batch_size], wire=wire)
-        db.merge_predictions(batch_uuids, scores)
+    for kept, feats in chunks:
+        if not kept:
+            continue
+        # bulk row registration per chunk so the per-batch merges below are
+        # pure in-place updates (no per-batch frame concat on a fresh dataset)
+        db.ensure_rows(kept)
+        for start in range(0, len(kept), batch_size):
+            batch_uuids = kept[start : start + batch_size]
+            if all_scores is not None:
+                scores = all_scores[start : start + batch_size]
+            else:
+                scores = model.predict(feats[start : start + batch_size],
+                                       wire=wire)
+            db.merge_predictions(batch_uuids, scores)
 
-        # predicted_label writeback into .json sidecars (reference _5:159-167)
-        for uuid, score in zip(batch_uuids, scores):
-            jpath = os.path.join(root_dir, uuid + ".json")
-            if os.path.exists(jpath):
-                try:
-                    with open(jpath) as f:
-                        data = json.load(f)
-                    data["predicted_label"] = float(score)
-                    with open(jpath, "w") as f:
-                        json.dump(data, f)
-                except Exception as e:
-                    print(f"WARNING: could not update {jpath}: {e}")
+            # predicted_label writeback into .json sidecars (ref _5:159-167)
+            for uuid, score in zip(batch_uuids, scores):
+                jpath = os.path.join(root_dir, uuid + ".json")
+                if os.path.exists(jpath):
+                    try:
+                        with open(jpath) as f:
+                            data = json.load(f)
+                        data["predicted_label"] = float(score)
+                        with open(jpath, "w") as f:
+                            json.dump(data, f)
+                    except Exception as e:
+                        print(f"WARNING: could not update {jpath}: {e}")
 
-        if copy_imgs_fraction > 0:  # preview copies (reference _5:170-177)
-            os.makedirs(output_dir, exist_ok=True)
-            pick = rng.random(len(batch_uuids)) < copy_imgs_fraction
-            for uuid, score, take in zip(batch_uuids, scores, pick):
-                if take:
-                    src = os.path.join(root_dir, uuid + ".jpg")
-                    if os.path.exists(src):
-                        shutil.copy(
-                            src, os.path.join(output_dir, f"{score:.3f}_{uuid}.jpg")
-                        )
+            if copy_imgs_fraction > 0:  # preview copies (reference _5:170-177)
+                os.makedirs(output_dir, exist_ok=True)
+                pick = rng.random(len(batch_uuids)) < copy_imgs_fraction
+                for uuid, score, take in zip(batch_uuids, scores, pick):
+                    if take:
+                        src = os.path.join(root_dir, uuid + ".jpg")
+                        if os.path.exists(src):
+                            shutil.copy(
+                                src,
+                                os.path.join(output_dir,
+                                             f"{score:.3f}_{uuid}.jpg"),
+                            )
 
-        # periodic crash-safety flush (reference _5:179-180), time-throttled:
-        # a full-CSV rewrite per 10 batches is O(N) each and would cost ~an
-        # hour of pure CSV IO over a 1M-row run
-        if (start // batch_size) % 10 == 9 and time.monotonic() - last_save > 30:
-            db.save()
-            last_save = time.monotonic()
-        n_flushed = start + len(batch_uuids)
+            # periodic crash-safety flush (reference _5:179-180),
+            # time-throttled: a full-CSV rewrite per 10 batches is O(N) each
+            # and would cost ~an hour of pure CSV IO over a 1M-row run
+            if batch_no % 10 == 9 and time.monotonic() - last_save > 30:
+                db.save()
+                last_save = time.monotonic()
+            batch_no += 1
+            n_flushed += len(batch_uuids)
 
+    if n_flushed == 0:
+        return 0
     db.save()
     plots.plot_label_distribution(db.df["predicted_label"].values, root_dir)
     print(f"{n_flushed} of {len(uuids)} imgs predicted.")
