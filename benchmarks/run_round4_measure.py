@@ -130,6 +130,9 @@ def main():
         routing_report("EVA02-L-14/merged2b_s4b_b131k")
         bench_model("EVA02-L-14/merged2b_s4b_b131k", 40, "int8_static")
         bench_model("EVA02-L-14/merged2b_s4b_b131k", 40, "bfloat16")
+    if "sweeps" in which:  # batch headroom on the small towers
+        bench_model("ViT-B-16-SigLIP/webli", 128, "int8_static")
+        bench_model("PE-Core-B16-224", 64, "int8_static")
 
 
 if __name__ == "__main__":
