@@ -130,9 +130,12 @@ def _prefetched_chunks(root_dir, uuids, model, stores, chunk: int):
     """Yield per-chunk (kept_uuids, features) with the NEXT chunk assembling
     on a background thread while the caller runs device inference on the
     current one. The measured 1M-row predict splits ~50/50 between host
-    assembly (218.6 s) and tunnel-bound device batches (185.5 s, BENCH_NOTES
-    round-9) and both sides release the GIL (numpy memmap gathers / jax
-    dispatch), so overlapping them approaches max() instead of sum().
+    assembly (218.6 s) and device batches (185.5 s, BENCH_NOTES round-9);
+    BOTH phases spend real host CPU (memmap gathers / fp16 wire conversion +
+    transfer serialization), so the overlap wins only when a second core
+    exists to run it — on a 1-core host the threads timeshare and BOTH
+    phases inflate (measured 762 s vs 429 s sequential, BENCH_NOTES
+    round-9). Callers must gate on ``os.cpu_count()``.
     maxsize=1 bounds live memory to ~3 chunks (assembling + queued + in use)."""
     import queue
     import threading
@@ -197,10 +200,18 @@ def predict_labels(
                                      class_values=model.meta.class_values)
         chunks = iter([(kept, feats)])
     else:
-        # host assembly overlaps device inference chunk-by-chunk (the two
-        # dominant, ~equal phases of a large-N run — BENCH_NOTES round-9)
-        chunks = _prefetched_chunks(root_dir, uuids, model, stores,
-                                    max(batch_size, ASSEMBLE_CHUNK))
+        # chunked assembly bounds live memory at any N; with a spare core the
+        # next chunk assembles WHILE the device runs the current one (the two
+        # dominant, ~equal phases of a large-N run). On a 1-core host the
+        # overlap thread is a measured 1.8x REGRESSION (both phases burn host
+        # CPU and timeshare — BENCH_NOTES round-9), so it stays sequential.
+        chunk = max(batch_size, ASSEMBLE_CHUNK)
+        if (os.cpu_count() or 1) > 1:
+            chunks = _prefetched_chunks(root_dir, uuids, model, stores, chunk)
+        else:
+            chunks = (_gather_features(root_dir, uuids[s : s + chunk], model,
+                                       stores)
+                      for s in range(0, len(uuids), chunk))
 
     output_dir = root_dir.rstrip("/") + "_predicted_scores"
     rng = np.random.default_rng(seed)
