@@ -130,12 +130,14 @@ def _prefetched_chunks(root_dir, uuids, model, stores, chunk: int):
     """Yield per-chunk (kept_uuids, features) with the NEXT chunk assembling
     on a background thread while the caller runs device inference on the
     current one. The measured 1M-row predict splits ~50/50 between host
-    assembly (218.6 s) and device batches (185.5 s, BENCH_NOTES round-9);
-    BOTH phases spend real host CPU (memmap gathers / fp16 wire conversion +
-    transfer serialization), so the overlap wins only when a second core
-    exists to run it — on a 1-core host the threads timeshare and BOTH
-    phases inflate (measured 762 s vs 429 s sequential, BENCH_NOTES
-    round-9). Callers must gate on ``os.cpu_count()``.
+    assembly (218.6 s) and device batches (185.5 s, BENCH_NOTES round-9),
+    and the device phase is dominated by transfer WAIT (not CPU), so the
+    prefetch wins even on a ONE-core host: the interleaved A/B
+    (benchmarks/ab_predict_overlap.py, BENCH_NOTES round-9) measured
+    200k rows in 34.3/33.3 s overlapped vs 54.9/43.9 s sequential on the
+    1-core VM. (A naive time-separated comparison first suggested the
+    opposite — the tunnel's H2D rate drifts >4x between runs; only the
+    interleaved A/B is trustworthy.)
     maxsize=1 bounds live memory to ~3 chunks (assembling + queued + in use)."""
     import queue
     import threading
@@ -200,18 +202,12 @@ def predict_labels(
                                      class_values=model.meta.class_values)
         chunks = iter([(kept, feats)])
     else:
-        # chunked assembly bounds live memory at any N; with a spare core the
-        # next chunk assembles WHILE the device runs the current one (the two
-        # dominant, ~equal phases of a large-N run). On a 1-core host the
-        # overlap thread is a measured 1.8x REGRESSION (both phases burn host
-        # CPU and timeshare — BENCH_NOTES round-9), so it stays sequential.
-        chunk = max(batch_size, ASSEMBLE_CHUNK)
-        if (os.cpu_count() or 1) > 1:
-            chunks = _prefetched_chunks(root_dir, uuids, model, stores, chunk)
-        else:
-            chunks = (_gather_features(root_dir, uuids[s : s + chunk], model,
-                                       stores)
-                      for s in range(0, len(uuids), chunk))
+        # chunked assembly bounds live memory at any N, and the next chunk
+        # assembles WHILE the device runs the current one — the two dominant,
+        # ~equal phases of a large-N run overlap (measured +28-60% end-to-end
+        # even on a 1-core host; see _prefetched_chunks)
+        chunks = _prefetched_chunks(root_dir, uuids, model, stores,
+                                    max(batch_size, ASSEMBLE_CHUNK))
 
     output_dir = root_dir.rstrip("/") + "_predicted_scores"
     rng = np.random.default_rng(seed)
