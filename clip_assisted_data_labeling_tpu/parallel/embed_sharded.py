@@ -135,14 +135,6 @@ class ShardedEmbedder:
         # int8_static, FLOPs split over the model axis. The reorder/placement
         # gathers params to host once (fine at these scales; giant towers
         # should load pre-reordered checkpoints).
-        if (getattr(self.cfg, "mlp_type", "mlp") == "swiglu"
-                or getattr(self.cfg, "attn_inner_ln", False)):
-            raise NotImplementedError(
-                "int8_static EVA02 towers have no tensor-parallel "
-                "formulation (tp_static is written for the standard gelu "
-                "block) — run EVA on a 1-D data-parallel mesh, or bf16 "
-                "under GSPMD TP"
-            )
         from clip_assisted_data_labeling_tpu.parallel.tp_static import (
             place_tp_static,
         )

@@ -81,6 +81,30 @@ def reorder_qkv_tp(params: dict, cfg: VitConfig, n_model: int) -> dict:
     # concatenation of per-device head outputs — already the global head
     # order, so its rows need no permutation (row_perm is the identity).
     del row_perm
+
+    if cfg.mlp_type == "swiglu":
+        # EVA02 packs w1‖w2 into ONE fc1 matmul (models/vit._block); the
+        # silu(h1)⊙h2 gate needs each device to hold the SAME hidden slice of
+        # both halves, so pair the columns per device: [w1_j | w2_j].
+        mlp = np.asarray(blocks["fc1_kernel"]).shape[-1] // 2
+        if mlp % n_model:
+            raise ValueError(
+                f"swiglu hidden {mlp} does not split over model={n_model}"
+            )
+        ml = mlp // n_model
+        fperm = np.concatenate([
+            np.concatenate([np.arange(j * ml, (j + 1) * ml),
+                            mlp + np.arange(j * ml, (j + 1) * ml)])
+            for j in range(n_model)
+        ])
+        blocks["fc1_kernel"] = np.asarray(blocks["fc1_kernel"])[:, :, fperm]
+        for key in ("fc1_bias", "fc1_kernel_scale"):
+            if key in blocks:
+                blocks[key] = np.asarray(blocks[key])[:, fperm]
+        # fc2 rows and ffn_ln params consume the GATED hidden (natural order:
+        # device j's gate output is hidden channels [j·ml, (j+1)·ml)) — fc2's
+        # contiguous row split already matches; ffn_ln params stay replicated
+        # for the gather-LN (see _block_tp_static).
     out["blocks"] = blocks
     return out
 
@@ -122,9 +146,6 @@ def _block_tp_static(x, p, cfg: VitConfig, heads_local: int, rope,
     a = p["act_amax"]
     inv127 = 1.0 / 127.0
 
-    y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
-    yq = quant_static(y, a[0]).reshape(B * S, w)
-
     # int8 attention wire, TP formulation: the per-channel qkv_amax was
     # permuted with the qkv columns (reorder_qkv_tp), so each device folds its
     # OWN [3·wl] scale slice exactly as the single-device wire block does
@@ -132,13 +153,40 @@ def _block_tp_static(x, p, cfg: VitConfig, heads_local: int, rope,
     # and the attn-out scale a[1] is a replicated scalar, so the int8 output
     # feeds the int32-psum row-parallel out-projection bit-identically.
     wl = p["qkv_kernel"].shape[-1] // 3
-    wire = "qkv_amax" in p and rope is None and fused_attention
+    wire = ("qkv_amax" in p and rope is None and fused_attention
+            and not cfg.attn_inner_ln and cfg.mlp_type != "swiglu")
     if wire:
         from clip_assisted_data_labeling_tpu.ops.attention import (
             packed_q8s_fits,
         )
 
         wire = packed_q8s_fits(S, wl, heads_local)
+
+    # Mirror models/vit._block's dispatch: the wire block uses the XLA
+    # ln→quantize chain; otherwise fused+width%128 towers take the Pallas
+    # single-pass rowquant_static kernels (_block_int8_static_lnk); narrow or
+    # non-fused towers take the generic XLA chain. Each route has its own ulp
+    # signature in bf16 (the XLA chain inserts a bf16 cast between LN and
+    # quantize that the kernel doesn't), so bit-identity REQUIRES taking the
+    # same route as the single-device forward.
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    lnk = ((not wire) and fused_attention and knobs.LN_KERNEL
+           and w % 128 == 0)
+    if lnk:
+        from clip_assisted_data_labeling_tpu.ops.quant_kernel import (
+            rowquant_static,
+        )
+
+        yq = rowquant_static(x.reshape(B * S, w), p["ln1_scale"],
+                             p["ln1_bias"], a[0], ln_eps=cfg.ln_eps)
+    else:
+        y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
+        yq = quant_static(y, a[0]).reshape(B * S, w)
+    # the lnk block leaves q_matmul_pre's bf16 default on its column-parallel
+    # outputs; the generic path materializes them in x.dtype
+    cp_dtype = jnp.bfloat16 if lnk else x.dtype
+
     if wire:
         from clip_assisted_data_labeling_tpu.ops.attention import (
             fused_attention_packed_q8s,
@@ -162,7 +210,7 @@ def _block_tp_static(x, p, cfg: VitConfig, heads_local: int, rope,
     else:
         qkv = q_matmul_pre(yq, a[0] * inv127, p["qkv_kernel"],
                            p["qkv_kernel_scale"], p["qkv_bias"],
-                           out_dtype=x.dtype).reshape(B, S, -1)
+                           out_dtype=cp_dtype).reshape(B, S, -1)
         if fused_attention:
             from clip_assisted_data_labeling_tpu.ops.attention import (
                 packed_attention_auto,
@@ -185,7 +233,32 @@ def _block_tp_static(x, p, cfg: VitConfig, heads_local: int, rope,
                 k = _apply_rope(k, *rope)
             attn = attention_xla(q, k, v, scale=d ** -0.5)
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, wl)
-        aq = quant_static(attn, a[1]).reshape(B * S, wl)
+        if cfg.attn_inner_ln:
+            # EVA02 sub-LN spans the FULL width of the head-sharded attention
+            # output. all_gather reconstructs the exact single-device layout
+            # (each shard's heads are a contiguous natural-order slice), the
+            # replicated full-width LN is then the SAME op on the SAME values
+            # as the single-device block, and each device slices its own
+            # quantized columns back out for the row-parallel out-projection —
+            # bit-identity preserved (psum-stat LN would differ in ulps).
+            attn_full = jax.lax.all_gather(attn, axis, axis=-1, tiled=True)
+            if lnk:
+                from clip_assisted_data_labeling_tpu.ops.quant_kernel import (
+                    rowquant_static,
+                )
+
+                aq_full = rowquant_static(attn_full.reshape(B * S, w),
+                                          p["attn_ln_scale"],
+                                          p["attn_ln_bias"], a[1],
+                                          ln_eps=cfg.ln_eps)
+            else:
+                attn_full = _layernorm(attn_full, p["attn_ln_scale"],
+                                       p["attn_ln_bias"], cfg.ln_eps)
+                aq_full = quant_static(attn_full, a[1]).reshape(B * S, w)
+            j = jax.lax.axis_index(axis)
+            aq = jax.lax.dynamic_slice_in_dim(aq_full, j * wl, wl, axis=1)
+        else:
+            aq = quant_static(attn, a[1]).reshape(B * S, wl)
 
     # row-parallel out-projection: psum the INT32 accumulator (exact), then
     # the single dequant+bias epilogue exactly as the single-device path
@@ -199,12 +272,39 @@ def _block_tp_static(x, p, cfg: VitConfig, heads_local: int, rope,
           + p["out_bias"].astype(jnp.float32)).astype(x.dtype)
     x = x + yo.reshape(B, S, w)
 
-    y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
-    yq = quant_static(y, a[2]).reshape(B * S, w)
-    h = q_matmul_pre(yq, a[2] * inv127, p["fc1_kernel"],
-                     p["fc1_kernel_scale"], p["fc1_bias"], out_dtype=x.dtype)
-    g = _act(h, cfg.act, quantized=True)
-    gq = quant_static(g, a[3])
+    if lnk:
+        from clip_assisted_data_labeling_tpu.ops.quant_kernel import (
+            rowquant_static,
+        )
+
+        yq = rowquant_static(x.reshape(B * S, w), p["ln2_scale"],
+                             p["ln2_bias"], a[2], ln_eps=cfg.ln_eps)
+    else:
+        y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
+        yq = quant_static(y, a[2]).reshape(B * S, w)
+    if cfg.mlp_type == "swiglu":
+        # EVA02 SwiGLU: reorder_qkv_tp paired the packed fc1 columns as
+        # [w1_j | w2_j], so the silu gate is shard-local; the ffn sub-LN then
+        # spans the full hidden width — same gather-LN-slice move as the
+        # attention sub-LN above.
+        h = q_matmul_pre(yq, a[2] * inv127, p["fc1_kernel"],
+                         p["fc1_kernel_scale"], p["fc1_bias"],
+                         out_dtype=cp_dtype)
+        h1, h2 = jnp.split(h, 2, axis=-1)
+        g_local = jax.nn.silu(h1) * h2
+        ml = g_local.shape[-1]
+        g_full = jax.lax.all_gather(g_local, axis, axis=-1, tiled=True)
+        g_full = _layernorm(g_full, p["ffn_ln_scale"], p["ffn_ln_bias"],
+                            cfg.ln_eps)
+        gq_full = quant_static(g_full, a[3])
+        j = jax.lax.axis_index(axis)
+        gq = jax.lax.dynamic_slice_in_dim(gq_full, j * ml, ml, axis=1)
+    else:
+        h = q_matmul_pre(yq, a[2] * inv127, p["fc1_kernel"],
+                         p["fc1_kernel_scale"], p["fc1_bias"],
+                         out_dtype=cp_dtype)
+        g = _act(h, cfg.act, quantized=True)
+        gq = quant_static(g, a[3])
     acc2 = jax.lax.psum(
         jax.lax.dot_general(gq, p["fc2_kernel"], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32),
@@ -306,16 +406,12 @@ def vit_encode_tp_static(params, images, cfg: VitConfig, mesh: Mesh,
     if "act_amax" not in params["blocks"]:
         raise ValueError("vit_encode_tp_static needs calibrated act_amax "
                          "scales (models/vit.attach_act_amax)")
-    if cfg.mlp_type == "swiglu" or cfg.attn_inner_ln:
-        # the explicit Megatron dataflow below is written for the standard
-        # gelu block — running an EVA02 tower through it would silently skip
-        # the sub-LNs / swiglu gate. GSPMD TP (parallel/tp.py) handles EVA
-        # correctly (logical-shape program); use that or DP until an EVA
-        # formulation is written.
-        raise NotImplementedError(
-            "tp_static has no EVA02 (swiglu/sub-LN) block formulation — "
-            "use the GSPMD TP path (parallel/tp.apply_tp_sharding) or DP"
-        )
+    # EVA02 (swiglu/sub-LN) blocks are handled by _block_tp_static's EVA
+    # branches: fc1 columns are PAIRED per device ([w1_j | w2_j], see
+    # reorder_qkv_tp) so the silu gate is shard-local, and both full-width
+    # sub-LNs run gather→replicated-LN→slice to preserve bit-identity with
+    # the single-device lnk block. reorder_qkv_tp raises when heads or the
+    # swiglu hidden don't divide over the model axis.
     spec_key = tuple(
         (name, tuple(sorted(leaf)) if isinstance(leaf, dict) else None)
         for name, leaf in sorted(params.items())

@@ -162,6 +162,65 @@ def test_tp_static_bit_identical_int8_wire(rng, monkeypatch):
     np.testing.assert_array_equal(tp, single)
 
 
+def test_tp_static_bit_identical_eva02(rng, monkeypatch):
+    """EVA02 blocks (swiglu + sub-LNs + rope) through the explicit-collective
+    TP path: fc1 columns pair-reordered per device, full-width sub-LNs via
+    gather→replicated-LN→slice, int32-psum row-parallel matmuls.
+
+    Bit-identity is asserted against the OP-FAITHFUL (eager) single-device
+    forward: the jitted single-device swiglu chain is fusion-sensitive (XLA
+    keeps excess precision through the fc1-epilogue→silu→ffn-LN chain, so the
+    jitted forward differs from its own eager semantics by int8-rounding-
+    boundary ulps — measured 7.7e-3 on random-init embeddings — with or
+    without TP). Against the jitted production forward we therefore assert a
+    tight cosine instead. Interpreter-mode Pallas, lnk route (width 128)."""
+    monkeypatch.setenv("CTPU_PALLAS_INTERPRET", "1")
+    cfg, sparams = _static_params("EVA-Test-Wide/tiny", rng)
+    assert cfg.mlp_type == "swiglu" and cfg.attn_inner_ln and cfg.use_rope2d
+
+    x = jnp.asarray(
+        rng.normal(0, 1, (4, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    )
+    with jax.disable_jit():
+        eager = np.asarray(vit_encode_image(
+            sparams, x, cfg, compute_dtype=jnp.float32, fused_attention=True,
+            normalize=False))
+    jitted = np.asarray(vit_encode_image(
+        sparams, x, cfg, compute_dtype=jnp.float32, fused_attention=True))
+    mesh = get_mesh_2d(2, 2)
+    placed = place_tp_static(sparams, mesh, cfg)
+    tp_raw = np.asarray(vit_encode_tp_static(
+        placed, x, cfg, mesh, compute_dtype=jnp.float32,
+        fused_attention=True, normalize=False))
+    np.testing.assert_array_equal(tp_raw, eager)
+
+    tp = np.asarray(vit_encode_tp_static(
+        placed, x, cfg, mesh, compute_dtype=jnp.float32,
+        fused_attention=True))
+    cos = np.sum(tp * jitted, axis=-1)
+    assert np.all(cos > 0.999), cos
+
+
+def test_reorder_swiglu_fc1_pairing(rng):
+    """The swiglu fc1 pair-reorder must put [w1_j | w2_j] on device j so the
+    silu gate is shard-local."""
+    cfg, sparams = _static_params("EVA-Test-Wide/tiny", rng)
+    mlp = np.asarray(sparams["blocks"]["fc1_kernel"]).shape[-1] // 2
+    re2 = reorder_qkv_tp(sparams, cfg, 2)
+    k0 = np.asarray(sparams["blocks"]["fc1_kernel"])
+    k2 = np.asarray(re2["blocks"]["fc1_kernel"])
+    ml = mlp // 2
+    # device 0's local [w1_0 | w2_0]
+    np.testing.assert_array_equal(k2[:, :, :ml], k0[:, :, :ml])
+    np.testing.assert_array_equal(k2[:, :, ml : 2 * ml],
+                                  k0[:, :, mlp : mlp + ml])
+    # device 1's local [w1_1 | w2_1]
+    np.testing.assert_array_equal(k2[:, :, 2 * ml : 3 * ml],
+                                  k0[:, :, ml:mlp])
+    np.testing.assert_array_equal(k2[:, :, 3 * ml :],
+                                  k0[:, :, mlp + ml :])
+
+
 def test_tp_static_requires_calibration(rng):
     import pytest
 
