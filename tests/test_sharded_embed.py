@@ -157,3 +157,49 @@ def test_sharded_static_calibration_matches_single_device(rng):
     sp = attach_act_amax(qparams, {"act_amax": amax["act_amax"]})
     ref = np.asarray(vit_encode_image(sp, flat, cfg)).reshape(8, 4, -1)
     np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_sharded_embedder_eva_int8_static_2d(rng, monkeypatch):
+    """EVA02 tower + int8_static on a 2-D (data, model) mesh: calibrate_static
+    must switch to the explicit-collective tp_static formulation (the former
+    NotImplementedError path) and the embeddings must match the single-device
+    static forward within the EVA family's cosine budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from clip_assisted_data_labeling_tpu.models.vit import (
+        attach_act_amax,
+        init_vit_params,
+        resolve_config,
+        vit_act_amax,
+        vit_encode_image,
+    )
+    from clip_assisted_data_labeling_tpu.ops.crops import fused_crop_resize_normalize
+    from clip_assisted_data_labeling_tpu.ops.quant import quantize_vit_params
+    from clip_assisted_data_labeling_tpu.parallel.embed_sharded import ShardedEmbedder
+    from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh_2d
+
+    monkeypatch.setenv("CTPU_PALLAS_INTERPRET", "1")
+    cfg = resolve_config("EVA-Test-Wide/tiny")
+    qparams = quantize_vit_params(init_vit_params(cfg, jax.random.key(1)))
+    canvases, crop_params = _example_batch(8, 128, cfg.image_size, seed=9)
+
+    embedder = ShardedEmbedder(qparams, cfg, get_mesh_2d(4, 2))
+    embedder.calibrate_static(canvases, crop_params)
+    assert embedder._tp_static, "2-D mesh + int8_static must take tp_static"
+    got = np.asarray(embedder.embed(canvases, crop_params))
+
+    crops = fused_crop_resize_normalize(
+        jnp.asarray(canvases), jnp.asarray(crop_params),
+        out_size=cfg.image_size, parity=False, dtype=jnp.bfloat16)
+    flat = crops.reshape((-1,) + crops.shape[2:])
+    amax = jax.tree.map(np.asarray, vit_act_amax(qparams, flat, cfg))
+    sp = attach_act_amax(qparams, {"act_amax": amax["act_amax"]})
+    ref = np.asarray(vit_encode_image(sp, flat, cfg)).reshape(8, 4, -1)
+    # bf16 e2e: the jitted single-device swiglu chain is fusion-sensitive
+    # (XLA excess precision), so the e2e comparison uses the EVA family's
+    # cosine budget — exact TP identity vs the op-faithful forward is pinned
+    # at f32 in tests/test_tp_static.py::test_tp_static_bit_identical_eva02
+    cos = np.sum(got * ref, axis=-1)
+    assert np.all(cos > 0.995), cos.min()
