@@ -109,6 +109,35 @@ def test_tp_sharded_embed_matches_single(rng):
     np.testing.assert_allclose(sharded, single, atol=2e-4)
 
 
+def test_tp_sharded_embed_eva_matches_single(rng):
+    """EVA02 (swiglu + sub-LN + rope) under the GSPMD TP path: the logical-
+    shape program is partitioned by XLA (fc1's packed w1||w2 columns shard
+    without the explicit pair-reorder the tp_static path needs), and the
+    result must match the single-device forward."""
+    from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh_2d
+
+    cfg = resolve_config("EVA-Test-Wide/tiny")
+    params = init_vit_params(cfg, jax.random.key(2))
+    canvases, crop_params = _example_batch(8, 128, cfg.image_size, seed=6)
+
+    mesh2 = get_mesh_2d(4, 2)
+    embedder = ShardedEmbedder(params, cfg, mesh2, compute_dtype=jnp.float32)
+    assert "model" in str(embedder.params["blocks"]["fc1_kernel"].sharding.spec)
+    sharded = np.asarray(embedder.embed(canvases, crop_params))
+
+    crops = fused_crop_resize_normalize(
+        canvases, crop_params, out_size=cfg.image_size, parity=False,
+        dtype=jnp.float32, mean=cfg.norm_mean, std=cfg.norm_std,
+    )
+    single = np.asarray(
+        vit_encode_image(
+            params, np.asarray(crops).reshape(-1, cfg.image_size, cfg.image_size, 3),
+            cfg, compute_dtype=jnp.float32,
+        )
+    ).reshape(8, 4, -1)
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
 def test_apply_tp_sharding_requires_model_axis():
     import pytest
 
