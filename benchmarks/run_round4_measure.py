@@ -123,9 +123,14 @@ def main():
     if "rn50" in which:
         bench_model("RN50/openai", 32, "bfloat16")
         bench_model("RN50/openai", 64, "bfloat16")
-    if "cnx" in which:  # conv towers run bf16 (int8 downgrades)
+    if "cnx" in which:  # A/B the W8A8 pointwise-matmul path vs bf16
         bench_model("convnext_base_w/laion2b_s13b_b82k", 32, "bfloat16")
         bench_model("convnext_base_w/laion2b_s13b_b82k", 64, "bfloat16")
+        bench_model("convnext_base_w/laion2b_s13b_b82k", 64, "int8_static")
+        bench_model("convnext_large_d/laion2b_s26b_b102k_augreg", 32,
+                    "bfloat16")
+        bench_model("convnext_large_d/laion2b_s26b_b102k_augreg", 32,
+                    "int8_static")
     if "eva" in which:
         routing_report("EVA02-L-14/merged2b_s4b_b131k")
         bench_model("EVA02-L-14/merged2b_s4b_b131k", 40, "int8_static")

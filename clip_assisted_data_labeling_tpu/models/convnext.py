@@ -19,9 +19,17 @@ runs as a feature-grouped ``lax.conv_general_dilated`` fused with its LN
 epilogue by XLA, and each stage's identically-shaped blocks are stacked and
 driven by ONE ``lax.scan`` (stage 3 of convnext_large_d has 27 blocks —
 scanning keeps the compiled program O(stages), not O(depth), same trick as
-the ViT's stacked blocks). Compute is bf16 with LayerNorm statistics in f32;
-int8 modes downgrade to bf16 like the RN towers (XLA int8 convs are not a
-win on v5e — models/encoders.py guard).
+the ViT's stacked blocks). Compute is bf16 with LayerNorm statistics in f32.
+
+int8_static (W8A8) is supported on the pointwise matmuls — the FLOPs bulk:
+``quantize_cnx_params`` quantizes fc1/fc2 per output channel, ``cnx_act_amax``
+calibrates the two per-block static activation sites (post-LN fc1 input,
+post-GELU fc2 input), and the stage scan takes the static branch when scales
+are attached (XLA int8 matmuls run 2-3x the bf16 MXU rate on v5e —
+BENCH_NOTES). The depthwise 7x7, downsample/stem convs, LNs and head stay
+bf16 (XLA int8 CONVS are not a win on v5e, and those terms are a small
+FLOPs share). The dynamic-int8 mode still downgrades to bf16 like the RN
+towers (models/encoders.py guard).
 
 Weight conversion (models/clip_weights.convert_cnx_visual) accepts both the
 open_clip/timm layout (``visual.trunk.*`` + ``visual.head.*``) and the HF
@@ -152,6 +160,87 @@ def init_cnx_params(cfg: CNXConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     return p
 
 
+def quantize_cnx_params(params: dict) -> dict:
+    """W8A8 weight quantization for the pointwise block matmuls.
+
+    Per-stage stacked ``s{s}_fc1_kernel``/``s{s}_fc2_kernel`` ([D, K, N])
+    become int8 with a sibling ``_scale`` leaf ([D, N], per output channel);
+    convs/LNs/head pass through (they stay bf16 in the static forward)."""
+    import numpy as np
+
+    from clip_assisted_data_labeling_tpu.ops.quant import quantize_weight
+
+    out: dict = {}
+    for name, leaf in params.items():
+        if name.endswith(("_fc1_kernel", "_fc2_kernel")) and name.startswith("s"):
+            qs, ss = [], []
+            for layer in np.asarray(leaf):
+                q, s = quantize_weight(layer)
+                qs.append(q)
+                ss.append(s)
+            out[name] = jnp.asarray(np.stack(qs))
+            out[name + "_scale"] = jnp.asarray(np.stack(ss))
+        else:
+            out[name] = jnp.asarray(leaf)
+    return out
+
+
+def is_cnx_quantized(params: dict) -> bool:
+    return "s0_fc1_kernel_scale" in params
+
+
+def cnx_int8_static_enabled(cfg: CNXConfig) -> bool:
+    """Resolve the ConvNeXt W8A8 knob for one tower (BENCH_NOTES round-10
+    A/B). ``CTPU_CNX_INT8=1`` forces on, ``=0`` forces off; the default
+    ``auto`` enables the path exactly where it measured a win — towers with
+    final width >= 1536 (large_d: 183.5 vs 173-175 bf16, +5.4%). Below that
+    the small-C stages are bandwidth-bound and the quantize passes cost more
+    than the int8 matmul speedup (base_w: 279.7 vs 289, -3%), so auto runs
+    bf16 there."""
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    if knobs.CNX_INT8 == "on":
+        return True
+    if knobs.CNX_INT8 == "off":
+        return False
+    return cfg.final_width >= 1536
+
+
+def attach_cnx_act_amax(params: dict, amax: dict, margin: float = 1.1) -> dict:
+    """Attach calibrated static activation scales (``s{s}_act_amax`` [D, 2]
+    from :func:`cnx_act_amax`); same margin semantics as the ViT path
+    (models/vit.attach_act_amax)."""
+    out = dict(params)
+    for key, v in amax.items():
+        out[key] = jnp.asarray(v, jnp.float32) * margin
+    return out
+
+
+def cnx_act_amax(params: dict, images: jnp.ndarray, cfg: CNXConfig,
+                 compute_dtype=jnp.bfloat16) -> dict:
+    """Calibration forward: per-block amax at the two quantized-activation
+    sites (post-LN fc1 input, post-GELU fc2 input). Returns
+    ``{"s{s}_act_amax": [depth, 2]}`` per stage. Quantized kernels are
+    dequantized for this one forward (one batch; attach adds margin)."""
+    x = images.astype(compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x, params["stem_kernel"].astype(x.dtype), window_strides=(4, 4),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["stem_bias"].astype(x.dtype)
+    x = _ln(x, params["stem_ln_scale"], params["stem_ln_bias"], cfg.ln_eps)
+    amaxes: dict = {}
+    for s in range(len(cfg.depths)):
+        x, amaxes[f"s{s}_act_amax"] = _stage(x, params, s, cfg,
+                                             capture_amax=True)
+    return amaxes
+
+
+def _deq(kernel, scale, dt):
+    """int8 kernel + per-channel scale → dense dt kernel (calibration and
+    not-yet-calibrated forwards on a quantized pytree)."""
+    return (kernel.astype(jnp.float32) * scale.astype(jnp.float32)).astype(dt)
+
+
 def _ln(x, scale, bias, eps: float):
     """LayerNorm over the trailing channel axis, statistics in f32."""
     xf = x.astype(jnp.float32)
@@ -162,8 +251,16 @@ def _ln(x, scale, bias, eps: float):
             + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def _stage(x, p, s: int, cfg: CNXConfig):
-    """One ConvNeXt stage: optional LN+2x2/2 downsample, then scanned blocks."""
+def _stage(x, p, s: int, cfg: CNXConfig, capture_amax: bool = False):
+    """One ConvNeXt stage: optional LN+2x2/2 downsample, then scanned blocks.
+
+    Three block variants share the dw-conv+LN front half: the bf16 matmul
+    path (float params, or quantized params before calibration — kernels
+    dequantized), the int8_static path (quantized kernels + attached
+    ``s{s}_act_amax``: both pointwise matmuls run int8 with the quantizes
+    fused into producer epilogues), and the calibration capture
+    (``capture_amax``: bf16 path that also returns each block's [2] site
+    amaxes, stacked [depth, 2] by the scan)."""
     dt = x.dtype
     if s > 0:
         y = _ln(x, p[f"s{s}_down_ln_scale"], p[f"s{s}_down_ln_bias"],
@@ -173,25 +270,60 @@ def _stage(x, p, s: int, cfg: CNXConfig):
             padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + p[f"s{s}_down_bias"].astype(dt)
     c = cfg.dims[s]
-    stacked = {k: p[f"s{s}_{k}"] for k in
-               ("dw_kernel", "dw_bias", "ln_scale", "ln_bias", "fc1_kernel",
-                "fc1_bias", "fc2_kernel", "fc2_bias", "gamma")}
+    keys = ["dw_kernel", "dw_bias", "ln_scale", "ln_bias", "fc1_kernel",
+            "fc1_bias", "fc2_kernel", "fc2_bias", "gamma"]
+    quantized = f"s{s}_fc1_kernel_scale" in p
+    static = (not capture_amax and quantized and f"s{s}_act_amax" in p)
+    if quantized:
+        keys += ["fc1_kernel_scale", "fc2_kernel_scale"]
+    if static:
+        keys.append("act_amax")
+    stacked = {k: p[f"s{s}_{k}"] for k in keys}
 
-    def block(x, bp):
+    def front(x, bp):
         y = jax.lax.conv_general_dilated(
             x, bp["dw_kernel"].astype(dt), window_strides=(1, 1),
             padding=((3, 3), (3, 3)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
         ) + bp["dw_bias"].astype(dt)
-        y = _ln(y, bp["ln_scale"], bp["ln_bias"], cfg.ln_eps)
-        y = y @ bp["fc1_kernel"].astype(dt) + bp["fc1_bias"].astype(dt)
-        y = jax.nn.gelu(y, approximate=False)  # HF ACT2FN['gelu'] / timm GELU
-        y = y @ bp["fc2_kernel"].astype(dt) + bp["fc2_bias"].astype(dt)
-        return x + bp["gamma"].astype(dt) * y, None
+        return _ln(y, bp["ln_scale"], bp["ln_bias"], cfg.ln_eps)
 
-    x, _ = jax.lax.scan(block, x, stacked)
-    return x
+    def block(x, bp):
+        y = front(x, bp)
+        if quantized:
+            w1 = _deq(bp["fc1_kernel"], bp["fc1_kernel_scale"], dt)
+            w2 = _deq(bp["fc2_kernel"], bp["fc2_kernel_scale"], dt)
+        else:
+            w1 = bp["fc1_kernel"].astype(dt)
+            w2 = bp["fc2_kernel"].astype(dt)
+        a0 = jnp.max(jnp.abs(y.astype(jnp.float32))) if capture_amax else None
+        y = y @ w1 + bp["fc1_bias"].astype(dt)
+        y = jax.nn.gelu(y, approximate=False)  # HF ACT2FN['gelu'] / timm GELU
+        a1 = jnp.max(jnp.abs(y.astype(jnp.float32))) if capture_amax else None
+        y = y @ w2 + bp["fc2_bias"].astype(dt)
+        out = x + bp["gamma"].astype(dt) * y
+        return out, (jnp.stack([a0, a1]) if capture_amax else None)
+
+    def block_static(x, bp):
+        from clip_assisted_data_labeling_tpu.ops.quant import quant_static
+        from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_matmul_pre
+
+        inv127 = 1.0 / 127.0
+        a = bp["act_amax"]  # [2] f32
+        y = front(x, bp)
+        b, hh, ww, _ = y.shape
+        yq = quant_static(y, a[0]).reshape(b * hh * ww, c)
+        h = q_matmul_pre(yq, a[0] * inv127, bp["fc1_kernel"],
+                         bp["fc1_kernel_scale"], bp["fc1_bias"])
+        g = jax.nn.gelu(h, approximate=False)
+        y2 = q_matmul_pre(quant_static(g, a[1]), a[1] * inv127,
+                          bp["fc2_kernel"], bp["fc2_kernel_scale"],
+                          bp["fc2_bias"], out_dtype=dt).reshape(b, hh, ww, c)
+        return x + bp["gamma"].astype(dt) * y2, None
+
+    x, aux = jax.lax.scan(block_static if static else block, x, stacked)
+    return (x, aux) if capture_amax else x
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "normalize"))

@@ -124,6 +124,18 @@ def check_calibration(amax: dict, cfg, path: str, model_name: str = "") -> None:
             "— only shape-checked; delete it to recalibrate with provenance",
             path,
         )
+    if isinstance(cfg, CNXConfig):
+        # ConvNeXt calibration: one [depth, 2] site-amax per stage
+        for s, d in enumerate(cfg.depths):
+            k = f"s{s}_act_amax"
+            got = np.asarray(amax[k]).shape if k in amax else None
+            if got != (d, 2):
+                raise ValueError(
+                    f"{path} holds {k}={got}, expected {(d, 2)} "
+                    f"(recorded for {amax.get('_model_name', 'unknown model')})"
+                    " — wrong model's calibration file"
+                )
+        return
     if "act_amax" not in amax:
         raise ValueError(
             f"{path} is not a calibration file (no act_amax key) — wrong "
@@ -162,14 +174,37 @@ class CLIPImageEncoder:
         eva_block = (getattr(self.cfg, "mlp_type", "mlp") == "swiglu"
                      or getattr(self.cfg, "attn_inner_ln", False))
         if compute_dtype in ("int8", "int8_static") and isinstance(
-                self.cfg, (RNConfig, CNXConfig)):
-            # the W8A8 machinery (ops/quant.py) is transformer-block-shaped;
-            # the conv towers run bf16 (convs are already MXU-native there)
+                self.cfg, RNConfig):
+            # modified-ResNets run bf16 in every int8 mode — their FLOPs live
+            # in 3x3/1x1 XLA convs, already MXU-native
             log.warning(
-                "%s is a conv tower (modified-ResNet/ConvNeXt) — int8 modes "
-                "are ViT-only; running bfloat16", model_name,
+                "%s is a modified-ResNet conv tower — int8 modes have no RN "
+                "formulation; running bfloat16", model_name,
             )
             compute_dtype = "bfloat16"
+        elif compute_dtype == "int8" and isinstance(self.cfg, CNXConfig):
+            # ConvNeXt supports int8_static on its pointwise matmuls
+            # (models/convnext.py) but has no dynamic-int8 formulation
+            log.warning(
+                "%s has no int8 formulation — use int8_static for the "
+                "W8A8 pointwise-matmul path; running bfloat16", model_name,
+            )
+            compute_dtype = "bfloat16"
+        elif compute_dtype == "int8_static" and isinstance(self.cfg, CNXConfig):
+            from clip_assisted_data_labeling_tpu.models.convnext import (
+                cnx_int8_static_enabled,
+            )
+
+            if not cnx_int8_static_enabled(self.cfg):
+                # measured a loss on the small towers (bandwidth-bound
+                # stages; BENCH_NOTES round-10) — auto runs them bf16;
+                # CTPU_CNX_INT8=1 forces the W8A8 path for A/Bs
+                log.info(
+                    "%s: int8_static auto-resolves OFF for this ConvNeXt "
+                    "geometry (measured slower than bf16); running bfloat16",
+                    model_name,
+                )
+                compute_dtype = "bfloat16"
         elif compute_dtype == "int8" and eva_block:
             # EVA02's swiglu/sub-LN block has a STATIC int8 path
             # (vit._block_int8_static_lnk EVA branches) but no dynamic one
@@ -193,14 +228,24 @@ class CLIPImageEncoder:
         self.parity_preprocess = parity_preprocess
         self.params = params if params is not None else self._load_params(model_path)
         if self.quantized:
-            from clip_assisted_data_labeling_tpu.ops.quant import (
-                is_quantized,
-                quantize_vit_params,
-            )
+            if isinstance(self.cfg, CNXConfig):
+                from clip_assisted_data_labeling_tpu.models.convnext import (
+                    is_cnx_quantized,
+                    quantize_cnx_params,
+                )
 
-            if not is_quantized(self.params):
-                log.info("Quantizing %s weights to W8A8", model_name)
-                self.params = quantize_vit_params(self.params)
+                if not is_cnx_quantized(self.params):
+                    log.info("Quantizing %s pointwise matmuls to W8A8", model_name)
+                    self.params = quantize_cnx_params(self.params)
+            else:
+                from clip_assisted_data_labeling_tpu.ops.quant import (
+                    is_quantized,
+                    quantize_vit_params,
+                )
+
+                if not is_quantized(self.params):
+                    log.info("Quantizing %s weights to W8A8", model_name)
+                    self.params = quantize_vit_params(self.params)
 
     @property
     def img_resolution(self) -> int:
@@ -291,12 +336,18 @@ class CLIPImageEncoder:
     def save_npz(self, path: str) -> None:
         clip_weights.save_params_npz(path, self.params)
 
+    def _calibrated(self) -> bool:
+        """Static activation scales already attached to self.params?"""
+        if isinstance(self.cfg, CNXConfig):
+            return "s0_act_amax" in self.params
+        return "act_amax" in self.params["blocks"]
+
     def load_calibration(self) -> bool:
         """Attach persisted int8_static scales if a calibration file exists.
         Returns True when scales are attached (loaded now or previously)."""
         if not self.static_quant:
             return False
-        if "act_amax" in self.params["blocks"]:
+        if self._calibrated():
             return True
         if not (self.calibration_path and os.path.exists(self.calibration_path)):
             return False
@@ -308,6 +359,15 @@ class CLIPImageEncoder:
         amax = load_calibration(self.calibration_path)
         check_calibration(amax, self.cfg, self.calibration_path, self.model_name)
         amax.pop("_model_name", None)
+        if isinstance(self.cfg, CNXConfig):
+            from clip_assisted_data_labeling_tpu.models.convnext import (
+                attach_cnx_act_amax,
+            )
+
+            log.info("Loaded static int8 calibration from %s",
+                     self.calibration_path)
+            self.params = attach_cnx_act_amax(self.params, amax)
+            return True
         wire = int8_wire_enabled(self.cfg)
         if wire and "qkv_amax" not in amax:
             log.info(
@@ -328,9 +388,27 @@ class CLIPImageEncoder:
         pre-patchified [B, N, p·p·3]. With ``calibration_path`` set, scales are
         reloaded from disk when present (order-independent, resume-stable) and
         persisted after a fresh calibration."""
-        if not self.static_quant or "act_amax" in self.params["blocks"]:
+        if not self.static_quant or self._calibrated():
             return
         if self.load_calibration():
+            return
+        if isinstance(self.cfg, CNXConfig):
+            from clip_assisted_data_labeling_tpu.models.convnext import (
+                attach_cnx_act_amax,
+                cnx_act_amax,
+            )
+
+            log.info("Calibrating ConvNeXt static int8 scales on the first batch")
+            amax = jax.tree.map(
+                np.asarray,
+                cnx_act_amax(self.params, images, self.cfg,
+                             compute_dtype=self.compute_dtype),
+            )
+            if self.calibration_path:
+                save_calibration(self.calibration_path, amax, self.model_name)
+                log.info("Saved static int8 calibration to %s",
+                         self.calibration_path)
+            self.params = attach_cnx_act_amax(self.params, amax)
             return
         from clip_assisted_data_labeling_tpu.models.vit import (
             attach_act_amax,
@@ -404,7 +482,7 @@ class CLIPImageEncoder:
 
     def embed_crops(self, canvas_u8: jnp.ndarray, crop_params: jnp.ndarray) -> jnp.ndarray:
         """[B, C, C, 3] uint8 + [B, n_crops, 2, 4] → [B, n_crops, D]; one jit."""
-        if self.static_quant and "act_amax" not in self.params["blocks"]:
+        if self.static_quant and not self._calibrated():
             # persisted scales first: building calibration crops is a DISTINCT
             # jit program from _embed_crops_jit's, and a new shape costs
             # minutes of remote compile on the tunnel (CLAUDE.md)

@@ -56,6 +56,13 @@ def reload() -> None:
     # fully-fused Pallas W8A8 GEMM prototype (slower until Mosaic gains
     # native-int8 matmuls; ops/quant.q_matmul docstring)
     g["FUSED_QMATMUL"] = os.environ.get("CTPU_FUSED_QMATMUL") == "1"
+    # ConvNeXt W8A8 pointwise-matmul path under int8_static: 'auto' enables
+    # it where it measured a win — towers with final width >= 1536 (large_d
+    # +5.4%, base_w -3%: the small-C stages are bandwidth-bound and the
+    # quantize passes cost more than the matmul speedup — BENCH_NOTES
+    # round-10). '1'/'0' force. Resolution in convnext.cnx_int8_static_enabled.
+    g["CNX_INT8"] = {"1": "on", "0": "off"}.get(
+        os.environ.get("CTPU_CNX_INT8", ""), "auto")
 
 
 PREPROC: str
@@ -66,5 +73,6 @@ LN_KERNEL: bool
 INT8_BLOCK: str
 INT8_WIRE: str  # 'auto' | 'on' | 'off'
 FUSED_QMATMUL: bool
+CNX_INT8: str  # 'auto' | 'on' | 'off'
 
 reload()

@@ -83,6 +83,52 @@ class ShardedEmbedder:
             return
         import os
 
+        from clip_assisted_data_labeling_tpu.models.convnext import CNXConfig
+
+        if isinstance(self.cfg, CNXConfig):
+            # ConvNeXt int8_static on the mesh: calibrate on this batch's
+            # crops, attach the scales replicated (pointwise-matmul W8A8 —
+            # models/convnext.py; the params stay replicated on 2-D meshes
+            # too, so the tower runs data-parallel there)
+            from clip_assisted_data_labeling_tpu.models.convnext import (
+                attach_cnx_act_amax,
+                cnx_act_amax,
+            )
+            from clip_assisted_data_labeling_tpu.models.encoders import (
+                check_calibration,
+            )
+
+            if "s0_act_amax" in self.params:
+                return
+            amax = None
+            if self.calibration_path and os.path.exists(self.calibration_path):
+                amax = load_calibration(self.calibration_path)
+                check_calibration(amax, self.cfg, self.calibration_path,
+                                  self.model_name)
+                amax.pop("_model_name", None)
+                print(f"Loaded static int8 calibration from {self.calibration_path}")
+            if amax is None:
+                canvas = jax.device_put(canvas_u8, self._data)
+                cp = jax.device_put(crop_params, self._data)
+                crops = fused_crop_resize_normalize(
+                    canvas, cp, out_size=self.cfg.image_size,
+                    parity=self.parity_preprocess, dtype=self.compute_dtype,
+                    mean=self.cfg.norm_mean, std=self.cfg.norm_std,
+                )
+                flat = crops.reshape((-1,) + crops.shape[2:])
+                amax = jax.tree.map(np.asarray, cnx_act_amax(
+                    self.params, flat, self.cfg,
+                    compute_dtype=self.compute_dtype))
+                if self.calibration_path:
+                    save_calibration(self.calibration_path, amax,
+                                     self.model_name)
+                    print(f"Saved static int8 calibration to {self.calibration_path}")
+            self.params = attach_cnx_act_amax(self.params, amax)
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(x, self._repl), self.params
+            )
+            return
+
         from clip_assisted_data_labeling_tpu.models.vit import (
             int8_wire_enabled,
         )

@@ -12,6 +12,7 @@ The open_clip/timm checkpoint layout ('visual.trunk.*' + 'visual.head.*')
 is exercised by key-renaming the same tensors — identical math, different
 state-dict dialect — with both projection-head kinds (linear and mlp)."""
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -188,7 +189,91 @@ def test_cnx_encoder_wrapper(rng, caplog):
     assert out.shape == (2, 4, 16)
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
 
+    # dynamic int8 has no ConvNeXt formulation — downgrades with a warning
     with caplog.at_level(logging.WARNING):
-        enc8 = CLIPImageEncoder("CNX-Test/laion2b", compute_dtype="int8_static")
+        enc8 = CLIPImageEncoder("CNX-Test/laion2b", compute_dtype="int8")
     assert not enc8.quantized and not enc8.static_quant
-    assert any("conv tower" in r.message for r in caplog.records)
+    assert any("no int8 formulation" in r.message for r in caplog.records)
+
+
+def test_cnx_int8_auto_gate():
+    """The per-model auto default enables W8A8 exactly where it measured a
+    win (final width >= 1536 — BENCH_NOTES round-10)."""
+    from clip_assisted_data_labeling_tpu.models.convnext import (
+        cnx_int8_static_enabled,
+    )
+
+    assert cnx_int8_static_enabled(resolve_config("convnext_large_d/x"))
+    assert cnx_int8_static_enabled(resolve_config("convnext_xxlarge/x"))
+    assert not cnx_int8_static_enabled(resolve_config("convnext_base_w/x"))
+    assert not cnx_int8_static_enabled(resolve_config("CNX-Test/laion2b"))
+
+
+def test_cnx_int8_static_within_budget(rng, monkeypatch):
+    """ConvNeXt int8_static (W8A8 pointwise matmuls, models/convnext.py):
+    first-batch calibration attaches per-stage [depth, 2] site amaxes and the
+    static-path embeddings track f32 within the fast-mode cosine budget.
+    (Knob forced ON: auto resolves off for the tiny test geometry —
+    cnx_int8_static_enabled.)"""
+    from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    monkeypatch.setattr(knobs, "CNX_INT8", "on")
+
+    x = rng.normal(0, 0.7, (2, 64, 64, 3)).astype(np.float32)
+
+    ref = np.asarray(
+        CLIPImageEncoder("CNX-Test/laion2b", compute_dtype=jnp.float32)
+        .encode(jnp.asarray(x)))
+
+    enc8 = CLIPImageEncoder("CNX-Test/laion2b", compute_dtype="int8_static")
+    assert enc8.quantized and enc8.static_quant
+    assert "s0_fc1_kernel_scale" in enc8.params
+    got = np.asarray(enc8.encode(jnp.asarray(x)))
+    assert enc8._calibrated()
+    assert enc8.params["s0_act_amax"].shape == (
+        resolve_config("CNX-Test/laion2b").depths[0], 2)
+    cos = np.sum(ref * got, axis=-1)
+    assert np.all(cos > 0.995), cos.min()
+
+    # second encode takes the fully-static path with identical results
+    again = np.asarray(enc8.encode(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, again)
+
+
+def test_cnx_int8_static_calibration_roundtrip(rng, tmp_path, monkeypatch):
+    """ConvNeXt calibration persistence: scales save to npz with provenance,
+    reload on a fresh encoder (no recalibration forward), and a wrong-model
+    file is rejected."""
+    import pytest
+
+    from clip_assisted_data_labeling_tpu.models.encoders import (
+        CLIPImageEncoder,
+        check_calibration,
+        load_calibration,
+    )
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    monkeypatch.setattr(knobs, "CNX_INT8", "on")
+
+    calib = str(tmp_path / "cnx.calib.npz")
+    x = rng.normal(0, 0.7, (2, 64, 64, 3)).astype(np.float32)
+    enc = CLIPImageEncoder("CNX-Test/laion2b", compute_dtype="int8_static",
+                           calibration_path=calib)
+    first = np.asarray(enc.encode(jnp.asarray(x)))
+    assert os.path.exists(calib)
+
+    enc2 = CLIPImageEncoder("CNX-Test/laion2b", compute_dtype="int8_static",
+                            calibration_path=calib)
+    assert enc2.load_calibration()
+    np.testing.assert_array_equal(np.asarray(enc2.encode(jnp.asarray(x))),
+                                  first)
+
+    amax = load_calibration(calib)
+    with pytest.raises(ValueError, match="calibrated for"):
+        check_calibration(amax, resolve_config("CNX-Test/laion2b"), calib,
+                          model_name="some-other-model")
+    vit_cfg = resolve_config("ViT-Test/tiny")
+    amax.pop("_model_name", None)
+    with pytest.raises(ValueError):
+        check_calibration(amax, vit_cfg, calib)
