@@ -138,6 +138,58 @@ def main():
     if "sweeps" in which:  # batch headroom on the small towers
         bench_model("ViT-B-16-SigLIP/webli", 128, "int8_static")
         bench_model("PE-Core-B16-224", 64, "int8_static")
+    if "naflex" in which:  # masked variable-aspect path (bf16, own program)
+        bench_naflex("ViT-B-16-SigLIP2-naflex", 64)
+
+
+def bench_naflex(model, batch, runs=2, steps=10):
+    """Steady-state throughput of the masked variable-aspect naflex path:
+    mixed-aspect uint8 images -> per-image patch grids -> masked tower. Host
+    preprocess (grid fit + pos-embed weights) is included once per batch,
+    then reused — the point is the DEVICE program's rate (one jit, padded to
+    the 256-position grid), so preprocess is staged outside the timed loop
+    like bench_model's device-resident canvases."""
+    enc = CLIPImageEncoder(model, compute_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    aspects = [(512, 256), (384, 384), (256, 512), (448, 320)]
+    images = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+              for h, w in (aspects * ((batch + 3) // 4))[:batch]]
+
+    from clip_assisted_data_labeling_tpu.models.naflex import (
+        build_pos_weights,
+        naflex_encode,
+        preprocess_variable,
+    )
+
+    n_max = enc.cfg.seq_len
+    prepped = [preprocess_variable(np.asarray(im), enc.cfg, n_max)
+               for im in images]
+    patches = jax.device_put(np.stack([p for p, _, _ in prepped]))
+    masks = jax.device_put(np.stack([m for _, m, _ in prepped]))
+    pos_w = jax.device_put(build_pos_weights(
+        [s for _, _, s in prepped], n_max, enc.cfg.grid))
+
+    def step():
+        return naflex_encode(enc.params, patches, pos_w, masks, enc.cfg,
+                             compute_dtype=enc.compute_dtype)
+
+    for _ in range(2):
+        np.asarray(step()[:1, :4])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        emb = step()
+    np.asarray(emb[:1, :4])
+    vals = [batch * steps / (time.perf_counter() - t0)]
+    for _ in range(runs - 1):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            emb = step()
+        np.asarray(emb[:1, :4])
+        vals.append(batch * steps / (time.perf_counter() - t0))
+    print(json.dumps({
+        "model": model, "batch": batch, "dtype": "bfloat16(naflex)",
+        "imgs_per_sec": [round(v, 2) for v in vals],
+    }), flush=True)
 
 
 if __name__ == "__main__":
