@@ -135,6 +135,9 @@ def main():
         routing_report("EVA02-L-14/merged2b_s4b_b131k")
         bench_model("EVA02-L-14/merged2b_s4b_b131k", 40, "int8_static")
         bench_model("EVA02-L-14/merged2b_s4b_b131k", 40, "bfloat16")
+    if "eva-breadth" in which:  # the other two EVA geometries
+        bench_model("EVA02-B-16/merged2b_s8b_b131k", 64, "int8_static")
+        bench_model("EVA01-g-14/laion400m_s11b_b41k", 16, "int8_static")
     if "sweeps" in which:  # batch headroom on the small towers
         bench_model("ViT-B-16-SigLIP/webli", 128, "int8_static")
         bench_model("PE-Core-B16-224", 64, "int8_static")
