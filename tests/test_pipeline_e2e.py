@@ -227,6 +227,25 @@ def test_5b_predict_chunked_matches_single_chunk(pipeline_dirs, monkeypatch):
     )
 
 
+def test_prefetched_chunks_surfaces_worker_errors(monkeypatch):
+    """A failure inside the background assembly thread must raise in the
+    consumer (never hang the queue or silently truncate the run)."""
+    import pytest
+
+    from clip_assisted_data_labeling_tpu.pipeline import predict as P
+
+    def fake_gather(root_dir, uuids, model, stores):
+        if uuids[0] == "b":
+            raise RuntimeError("boom in worker")
+        return (list(uuids), None)
+
+    monkeypatch.setattr(P, "_gather_features", fake_gather)
+    gen = P._prefetched_chunks("root", ["a", "b", "c"], None, None, 1)
+    assert next(gen)[0] == ["a"]
+    with pytest.raises(RuntimeError, match="boom in worker"):
+        list(gen)
+
+
 def test_6_subset(pipeline_dirs):
     _base, root = pipeline_dirs
     cfg = SubsetConfig(min_score=0.0, max_score=1.0, min_n_pixels=100,
