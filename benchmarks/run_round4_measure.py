@@ -138,6 +138,18 @@ def main():
     if "eva-breadth" in which:  # the other two EVA geometries
         bench_model("EVA02-B-16/merged2b_s8b_b131k", 64, "int8_static")
         bench_model("EVA01-g-14/laion400m_s11b_b41k", 16, "int8_static")
+    if "big-vits" in which:  # registry giants with no recorded rows
+        bench_model("ViT-H-14/laion2b_s32b_b79k", 32, "int8_static")
+        bench_model("ViT-g-14/laion2b_s34b_b88k", 16, "int8_static")
+        bench_model("ViT-bigG-14/laion2b_s39b_b160k", 16, "int8_static")
+    if "rn-breadth" in which:
+        bench_model("RN101/openai", 64, "bfloat16")
+        bench_model("RN50x16/openai", 16, "bfloat16")
+    if "cnx-xxl" in which:  # back the >=1536 auto gate at its other end
+        bench_model("convnext_xxlarge/laion2b_s34b_b82k_augreg_soup", 16,
+                    "bfloat16")
+        bench_model("convnext_xxlarge/laion2b_s34b_b82k_augreg_soup", 16,
+                    "int8_static")
     if "sweeps" in which:  # batch headroom on the small towers
         bench_model("ViT-B-16-SigLIP/webli", 128, "int8_static")
         bench_model("PE-Core-B16-224", 64, "int8_static")
