@@ -150,6 +150,16 @@ def main():
                     "bfloat16")
         bench_model("convnext_xxlarge/laion2b_s34b_b82k_augreg_soup", 16,
                     "int8_static")
+    if "rn-int8" in which:  # W8A8 1x1-matmul path A/B (run with CTPU_RN_INT8=1
+        # so the gate can't hide the path; bf16 rows ignore the knob).
+        # Interleaved bf16/int8 pairs per the tunnel-drift rule (CLAUDE.md).
+        for _ in range(2):
+            bench_model("RN50x16/openai", 16, "bfloat16")
+            bench_model("RN50x16/openai", 16, "int8_static")
+        bench_model("RN50/openai", 64, "bfloat16")
+        bench_model("RN50/openai", 64, "int8_static")
+        bench_model("RN50x64/openai", 8, "int8_static")
+        bench_model("RN50x64/openai", 8, "bfloat16")
     if "sweeps" in which:  # batch headroom on the small towers
         bench_model("ViT-B-16-SigLIP/webli", 128, "int8_static")
         bench_model("PE-Core-B16-224", 64, "int8_static")

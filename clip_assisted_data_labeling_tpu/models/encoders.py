@@ -124,6 +124,19 @@ def check_calibration(amax: dict, cfg, path: str, model_name: str = "") -> None:
             "— only shape-checked; delete it to recalibrate with provenance",
             path,
         )
+    if isinstance(cfg, RNConfig):
+        # modified-ResNet calibration: one [2] site-amax per bottleneck block
+        for s, n in enumerate(cfg.layers):
+            for b in range(n):
+                k = f"s{s}b{b}_act_amax"
+                got = np.asarray(amax[k]).shape if k in amax else None
+                if got != (2,):
+                    raise ValueError(
+                        f"{path} holds {k}={got}, expected (2,) (recorded for "
+                        f"{amax.get('_model_name', 'unknown model')}) — wrong "
+                        "model's calibration file"
+                    )
+        return
     if isinstance(cfg, CNXConfig):
         # ConvNeXt calibration: one [depth, 2] site-amax per stage
         for s, d in enumerate(cfg.depths):
@@ -173,15 +186,28 @@ class CLIPImageEncoder:
         self.cfg = resolve_config(model_name)
         eva_block = (getattr(self.cfg, "mlp_type", "mlp") == "swiglu"
                      or getattr(self.cfg, "attn_inner_ln", False))
-        if compute_dtype in ("int8", "int8_static") and isinstance(
-                self.cfg, RNConfig):
-            # modified-ResNets run bf16 in every int8 mode — their FLOPs live
-            # in 3x3/1x1 XLA convs, already MXU-native
+        if compute_dtype == "int8" and isinstance(self.cfg, RNConfig):
+            # modified-ResNets support int8_static (W8A8 on the 1x1 bottleneck
+            # matmuls, models/resnet.py) but have no dynamic-int8 formulation
             log.warning(
-                "%s is a modified-ResNet conv tower — int8 modes have no RN "
-                "formulation; running bfloat16", model_name,
+                "%s has no dynamic-int8 formulation — use int8_static for "
+                "the W8A8 1x1-matmul path; running bfloat16", model_name,
             )
             compute_dtype = "bfloat16"
+        elif compute_dtype == "int8_static" and isinstance(self.cfg, RNConfig):
+            from clip_assisted_data_labeling_tpu.models.resnet import (
+                rn_int8_static_enabled,
+            )
+
+            if not rn_int8_static_enabled(self.cfg):
+                # same measured-auto contract as the ConvNeXt gate;
+                # CTPU_RN_INT8=1 forces the W8A8 path for A/Bs
+                log.info(
+                    "%s: int8_static auto-resolves OFF for this ResNet "
+                    "geometry (measured slower than bf16); running bfloat16",
+                    model_name,
+                )
+                compute_dtype = "bfloat16"
         elif compute_dtype == "int8" and isinstance(self.cfg, CNXConfig):
             # ConvNeXt supports int8_static on its pointwise matmuls
             # (models/convnext.py) but has no dynamic-int8 formulation
@@ -228,7 +254,16 @@ class CLIPImageEncoder:
         self.parity_preprocess = parity_preprocess
         self.params = params if params is not None else self._load_params(model_path)
         if self.quantized:
-            if isinstance(self.cfg, CNXConfig):
+            if isinstance(self.cfg, RNConfig):
+                from clip_assisted_data_labeling_tpu.models.resnet import (
+                    is_rn_quantized,
+                    quantize_rn_params,
+                )
+
+                if not is_rn_quantized(self.params):
+                    log.info("Quantizing %s 1x1 convs to W8A8", model_name)
+                    self.params = quantize_rn_params(self.params)
+            elif isinstance(self.cfg, CNXConfig):
                 from clip_assisted_data_labeling_tpu.models.convnext import (
                     is_cnx_quantized,
                     quantize_cnx_params,
@@ -338,6 +373,8 @@ class CLIPImageEncoder:
 
     def _calibrated(self) -> bool:
         """Static activation scales already attached to self.params?"""
+        if isinstance(self.cfg, RNConfig):
+            return "s0b0_act_amax" in self.params
         if isinstance(self.cfg, CNXConfig):
             return "s0_act_amax" in self.params
         return "act_amax" in self.params["blocks"]
@@ -359,6 +396,15 @@ class CLIPImageEncoder:
         amax = load_calibration(self.calibration_path)
         check_calibration(amax, self.cfg, self.calibration_path, self.model_name)
         amax.pop("_model_name", None)
+        if isinstance(self.cfg, RNConfig):
+            from clip_assisted_data_labeling_tpu.models.resnet import (
+                attach_rn_act_amax,
+            )
+
+            log.info("Loaded static int8 calibration from %s",
+                     self.calibration_path)
+            self.params = attach_rn_act_amax(self.params, amax)
+            return True
         if isinstance(self.cfg, CNXConfig):
             from clip_assisted_data_labeling_tpu.models.convnext import (
                 attach_cnx_act_amax,
@@ -391,6 +437,24 @@ class CLIPImageEncoder:
         if not self.static_quant or self._calibrated():
             return
         if self.load_calibration():
+            return
+        if isinstance(self.cfg, RNConfig):
+            from clip_assisted_data_labeling_tpu.models.resnet import (
+                attach_rn_act_amax,
+                rn_act_amax,
+            )
+
+            log.info("Calibrating ResNet static int8 scales on the first batch")
+            amax = jax.tree.map(
+                np.asarray,
+                rn_act_amax(self.params, images, self.cfg,
+                            compute_dtype=self.compute_dtype),
+            )
+            if self.calibration_path:
+                save_calibration(self.calibration_path, amax, self.model_name)
+                log.info("Saved static int8 calibration to %s",
+                         self.calibration_path)
+            self.params = attach_rn_act_amax(self.params, amax)
             return
         if isinstance(self.cfg, CNXConfig):
             from clip_assisted_data_labeling_tpu.models.convnext import (

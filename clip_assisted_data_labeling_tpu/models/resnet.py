@@ -21,6 +21,18 @@ jitted program shared with the ViT path (encoders.CLIPImageEncoder dispatches
 on the config type). Compute is bf16 with the attention softmax in f32, like
 the ViT tower.
 
+int8_static (W8A8) is supported on the bottleneck 1x1 convolutions — they are
+matmul-shaped (the kernel is [1, 1, Cin, Cout]) and carry ~half the tower's
+FLOPs, so they run as XLA int8 matmuls at the 2-3x MXU rate exactly like the
+ConvNeXt pointwise path (models/convnext.py): ``quantize_rn_params`` quantizes
+every block's conv1/conv3 per output channel, ``rn_act_amax`` calibrates the
+two per-block static activation sites (the block input feeding conv1, the
+post-avgpool ReLU output feeding conv3), and ``_bottleneck`` takes the static
+branch when scales are attached. The 3x3 convs, stem, downsample shortcut and
+attnpool stay bf16 (XLA int8 CONVS are not a win on v5e, and the shortcut /
+attnpool terms are a small FLOPs share). Dynamic int8 still downgrades to
+bf16 (no per-row formulation for conv-shaped activations).
+
 Weight conversion from open_clip ``visual.*`` RN state dicts lives in
 models/clip_weights.convert_rn_visual; parity against a from-spec torch mirror
 is validated in tests/test_rn_parity.py.
@@ -156,6 +168,76 @@ def init_rn_params(cfg: RNConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     return p
 
 
+def quantize_rn_params(params: dict) -> dict:
+    """W8A8 weight quantization for the bottleneck 1x1 convolutions.
+
+    Every block's ``conv1``/``conv3`` ([1, 1, Cin, Cout] HWIO) becomes a 2-D
+    [Cin, Cout] int8 matmul kernel with a sibling ``_scale`` leaf ([Cout] f32,
+    per output channel); the 3x3 convs, stem, downsample shortcut and attnpool
+    pass through (they stay bf16 in the static forward)."""
+    from clip_assisted_data_labeling_tpu.ops.quant import quantize_weight
+
+    out: dict = {}
+    for name, leaf in params.items():
+        if (name.endswith(("conv1", "conv3")) and name.startswith("s")
+                and "_" in name):
+            q, s = quantize_weight(np.asarray(leaf).reshape(leaf.shape[-2:]))
+            out[name] = jnp.asarray(q)
+            out[name + "_scale"] = jnp.asarray(s)
+        else:
+            out[name] = jnp.asarray(leaf)
+    return out
+
+
+def is_rn_quantized(params: dict) -> bool:
+    return "s0b0_conv1_scale" in params
+
+
+def rn_int8_static_enabled(cfg: RNConfig) -> bool:
+    """Resolve the modified-ResNet W8A8 knob for one tower.
+    ``CTPU_RN_INT8=1`` forces on, ``=0`` forces off; the default ``auto``
+    enables the path exactly where it measured a win on the bench chip
+    (BENCH_NOTES round-4 follow-up: the wide x-scale towers; the thin-stem
+    RN50/RN101 stage-1 blocks are bandwidth-bound like the small ConvNeXts)."""
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    if knobs.RN_INT8 == "on":
+        return True
+    if knobs.RN_INT8 == "off":
+        return False
+    return cfg.final_width >= 3072
+
+
+def attach_rn_act_amax(params: dict, amax: dict, margin: float = 1.1) -> dict:
+    """Attach calibrated static activation scales (``s{s}b{b}_act_amax`` [2]
+    from :func:`rn_act_amax`); same margin semantics as the ViT path
+    (models/vit.attach_act_amax)."""
+    out = dict(params)
+    for key, v in amax.items():
+        out[key] = jnp.asarray(v, jnp.float32) * margin
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def rn_act_amax(params: dict, images: jnp.ndarray, cfg: RNConfig,
+                compute_dtype=jnp.bfloat16) -> dict:
+    """Calibration forward: per-block amax at the two quantized-activation
+    sites (block input → conv1, post-avgpool ReLU → conv3). Returns
+    ``{"s{s}b{b}_act_amax": [2]}``. Quantized kernels are dequantized for
+    this one forward (one batch; attach adds margin)."""
+    x = images.astype(compute_dtype)
+    x = _affine_relu(_conv(x, params["conv1"], stride=2, pad=1), params, "bn1")
+    x = _affine_relu(_conv(x, params["conv2"], pad=1), params, "bn2")
+    x = _affine_relu(_conv(x, params["conv3"], pad=1), params, "bn3")
+    x = _avgpool(x, 2)
+    amaxes: dict = {}
+    for s, b, _cin, _mid, stride in _block_widths(cfg):
+        pre = f"s{s}b{b}_"
+        x, amaxes[pre + "act_amax"] = _bottleneck(x, params, pre, stride,
+                                                  capture_amax=True)
+    return amaxes
+
+
 def _conv(x, kernel, stride: int = 1, pad: int = 0):
     return jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype),
@@ -180,20 +262,68 @@ def _avgpool(x, k: int):
     return y * (1.0 / (k * k))
 
 
-def _bottleneck(x, p, pre: str, stride: int):
+def _pointwise(x, p, key: str):
+    """1x1 conv as written in the checkpoint ([1,1,Cin,Cout] HWIO) or its
+    quantized 2-D [Cin,Cout] form, dequantized (bf16 fallback / calibration
+    forwards on a quantized pytree)."""
+    k = p[key]
+    if key + "_scale" in p:
+        k = (k.astype(jnp.float32)
+             * p[key + "_scale"].astype(jnp.float32)).astype(x.dtype)
+        k = k[None, None]
+    return _conv(x, k)
+
+
+def _pointwise_static(x, p, key: str, amax):
+    """Statically-quantized 1x1 conv as an XLA int8 matmul: the activation
+    quantize fuses into its producer's epilogue (ops/quant.quant_static) and
+    the int32 accumulator dequantizes in the matmul's output fusion."""
+    from clip_assisted_data_labeling_tpu.ops.quant import quant_static
+    from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_matmul_pre
+
+    b, hh, ww, cin = x.shape
+    xq = quant_static(x, amax).reshape(b * hh * ww, cin)
+    y = q_matmul_pre(xq, amax * (1.0 / 127.0), p[key], p[key + "_scale"],
+                     out_dtype=x.dtype)
+    return y.reshape(b, hh, ww, y.shape[-1])
+
+
+def _bottleneck(x, p, pre: str, stride: int, capture_amax: bool = False):
     """open_clip Bottleneck: 1x1 → 3x3 → [avgpool if stride>1] → 1x1, with an
     avgpool+1x1-conv shortcut whenever shape changes (anti-aliased rather than
-    strided-conv downsampling)."""
-    y = _affine_relu(_conv(x, p[pre + "conv1"]), p, pre + "bn1")
+    strided-conv downsampling).
+
+    Three variants share the 3x3/shortcut middle: the bf16 path (float params,
+    or quantized params before calibration — kernels dequantized), the
+    int8_static path (quantized 1x1 kernels + attached ``{pre}act_amax``), and
+    the calibration capture (bf16 path that also returns the block's [2] site
+    amaxes)."""
+    static = (not capture_amax and pre + "conv1_scale" in p
+              and pre + "act_amax" in p)
+    a = p[pre + "act_amax"] if static else None
+    a0 = (jnp.max(jnp.abs(x.astype(jnp.float32)))
+          if capture_amax else None)
+    if static:
+        y = _pointwise_static(x, p, pre + "conv1", a[0])
+    else:
+        y = _pointwise(x, p, pre + "conv1")
+    y = _affine_relu(y, p, pre + "bn1")
     y = _affine_relu(_conv(y, p[pre + "conv2"], pad=1), p, pre + "bn2")
     y = _avgpool(y, stride)
-    y = _affine_relu(_conv(y, p[pre + "conv3"]), p, pre + "bn3", relu=False)
+    a1 = (jnp.max(jnp.abs(y.astype(jnp.float32)))
+          if capture_amax else None)
+    if static:
+        y = _pointwise_static(y, p, pre + "conv3", a[1])
+    else:
+        y = _pointwise(y, p, pre + "conv3")
+    y = _affine_relu(y, p, pre + "bn3", relu=False)
     if pre + "down_conv" in p:
         shortcut = _affine_relu(_conv(_avgpool(x, stride), p[pre + "down_conv"]),
                                 p, pre + "down", relu=False)
     else:
         shortcut = x
-    return jax.nn.relu(y + shortcut)
+    out = jax.nn.relu(y + shortcut)
+    return (out, jnp.stack([a0, a1])) if capture_amax else out
 
 
 def _attention_pool_2d(x, p, cfg: RNConfig):

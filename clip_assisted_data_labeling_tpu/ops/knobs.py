@@ -63,6 +63,11 @@ def reload() -> None:
     # round-10). '1'/'0' force. Resolution in convnext.cnx_int8_static_enabled.
     g["CNX_INT8"] = {"1": "on", "0": "off"}.get(
         os.environ.get("CTPU_CNX_INT8", ""), "auto")
+    # modified-ResNet W8A8 1x1-conv-as-matmul path under int8_static: same
+    # 'auto'/'1'/'0' contract as CNX_INT8; resolution per tower in
+    # resnet.rn_int8_static_enabled (measured A/B in BENCH_NOTES).
+    g["RN_INT8"] = {"1": "on", "0": "off"}.get(
+        os.environ.get("CTPU_RN_INT8", ""), "auto")
 
 
 PREPROC: str
@@ -74,5 +79,6 @@ INT8_BLOCK: str
 INT8_WIRE: str  # 'auto' | 'on' | 'off'
 FUSED_QMATMUL: bool
 CNX_INT8: str  # 'auto' | 'on' | 'off'
+RN_INT8: str  # 'auto' | 'on' | 'off'
 
 reload()

@@ -13,6 +13,7 @@ Sequential keyed "-1"/"0"/"1" so the conv lands at ``downsample.0``).
 BatchNorm running stats are randomized so the inference-time BN fold in
 clip_weights.convert_rn_visual is actually exercised.
 """
+import os
 from collections import OrderedDict
 
 import numpy as np
@@ -248,7 +249,91 @@ def test_rn_encoder_wrapper(rng, caplog):
     assert out.shape == (2, 4, 16)
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
 
+    # dynamic int8 has no RN formulation — downgrades with a warning
     with caplog.at_level(logging.WARNING):
-        enc8 = CLIPImageEncoder("RN-Test/openai", compute_dtype="int8_static")
+        enc8 = CLIPImageEncoder("RN-Test/openai", compute_dtype="int8")
     assert not enc8.quantized and not enc8.static_quant
-    assert any("modified-ResNet" in r.message for r in caplog.records)
+    assert any("no dynamic-int8 formulation" in r.message
+               for r in caplog.records)
+
+    # int8_static auto-resolves OFF for the tiny geometry (measured gate,
+    # resnet.rn_int8_static_enabled) — runs bf16 without the warning
+    encs = CLIPImageEncoder("RN-Test/openai", compute_dtype="int8_static")
+    assert not encs.quantized and not encs.static_quant
+
+
+def test_rn_int8_auto_gate():
+    """The per-model W8A8 auto default enables the 1x1-matmul path exactly
+    where it measured a win on chip (wide x-scale towers)."""
+    from clip_assisted_data_labeling_tpu.models.resnet import (
+        rn_int8_static_enabled,
+    )
+
+    assert rn_int8_static_enabled(resolve_config("RN50x16/openai"))
+    assert rn_int8_static_enabled(resolve_config("RN50x64/openai"))
+    assert not rn_int8_static_enabled(resolve_config("RN50/openai"))
+    assert not rn_int8_static_enabled(resolve_config("RN-Test/openai"))
+
+
+def test_rn_int8_static_within_budget(rng, monkeypatch):
+    """RN int8_static (W8A8 1x1 bottleneck matmuls, models/resnet.py):
+    first-batch calibration attaches per-block [2] site amaxes and the
+    static-path embeddings track f32 within the fast-mode cosine budget.
+    (Knob forced ON: auto resolves off for the tiny test geometry.)"""
+    from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    monkeypatch.setattr(knobs, "RN_INT8", "on")
+
+    x = rng.normal(0, 0.7, (2, 64, 64, 3)).astype(np.float32)
+
+    ref = np.asarray(
+        CLIPImageEncoder("RN-Test/openai", compute_dtype=jnp.float32)
+        .encode(jnp.asarray(x)))
+
+    enc8 = CLIPImageEncoder("RN-Test/openai", compute_dtype="int8_static")
+    assert enc8.quantized and enc8.static_quant
+    assert "s0b0_conv1_scale" in enc8.params
+    got = np.asarray(enc8.encode(jnp.asarray(x)))
+    assert enc8._calibrated()
+    assert enc8.params["s0b0_act_amax"].shape == (2,)
+    cos = np.sum(ref * got, axis=-1)
+    assert np.all(cos > 0.995), cos.min()
+
+    # second encode takes the fully-static path with identical results
+    again = np.asarray(enc8.encode(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, again)
+
+
+def test_rn_int8_static_calibration_roundtrip(rng, tmp_path, monkeypatch):
+    """RN calibration persistence: per-block scales save to npz with
+    provenance, reload on a fresh encoder (no recalibration forward), and a
+    wrong-model file is rejected."""
+    from clip_assisted_data_labeling_tpu.models.encoders import (
+        CLIPImageEncoder,
+        check_calibration,
+        load_calibration,
+    )
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    monkeypatch.setattr(knobs, "RN_INT8", "on")
+
+    calib = str(tmp_path / "rn.calib.npz")
+    x = rng.normal(0, 0.7, (2, 64, 64, 3)).astype(np.float32)
+
+    enc = CLIPImageEncoder("RN-Test/openai", compute_dtype="int8_static",
+                           calibration_path=calib)
+    first = np.asarray(enc.encode(jnp.asarray(x)))
+    assert os.path.exists(calib)
+
+    # a fresh encoder reloads the persisted scales — identical embeddings
+    enc2 = CLIPImageEncoder("RN-Test/openai", compute_dtype="int8_static",
+                            calibration_path=calib)
+    np.testing.assert_array_equal(
+        first, np.asarray(enc2.encode(jnp.asarray(x))))
+
+    # wrong-model rejection: the RN shape check catches a ViT file's keys
+    amax = load_calibration(calib)
+    with pytest.raises(ValueError, match="calibrated for"):
+        check_calibration(amax, resolve_config("RN50/openai"), calib,
+                          "RN50/openai")
