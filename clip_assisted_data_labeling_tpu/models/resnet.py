@@ -168,19 +168,31 @@ def init_rn_params(cfg: RNConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     return p
 
 
-def quantize_rn_params(params: dict) -> dict:
+def quantize_rn_params(params: dict, min_mid: int | None = None) -> dict:
     """W8A8 weight quantization for the bottleneck 1x1 convolutions.
 
-    Every block's ``conv1``/``conv3`` ([1, 1, Cin, Cout] HWIO) becomes a 2-D
+    A block's ``conv1``/``conv3`` ([1, 1, Cin, Cout] HWIO) becomes a 2-D
     [Cin, Cout] int8 matmul kernel with a sibling ``_scale`` leaf ([Cout] f32,
     per output channel); the 3x3 convs, stem, downsample shortcut and attnpool
-    pass through (they stay bf16 in the static forward)."""
+    pass through (they stay bf16 in the static forward). ``min_mid`` skips
+    blocks whose bottleneck width is below it (the narrow early stages are
+    bandwidth-bound — the quantize passes there cost more than the int8
+    matmul saves; the forward falls back per block by key presence). Default
+    from ``CTPU_RN_INT8_MIN_MID``."""
+    from clip_assisted_data_labeling_tpu.ops import knobs
     from clip_assisted_data_labeling_tpu.ops.quant import quantize_weight
 
+    if min_mid is None:
+        min_mid = knobs.RN_INT8_MIN_MID
     out: dict = {}
     for name, leaf in params.items():
         if (name.endswith(("conv1", "conv3")) and name.startswith("s")
                 and "_" in name):
+            # bottleneck width: conv1 is [.., cin, mid], conv3 [.., mid, out]
+            mid = leaf.shape[-1] if name.endswith("conv1") else leaf.shape[-2]
+            if mid < min_mid:
+                out[name] = jnp.asarray(leaf)
+                continue
             q, s = quantize_weight(np.asarray(leaf).reshape(leaf.shape[-2:]))
             out[name] = jnp.asarray(q)
             out[name + "_scale"] = jnp.asarray(s)
@@ -190,7 +202,7 @@ def quantize_rn_params(params: dict) -> dict:
 
 
 def is_rn_quantized(params: dict) -> bool:
-    return "s0b0_conv1_scale" in params
+    return any(k.endswith("conv1_scale") for k in params)
 
 
 def rn_int8_static_enabled(cfg: RNConfig) -> bool:
@@ -275,16 +287,29 @@ def _pointwise(x, p, key: str):
 
 
 def _pointwise_static(x, p, key: str, amax):
-    """Statically-quantized 1x1 conv as an XLA int8 matmul: the activation
-    quantize fuses into its producer's epilogue (ops/quant.quant_static) and
-    the int32 accumulator dequantizes in the matmul's output fusion."""
+    """Statically-quantized 1x1 conv: the activation quantize fuses into its
+    producer's epilogue (ops/quant.quant_static) and the int32 accumulator
+    dequantizes in the output fusion. Two formulations (CTPU_RN_INT8_CONV):
+    reshape-to-matmul (q_matmul_pre — the ViT/CNX int8 path), or an int8
+    NHWC conv that never leaves the conv layout (no [B,H,W,C]→[M,K]
+    relayout of the large activations)."""
+    from clip_assisted_data_labeling_tpu.ops import knobs
     from clip_assisted_data_labeling_tpu.ops.quant import quant_static
     from clip_assisted_data_labeling_tpu.ops.quant_kernel import q_matmul_pre
 
+    xq = quant_static(x, amax)
+    if knobs.RN_INT8_CONV:
+        acc = jax.lax.conv_general_dilated(
+            xq, p[key][None, None], window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = (acc.astype(jnp.float32) * (amax * (1.0 / 127.0))
+             * p[key + "_scale"].astype(jnp.float32))
+        return y.astype(x.dtype)
     b, hh, ww, cin = x.shape
-    xq = quant_static(x, amax).reshape(b * hh * ww, cin)
-    y = q_matmul_pre(xq, amax * (1.0 / 127.0), p[key], p[key + "_scale"],
-                     out_dtype=x.dtype)
+    y = q_matmul_pre(xq.reshape(b * hh * ww, cin), amax * (1.0 / 127.0),
+                     p[key], p[key + "_scale"], out_dtype=x.dtype)
     return y.reshape(b, hh, ww, y.shape[-1])
 
 

@@ -68,6 +68,12 @@ def reload() -> None:
     # resnet.rn_int8_static_enabled (measured A/B in BENCH_NOTES).
     g["RN_INT8"] = {"1": "on", "0": "off"}.get(
         os.environ.get("CTPU_RN_INT8", ""), "auto")
+    # minimum bottleneck width for a block to take the W8A8 path (0 = every
+    # block); the narrow early stages are bandwidth-bound (A/B in BENCH_NOTES)
+    g["RN_INT8_MIN_MID"] = int(os.environ.get("CTPU_RN_INT8_MIN_MID", "0"))
+    # W8A8 1x1 formulation: int8 NHWC conv (no activation relayout) vs the
+    # reshape-to-matmul path (A/B in BENCH_NOTES)
+    g["RN_INT8_CONV"] = os.environ.get("CTPU_RN_INT8_CONV", "0") == "1"
 
 
 PREPROC: str
@@ -80,5 +86,7 @@ INT8_WIRE: str  # 'auto' | 'on' | 'off'
 FUSED_QMATMUL: bool
 CNX_INT8: str  # 'auto' | 'on' | 'off'
 RN_INT8: str  # 'auto' | 'on' | 'off'
+RN_INT8_MIN_MID: int
+RN_INT8_CONV: bool
 
 reload()

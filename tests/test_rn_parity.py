@@ -305,6 +305,46 @@ def test_rn_int8_static_within_budget(rng, monkeypatch):
     np.testing.assert_array_equal(got, again)
 
 
+def test_rn_int8_static_conv_form(rng, monkeypatch):
+    """The NHWC int8-conv formulation (CTPU_RN_INT8_CONV=1) matches f32
+    within the same budget as the matmul form. Batch 3 so the jit cache
+    can't serve a trace recorded under the other knob value."""
+    from clip_assisted_data_labeling_tpu.models.encoders import CLIPImageEncoder
+    from clip_assisted_data_labeling_tpu.ops import knobs
+
+    monkeypatch.setattr(knobs, "RN_INT8", "on")
+    monkeypatch.setattr(knobs, "RN_INT8_CONV", True)
+
+    x = rng.normal(0, 0.7, (3, 64, 64, 3)).astype(np.float32)
+    ref = np.asarray(
+        CLIPImageEncoder("RN-Test/openai", compute_dtype=jnp.float32)
+        .encode(jnp.asarray(x)))
+    enc8 = CLIPImageEncoder("RN-Test/openai", compute_dtype="int8_static")
+    got = np.asarray(enc8.encode(jnp.asarray(x)))
+    cos = np.sum(ref * got, axis=-1)
+    assert np.all(cos > 0.995), cos.min()
+
+
+def test_rn_int8_min_mid_gate(monkeypatch):
+    """CTPU_RN_INT8_MIN_MID skips quantizing blocks below the width floor —
+    per-block fallback by key presence, wide blocks still quantized."""
+    import jax
+
+    from clip_assisted_data_labeling_tpu.models.resnet import (
+        init_rn_params,
+        is_rn_quantized,
+        quantize_rn_params,
+    )
+
+    cfg = resolve_config("RN-Test/openai")  # mids 8, 16, 32, 64
+    params = init_rn_params(cfg, jax.random.key(0))
+    part = quantize_rn_params(params, min_mid=32)
+    assert is_rn_quantized(part)
+    assert "s0b0_conv1_scale" not in part  # mid 8 < 32: stays float
+    assert "s2b0_conv1_scale" in part and "s3b0_conv3_scale" in part
+    assert part["s0b0_conv1"].shape == params["s0b0_conv1"].shape  # untouched
+
+
 def test_rn_int8_static_calibration_roundtrip(rng, tmp_path, monkeypatch):
     """RN calibration persistence: per-block scales save to npz with
     provenance, reload on a fresh encoder (no recalibration forward), and a
