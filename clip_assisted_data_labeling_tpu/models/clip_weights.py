@@ -215,6 +215,39 @@ def convert_pe_visual(state_dict: dict, cfg: VitConfig) -> dict:
     return base
 
 
+def convert_coca_visual(state_dict: dict, cfg: VitConfig) -> dict:
+    """open_clip CoCa 'visual.*' state dict → our pytree.
+
+    The reference reaches CoCa towers (coca_ViT-B-32 / coca_ViT-L-14) through
+    the same open_clip dispatch as every other name (utils/embedder.py:58-63).
+    The trunk converts as a standard open_clip ViT; the legacy
+    AttentionalPooler is a torch nn.MultiheadAttention with kdim = vdim =
+    width and embed_dim < width, which stores SEPARATE q/k/v projection
+    weights (``q_proj_weight``/``k_proj_weight``/``v_proj_weight``) instead of
+    the packed ``in_proj_weight``. ln_post and proj already act on the pooled
+    dim in the checkpoint, so the base conversion carries them unchanged.
+    """
+    base = convert_open_clip_visual(state_dict, cfg)
+    sd = {k[len("visual."):]: v for k, v in state_dict.items()
+          if k.startswith("visual.")}
+    if not sd:
+        sd = dict(state_dict)
+    base.update({
+        "pool_query": _t(sd["attn_pool.query"]),
+        "pool_q_kernel": _t(sd["attn_pool.attn.q_proj_weight"]).T,
+        "pool_k_kernel": _t(sd["attn_pool.attn.k_proj_weight"]).T,
+        "pool_v_kernel": _t(sd["attn_pool.attn.v_proj_weight"]).T,
+        "pool_in_bias": _t(sd["attn_pool.attn.in_proj_bias"]),
+        "pool_out_kernel": _t(sd["attn_pool.attn.out_proj.weight"]).T,
+        "pool_out_bias": _t(sd["attn_pool.attn.out_proj.bias"]),
+        "pool_lnq_scale": _t(sd["attn_pool.ln_q.weight"]),
+        "pool_lnq_bias": _t(sd["attn_pool.ln_q.bias"]),
+        "pool_lnk_scale": _t(sd["attn_pool.ln_k.weight"]),
+        "pool_lnk_bias": _t(sd["attn_pool.ln_k.bias"]),
+    })
+    return base
+
+
 def convert_eva_visual(state_dict: dict, cfg: VitConfig) -> dict:
     """BAAI EVA / open_clip 'visual.*' EVA state dict → our pytree.
 
@@ -525,6 +558,11 @@ def convert_torch_state_dict(state_dict: dict, cfg: VitConfig) -> dict:
     if any(k.endswith("blocks.0.norm1.weight") for k in keys):
         # EVA trunks use timm-style 'blocks.N.' naming (never 'resblocks')
         return convert_eva_visual(state_dict, cfg)
+    if (any("attn_pool.ln_q." in k for k in keys)
+            or getattr(cfg, "pool", None) == "coca"):
+        # CoCa's AttentionalPooler (ln_q/ln_k keys exist in no other family)
+        # — must check before PE, whose pooler also lives under 'attn_pool.'
+        return convert_coca_visual(state_dict, cfg)
     if any("attn_pool." in k for k in keys) or cfg.pool == "attn":
         return convert_pe_visual(state_dict, cfg)
     if any("resblocks" in k for k in keys):

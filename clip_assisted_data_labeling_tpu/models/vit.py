@@ -53,8 +53,10 @@ class VitConfig:
     use_cls_token: bool = True
     use_rope2d: bool = False  # 2-D axial rotary embeddings on q/k in every block
     rope_theta: float = 10000.0
-    pool: str = "cls"  # 'cls' (CLIP) | 'attn' (PE probe) | 'map' (SigLIP MAP head)
+    pool: str = "cls"  # 'cls' (CLIP) | 'attn' (PE probe) | 'map' (SigLIP MAP
+    # head) | 'coca' (open_clip AttentionalPooler, contrastive query readout)
     attn_pooler_heads: int = 8
+    n_pool_queries: int = 1  # CoCa pooler query rows (readout = query 0 only)
     # --- SigLIP family options (open_clip '*-SigLIP*' archs; the reference
     # reaches them through the same "Arch/pretrained" dispatch, _1:69-75) ---
     use_ln_pre: bool = True  # SigLIP towers have no pre-transformer layernorm
@@ -250,6 +252,36 @@ MODEL_REGISTRY["EVA-Test-Wide/tiny"] = VitConfig(
 )
 
 
+# open_clip CoCa vision towers (the reference reaches them through the same
+# "Arch/pretrained" dispatch as every other open_clip name, reference
+# utils/embedder.py:58-63 — e.g. 'coca_ViT-B-32/laion2b_s13b_b90k'). The
+# vision trunk is a standard pre-LN CLIP ViT; the readout is open_clip's
+# AttentionalPooler in its legacy single-pooler mode (the mode the released
+# CoCa checkpoints use): n_pool_queries learned queries in embed_dim
+# cross-attend over the trunk tokens (torch nn.MultiheadAttention with
+# kdim=vdim=width — SEPARATE q/k/v projections because embed_dim != width),
+# then ln_post over the POOLED dim and a [embed_dim, embed_dim] projection.
+# The contrastive image embedding — the one the reference's encode_image
+# returns — is query 0's output; the remaining queries only feed CoCa's text
+# decoder, which this image-embedding framework never runs, so the forward
+# computes query 0 alone (softmax rows are per-query-independent, so this is
+# exact, not an approximation).
+_COCA = dict(act="gelu", pool="coca", attn_pooler_heads=8, n_pool_queries=256)
+_COCA_ARCHS = {
+    "coca_ViT-B-32": dict(width=768, layers=12, heads=12, patch_size=32,
+                          image_size=224, embed_dim=512, **_COCA),
+    "coca_ViT-L-14": dict(width=1024, layers=24, heads=16, patch_size=14,
+                          image_size=224, embed_dim=768, **_COCA),
+}
+
+# tiny CoCa config for tests (odd query count catches row-0 selection bugs)
+MODEL_REGISTRY["CoCa-Test/tiny"] = VitConfig(
+    width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16,
+    mlp_hidden=128, act="gelu", pool="coca", attn_pooler_heads=4,
+    n_pool_queries=7,
+)
+
+
 # trunk dims shared by every SigLIP/SigLIP2 tower of a size family (the
 # SigLIP2 releases reuse the SigLIP vision architecture; only training and
 # the text side changed). naflex variable-aspect variants resolve here too
@@ -324,12 +356,14 @@ def resolve_config(model_name: str):
         return cnx
     if arch in _EVA_ARCHS:  # any pretrained tag (merged2b, laion400m, …)
         return VitConfig(**_EVA_ARCHS[arch])
+    if arch in _COCA_ARCHS:  # any pretrained tag (laion2b_s13b_b90k, mscoco…)
+        return VitConfig(**_COCA_ARCHS[arch])
     if arch in _ARCHS:
         act = "quick_gelu" if model_name.endswith("/openai") else "gelu"
         return VitConfig(**_ARCHS[arch], act=act)
     raise ValueError(
         f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
-        f"with Arch in {sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_EVA_ARCHS) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
+        f"with Arch in {sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_EVA_ARCHS) + sorted(_COCA_ARCHS) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
     )
 
 
@@ -413,7 +447,9 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
         params["ln_pre_scale"] = ones((w,))
         params["ln_pre_bias"] = zeros((w,))
     if cfg.use_proj:
-        params["proj"] = nrm(ks[7], (w, e), scale)
+        # CoCa's proj acts on the POOLED dim (embed_dim → embed_dim; the
+        # pooler already projected width → embed_dim)
+        params["proj"] = nrm(ks[7], ((e if cfg.pool == "coca" else w), e), scale)
     if cfg.patch_bias:
         params["patch_bias"] = zeros((w,))
     if cfg.use_cls_token:
@@ -440,6 +476,26 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
             "pool_fc1_bias": zeros((mlp,)),
             "pool_fc2_kernel": nrm(ks[7], (mlp, w), scale),
             "pool_fc2_bias": zeros((w,)),
+        })
+    if cfg.pool == "coca":
+        # open_clip AttentionalPooler (legacy CoCa readout): queries live in
+        # embed_dim, keys/values project width → embed_dim (cross-dim MHA);
+        # ln_post acts on the POOLED dim, so re-shape it here (the base dict
+        # above sized it for the trunk width).
+        params.update({
+            "pool_query": nrm(ks[8], (cfg.n_pool_queries, e), 0.02),
+            "pool_q_kernel": nrm(ks[9], (e, e), e ** -0.5),
+            "pool_k_kernel": nrm(ks[10], (w, e), scale),
+            "pool_v_kernel": nrm(ks[11], (w, e), scale),
+            "pool_in_bias": zeros((3 * e,)),
+            "pool_out_kernel": nrm(ks[7], (e, e), e ** -0.5),
+            "pool_out_bias": zeros((e,)),
+            "pool_lnq_scale": ones((e,)),
+            "pool_lnq_bias": zeros((e,)),
+            "pool_lnk_scale": ones((w,)),
+            "pool_lnk_bias": zeros((w,)),
+            "ln_post_scale": ones((e,)),
+            "ln_post_bias": zeros((e,)),
         })
     return params
 
@@ -530,6 +586,36 @@ def _attention_pool(x, p, heads: int, eps: float):
     (reference PE_Encoder family, utils/embedder.py:103-150)."""
     return _layernorm(_probe_mha(x, p, heads),
                       p["pool_ln_scale"], p["pool_ln_bias"], eps)
+
+
+def _coca_pool(x, p, heads: int, eps: float):
+    """CoCa contrastive readout: open_clip's AttentionalPooler (legacy
+    single-pooler mode), query 0 only. x: [B, S, w] → [B, e].
+
+    The pooler is a torch nn.MultiheadAttention with embed_dim = e and
+    kdim = vdim = w (separate q/k/v projection weights), queries ln_q'd and
+    keys/values ln_k'd first. Softmax rows are per-query-independent, so
+    computing only query 0 (the contrastive token) is exact — the other
+    n_pool_queries-1 rows feed CoCa's text decoder, which this framework's
+    image-embedding path never runs."""
+    B, S, w = x.shape
+    dt = x.dtype
+    e = p["pool_q_kernel"].shape[0]
+    d = e // heads
+    bq, bk, bv = jnp.split(p["pool_in_bias"].astype(dt), 3)
+    q0 = _layernorm(p["pool_query"][:1].astype(dt),
+                    p["pool_lnq_scale"], p["pool_lnq_bias"], eps)[0]
+    kx = _layernorm(x, p["pool_lnk_scale"], p["pool_lnk_bias"], eps)
+    q = (q0 @ p["pool_q_kernel"].astype(dt) + bq).reshape(heads, 1, d)
+    k = (kx @ p["pool_k_kernel"].astype(dt) + bk).reshape(B, S, heads, d)
+    v = (kx @ p["pool_v_kernel"].astype(dt) + bv).reshape(B, S, heads, d)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    scores = jnp.einsum("hqd,bhsd->bhqs", q, k) * (d ** -0.5)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+    pooled = jnp.einsum("bhqs,bhsd->bhqd", probs, v).transpose(0, 2, 1, 3)
+    pooled = pooled.reshape(B, e) @ p["pool_out_kernel"].astype(dt)
+    return pooled + p["pool_out_bias"].astype(dt)
 
 
 def _map_pool(x, p, heads: int, eps: float, act: str):
@@ -1049,6 +1135,16 @@ def vit_encode_image(
                                cfg.act)
         else:
             pooled = _attention_pool(x, params, cfg.attn_pooler_heads, cfg.ln_eps)
+    elif cfg.pool == "coca":
+        # CoCa readout (open_clip legacy attentional_pool): the pooler runs on
+        # the RAW trunk output — ln_k inside the pooler is the only pre-pool
+        # norm — then ln_post over the POOLED embed_dim. Padded attention rows
+        # must drop first (the pooler query attends over every row given).
+        if x.shape[1] != cfg.seq_len:
+            x = x[:, : cfg.seq_len]
+        pooled = _coca_pool(x, params, cfg.attn_pooler_heads, cfg.ln_eps)
+        pooled = _layernorm(pooled, params["ln_post_scale"],
+                            params["ln_post_bias"], cfg.ln_eps)
     else:
         pooled = _layernorm(
             x[:, 0], params["ln_post_scale"], params["ln_post_bias"], cfg.ln_eps
