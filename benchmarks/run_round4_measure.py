@@ -165,6 +165,12 @@ def main():
         bench_model("PE-Core-B16-224", 64, "int8_static")
     if "naflex" in which:  # masked variable-aspect path (bf16, own program)
         bench_naflex("ViT-B-16-SigLIP2-naflex", 64)
+    if "coca" in which:  # CoCa towers (ViT trunk + attentional-pool readout);
+        # the L-14 row is directly comparable to the ViT-L-14 headline (same
+        # trunk geometry, the readout is the only delta)
+        routing_report("coca_ViT-L-14/laion2b_s13b_b90k")
+        bench_model("coca_ViT-L-14/laion2b_s13b_b90k", 40, "int8_static")
+        bench_model("coca_ViT-B-32/laion2b_s13b_b90k", 64, "int8_static")
 
 
 def bench_naflex(model, batch, runs=2, steps=10):

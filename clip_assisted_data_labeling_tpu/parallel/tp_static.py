@@ -366,6 +366,17 @@ def _tp_static_fn(mesh: Mesh, cfg: VitConfig, compute_dtype, normalize: bool,
             else:
                 pooled = _attention_pool(x, params, cfg.attn_pooler_heads,
                                          cfg.ln_eps)
+        elif cfg.pool == "coca":
+            # CoCa readout: pooler on the RAW trunk output, ln_post over the
+            # POOLED dim (models/vit.vit_encode_image coca branch); the pool_*
+            # leaves are replicated so this matches single-device exactly
+            from clip_assisted_data_labeling_tpu.models.vit import _coca_pool
+
+            if x.shape[1] != cfg.seq_len:
+                x = x[:, : cfg.seq_len]
+            pooled = _coca_pool(x, params, cfg.attn_pooler_heads, cfg.ln_eps)
+            pooled = _layernorm(pooled, params["ln_post_scale"],
+                                params["ln_post_bias"], cfg.ln_eps)
         else:
             pooled = _layernorm(x[:, 0], params["ln_post_scale"],
                                 params["ln_post_bias"], cfg.ln_eps)

@@ -69,6 +69,25 @@ def test_tp_static_bit_identical_clip(rng):
     np.testing.assert_array_equal(tp, single)
 
 
+def test_tp_static_bit_identical_coca(rng):
+    """CoCa towers: standard trunk + the attentional-pool contrastive readout
+    (replicated pool_* leaves, ln_post over the pooled dim) through the TP
+    static path."""
+    cfg, sparams = _static_params("CoCa-Test/tiny", rng)
+    assert cfg.pool == "coca"
+    x = jnp.asarray(
+        rng.normal(0, 1, (4, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    )
+    single = np.asarray(vit_encode_image(
+        sparams, x, cfg, compute_dtype=jnp.float32, fused_attention=False))
+    mesh = get_mesh_2d(2, 2)
+    placed = place_tp_static(sparams, mesh, cfg)
+    tp = np.asarray(vit_encode_tp_static(
+        placed, x, cfg, mesh, compute_dtype=jnp.float32,
+        fused_attention=False))
+    np.testing.assert_array_equal(tp, single)
+
+
 def test_tp_static_bit_identical_pe(rng):
     """PE family: RoPE rotations + probe attention pooling through the TP
     static path."""
