@@ -106,7 +106,9 @@ _ARCHS = {
     "ViT-L-14": dict(width=1024, layers=24, heads=16, patch_size=14, image_size=224, embed_dim=768),
     "ViT-L-14-336": dict(width=1024, layers=24, heads=16, patch_size=14, image_size=336, embed_dim=768),
     "ViT-H-14": dict(width=1280, layers=32, heads=16, patch_size=14, image_size=224, embed_dim=1024),
-    "ViT-g-14": dict(width=1408, layers=40, heads=16, patch_size=14, image_size=224, embed_dim=1024),
+    # open_clip's g-14 (laion2b): mlp_ratio 4.3637 → int(4.3637·1408) = 6144
+    "ViT-g-14": dict(width=1408, layers=40, heads=16, patch_size=14,
+                     image_size=224, embed_dim=1024, mlp_hidden=6144),
     # open_clip's bigG (laion2b): mlp is 4.9231x width = 8192, not the usual 4x
     "ViT-bigG-14": dict(width=1664, layers=48, heads=16, patch_size=14,
                         image_size=224, embed_dim=1280, mlp_hidden=8192),
@@ -182,6 +184,8 @@ _EVA_ARCHS = {
                            image_size=336, embed_dim=768, mlp_hidden=2730,
                            **_EVA02),
 }
+# open_clip's 'plus' tier only widens the TEXT tower; vision trunk identical
+_EVA_ARCHS["EVA01-g-14-plus"] = _EVA_ARCHS["EVA01-g-14"]
 
 MODEL_REGISTRY: dict[str, VitConfig] = {
     # tiny configs for tests / multi-chip dry runs (not real pretrained models)
@@ -273,6 +277,8 @@ _COCA_ARCHS = {
     "coca_ViT-L-14": dict(width=1024, layers=24, heads=16, patch_size=14,
                           image_size=224, embed_dim=768, **_COCA),
 }
+# the RoBERTa-text CoCa shares the B-32 vision trunk + pooler verbatim
+_COCA_ARCHS["coca_roberta-ViT-B-32"] = _COCA_ARCHS["coca_ViT-B-32"]
 
 # tiny CoCa config for tests (odd query count catches row-0 selection bugs)
 MODEL_REGISTRY["CoCa-Test/tiny"] = VitConfig(
@@ -293,21 +299,29 @@ _SIGLIP_FAMS = {
               attn_pooler_heads=16),
     "SO400M": dict(width=1152, layers=27, heads=16, mlp_hidden=4304,
                    attn_pooler_heads=16),
+    # SigLIP2's giant-opt tier (open_clip 'ViT-gopt-16-SigLIP2-{256,384}';
+    # big_vision's g-opt trunk: width 1536, depth 40)
+    "gopt": dict(width=1536, layers=40, heads=16, mlp_hidden=6144,
+                 attn_pooler_heads=16),
 }
 
 
 def _parse_siglip_name(arch: str) -> VitConfig | None:
     """'ViT-{fam}-{patch}-SigLIP[2][-{res}|-naflex]' → config (default res 224).
 
-    Covers the open_clip SigLIP2 fixed-res names (e.g.
+    Covers the open_clip SigLIP/SigLIP2 fixed-res names (e.g.
     'ViT-B-16-SigLIP2-384', 'ViT-SO400M-14-SigLIP2-378',
-    'ViT-SO400M-16-SigLIP2-256') and any future resolution variant without a
+    'ViT-SO400M-16-SigLIP2-256', 'ViT-gopt-16-SigLIP2-384', the '-i18n'
+    multilingual variants) and any future resolution variant without a
     per-name table — geometry is in the name, trunk dims in _SIGLIP_FAMS —
     plus the naflex variable-aspect variants (HF
     google/siglip2-{base,large,so400m}-patch16-naflex; 256-position grid)."""
     import re
 
-    m = re.fullmatch(r"ViT-(B|L|SO400M)-(\d+)-SigLIP2?(?:-(\d+|naflex))?", arch)
+    m = re.fullmatch(
+        r"ViT-(B|L|SO400M|gopt)-(\d+)-SigLIP2?(?:-i18n)?(?:-(\d+|naflex))?",
+        arch,
+    )
     if m is None:
         return None
     fam = _SIGLIP_FAMS[m.group(1)]
@@ -325,20 +339,83 @@ def _parse_siglip_name(arch: str) -> VitConfig | None:
                      embed_dim=fam["width"], **fam, **_SIGLIP)
 
 
+# trunk dims shared by every plain-ViT tower of a size family (open_clip
+# model_configs: heads = width / head_width with head_width 64 except H/g/bigG;
+# g's mlp_ratio is 4.3637 → 6144, bigG's 4.9231 → 8192). 'B-plus' is
+# open_clip's wide-B tier ('ViT-B-16-plus[-240]': width 896, 14 heads of 64).
+_VIT_FAMS = {
+    "S": dict(width=384, layers=12, heads=6, embed_dim=384),
+    "M": dict(width=512, layers=12, heads=8, embed_dim=512),
+    "B": dict(width=768, layers=12, heads=12, embed_dim=512),
+    "B-plus": dict(width=896, layers=12, heads=14, embed_dim=640),
+    "L": dict(width=1024, layers=24, heads=16, embed_dim=768),
+    "H": dict(width=1280, layers=32, heads=16, embed_dim=1024),
+    "g": dict(width=1408, layers=40, heads=16, embed_dim=1024,
+              mlp_hidden=6144),
+    "bigG": dict(width=1664, layers=48, heads=16, embed_dim=1280,
+                 mlp_hidden=8192),
+}
+
+
+def _parse_vit_name(arch: str) -> VitConfig | None:
+    """'ViT-{fam}[-plus]-{patch}[-{res}]' → config (default res 224).
+
+    Generic geometry dispatch for the plain-ViT open_clip name variants the
+    per-name table doesn't list — 'ViT-B-32-256', 'ViT-B-16-plus-240',
+    'ViT-L-14-280', 'ViT-H-14-378' — so any name the reference's open_clip
+    pass-through (utils/embedder.py:60-63) accepts resolves here too. Geometry
+    comes from the name; trunk dims from _VIT_FAMS."""
+    import re
+
+    m = re.fullmatch(r"ViT-(S|M|B|L|H|g|bigG)-(\d+)(-plus)?(?:-(\d+))?", arch)
+    if m is None:
+        return None
+    famkey = m.group(1) + ("-plus" if m.group(3) else "")
+    if famkey not in _VIT_FAMS:
+        return None
+    patch = int(m.group(2))
+    res = int(m.group(4)) if m.group(4) else 224
+    return VitConfig(patch_size=patch, image_size=res, **_VIT_FAMS[famkey])
+
+
 def resolve_config(model_name: str):
     """Resolve 'Arch/pretrained' or 'PE-…' names (reference naming convention,
     _1_embed_with_CLIP.py:69-75). Returns a VitConfig, or an RNConfig for the
     open_clip modified-ResNet towers (RN50/RN101/RN50x4/x16/x64 — the
     reference reaches them through the same open_clip dispatch,
-    utils/embedder.py:58-63)."""
+    utils/embedder.py:58-63).
+
+    '-quickgelu'-suffixed arch names (open_clip's aliases pinning the OpenAI
+    activation regardless of pretrained tag — 'ViT-B-32-quickgelu/laion400m_e32',
+    'ViT-L-14-quickgelu/dfn2b', 'ViT-H-14-quickgelu/dfn5b', 'RN50-quickgelu/
+    openai', …) resolve to the base tower with act='quick_gelu'; for the
+    modified-ResNet towers the suffix only affects the text side in open_clip,
+    so the vision config is unchanged."""
     if model_name in MODEL_REGISTRY:
         return MODEL_REGISTRY[model_name]
     arch = model_name.split("/", 1)[0]
+    force_quick_gelu = False
+    if arch.endswith("-quickgelu"):
+        arch = arch[: -len("-quickgelu")]
+        force_quick_gelu = True
+    # open_clip's multilingual combos pair a standard vision trunk with an
+    # alternate TEXT tower ('xlm-roberta-base-ViT-B-32', 'mt5-xl-ViT-H-14',
+    # 'xlm-roberta-large-ViT-H-14'); the vision tower this framework runs is
+    # the plain ViT after the text prefix. CoCa names keep their own dispatch
+    # (their readout is the attentional pooler, not the cls token).
+    if "-ViT-" in arch and not arch.startswith("coca"):
+        arch = arch[arch.index("ViT-"):]
+
+    def _finish(cfg):
+        if force_quick_gelu and isinstance(cfg, VitConfig):
+            return dataclasses.replace(cfg, act="quick_gelu")
+        return cfg
+
     if arch in _SIGLIP_ARCHS:  # any pretrained tag (webli, webli2, …)
-        return VitConfig(**_SIGLIP_ARCHS[arch])
+        return _finish(VitConfig(**_SIGLIP_ARCHS[arch]))
     sig = _parse_siglip_name(arch)
     if sig is not None:
-        return sig
+        return _finish(sig)
     from clip_assisted_data_labeling_tpu.models.convnext import (
         _CNX_ARCHS,
         resolve_cnx_config,
@@ -355,15 +432,26 @@ def resolve_config(model_name: str):
     if cnx is not None:
         return cnx
     if arch in _EVA_ARCHS:  # any pretrained tag (merged2b, laion400m, …)
-        return VitConfig(**_EVA_ARCHS[arch])
+        return _finish(VitConfig(**_EVA_ARCHS[arch]))
     if arch in _COCA_ARCHS:  # any pretrained tag (laion2b_s13b_b90k, mscoco…)
-        return VitConfig(**_COCA_ARCHS[arch])
-    if arch in _ARCHS:
-        act = "quick_gelu" if model_name.endswith("/openai") else "gelu"
-        return VitConfig(**_ARCHS[arch], act=act)
+        return _finish(VitConfig(**_COCA_ARCHS[arch]))
+    if arch in _ARCHS or _parse_vit_name(arch) is not None:
+        act = (
+            "quick_gelu"
+            if force_quick_gelu or model_name.endswith("/openai")
+            else "gelu"
+        )
+        base = (
+            VitConfig(**_ARCHS[arch])
+            if arch in _ARCHS
+            else _parse_vit_name(arch)
+        )
+        return dataclasses.replace(base, act=act)
     raise ValueError(
         f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
-        f"with Arch in {sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_EVA_ARCHS) + sorted(_COCA_ARCHS) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
+        f"(any '-quickgelu'-suffixed alias or 'ViT-{{S,M,B[-plus],L,H,g,bigG}}-"
+        f"{{patch}}[-{{res}}]' geometry name also resolves) with Arch in "
+        f"{sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_EVA_ARCHS) + sorted(_COCA_ARCHS) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
     )
 
 
@@ -399,7 +487,7 @@ def int8_wire_enabled(cfg) -> bool:
 
 def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     """Random-init parameter pytree (open_clip-style scaled normal init)."""
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 13)
     w, L, e = cfg.width, cfg.layers, cfg.embed_dim
     mlp = cfg.mlp_dim
     scale = w ** -0.5
@@ -488,7 +576,10 @@ def init_vit_params(cfg: VitConfig, key: jax.Array, dtype=jnp.float32) -> dict:
             "pool_k_kernel": nrm(ks[10], (w, e), scale),
             "pool_v_kernel": nrm(ks[11], (w, e), scale),
             "pool_in_bias": zeros((3 * e,)),
-            "pool_out_kernel": nrm(ks[7], (e, e), e ** -0.5),
+            # ks[12], NOT ks[7]: proj is also (e, e) here and already consumed
+            # ks[7] — sharing the key would make the two matrices perfectly
+            # correlated scaled copies in random-init forwards (advisor r4)
+            "pool_out_kernel": nrm(ks[12], (e, e), e ** -0.5),
             "pool_out_bias": zeros((e,)),
             "pool_lnq_scale": ones((e,)),
             "pool_lnq_bias": zeros((e,)),
