@@ -69,6 +69,13 @@ class EmbedConfig:
     # int8_static calibration persistence: "auto" = <root_dir>/<model>.calib.npz,
     # "none" = in-memory only (order-dependent), else an explicit npz path
     calibration: str = "auto"
+    # "native" (naflex towers only): additionally embed each image at its
+    # NATIVE aspect ratio via the masked variable-patch-grid path
+    # (models/naflex.py) and store it as a fifth pseudo-crop named
+    # "native_aspect" in both the sidecar and the columnar store. Requires
+    # compute_dtype bfloat16/float32 (the masked path has no int8
+    # formulation). The 4 square crops are unchanged.
+    aspect: str = "square"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -129,6 +129,50 @@ class ShardedEmbedder:
             )
             return
 
+        from clip_assisted_data_labeling_tpu.models.resnet import RNConfig
+
+        if isinstance(self.cfg, RNConfig):
+            # modified-ResNet int8_static on the mesh: same contract as the
+            # CNX branch above (W8A8 1x1-matmul path, models/resnet.py)
+            from clip_assisted_data_labeling_tpu.models.encoders import (
+                check_calibration,
+            )
+            from clip_assisted_data_labeling_tpu.models.resnet import (
+                attach_rn_act_amax,
+                rn_act_amax,
+            )
+
+            if "s0b0_act_amax" in self.params:
+                return
+            amax = None
+            if self.calibration_path and os.path.exists(self.calibration_path):
+                amax = load_calibration(self.calibration_path)
+                check_calibration(amax, self.cfg, self.calibration_path,
+                                  self.model_name)
+                amax.pop("_model_name", None)
+                print(f"Loaded static int8 calibration from {self.calibration_path}")
+            if amax is None:
+                canvas = jax.device_put(canvas_u8, self._data)
+                cp = jax.device_put(crop_params, self._data)
+                crops = fused_crop_resize_normalize(
+                    canvas, cp, out_size=self.cfg.image_size,
+                    parity=self.parity_preprocess, dtype=self.compute_dtype,
+                    mean=self.cfg.norm_mean, std=self.cfg.norm_std,
+                )
+                flat = crops.reshape((-1,) + crops.shape[2:])
+                amax = jax.tree.map(np.asarray, rn_act_amax(
+                    self.params, flat, self.cfg,
+                    compute_dtype=self.compute_dtype))
+                if self.calibration_path:
+                    save_calibration(self.calibration_path, amax,
+                                     self.model_name)
+                    print(f"Saved static int8 calibration to {self.calibration_path}")
+            self.params = attach_rn_act_amax(self.params, amax)
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(x, self._repl), self.params
+            )
+            return
+
         from clip_assisted_data_labeling_tpu.models.vit import (
             int8_wire_enabled,
         )
@@ -273,6 +317,26 @@ def _crops_jit(canvas_u8, crop_params, cfg, compute_dtype, parity):
     )
 
 
+def _family_encode_fn(cfg):
+    """Per-family forward, mirroring models/encoders._encode_fn — the DP path
+    embeds every registry family, not just ViTs (conv towers ride the same
+    shard_map program; their convs are ordinary XLA ops)."""
+    from clip_assisted_data_labeling_tpu.models.convnext import (
+        CNXConfig,
+        cnx_encode_image,
+    )
+    from clip_assisted_data_labeling_tpu.models.resnet import (
+        RNConfig,
+        rn_encode_image,
+    )
+
+    if isinstance(cfg, RNConfig):
+        return rn_encode_image
+    if isinstance(cfg, CNXConfig):
+        return cnx_encode_image
+    return vit_encode_image
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "parity"))
 def _embed_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity):
     crops = fused_crop_resize_normalize(
@@ -280,7 +344,7 @@ def _embed_jit(params, canvas_u8, crop_params, cfg, compute_dtype, parity):
         dtype=compute_dtype, mean=cfg.norm_mean, std=cfg.norm_std,
     )
     b, n = crops.shape[:2]
-    emb = vit_encode_image(
+    emb = _family_encode_fn(cfg)(
         params, crops.reshape((b * n,) + crops.shape[2:]), cfg,
         compute_dtype=compute_dtype,
     )

@@ -25,7 +25,7 @@ from clip_assisted_data_labeling_tpu.store.database import database_path_for
 
 def copy_subset(input_dir: str, cfg: SubsetConfig, output_suffix: str = "_subset") -> str | None:
     database_path = database_path_for(input_dir)
-    database = pd.read_csv(database_path)
+    database = pd.read_csv(database_path, dtype={"uuid": str})
     print(f"Loaded database with {len(database)} rows")
 
     max_actual_label = database["label"].max()

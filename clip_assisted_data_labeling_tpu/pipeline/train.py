@@ -56,7 +56,7 @@ def load_training_data(
     for name in train_data_names:
         csv_path = os.path.join(train_data_dir, name + ".csv")
         root = os.path.join(train_data_dir, name)
-        data = pd.read_csv(csv_path).dropna(subset=["label"])
+        data = pd.read_csv(csv_path, dtype={"uuid": str}).dropna(subset=["label"])
         data = data.sample(frac=1).reset_index(drop=True)
 
         if resolved_models[0] == "all":

@@ -60,7 +60,10 @@ class LabelDatabase:
     def load_or_create(cls, root_dir: str) -> "LabelDatabase":
         path = database_path_for(root_dir)
         if os.path.exists(path):
-            df = pd.read_csv(path)
+            # dtype pin (here and at every uuid CSV read): an all-digit uuid4
+            # hex (possible, ~3e-7/uuid) would otherwise be int-coerced,
+            # dropping leading zeros and breaking sidecar lookups
+            df = pd.read_csv(path, dtype={"uuid": str})
         else:
             df = pd.DataFrame(columns=list(DB_COLUMNS))
         return cls(df, path)

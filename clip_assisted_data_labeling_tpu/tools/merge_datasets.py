@@ -29,7 +29,7 @@ def merge_datasets(data_dir: str, output_dir: str,
             continue
         csv_path = os.path.join(data_dir, f"{subdir}.csv")
         if os.path.exists(csv_path):
-            df = pd.read_csv(csv_path)
+            df = pd.read_csv(csv_path, dtype={"uuid": str})
             df["source_datadir"] = subdir
             dfs.append(df)
     if not dfs:

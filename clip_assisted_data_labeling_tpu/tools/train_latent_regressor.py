@@ -26,7 +26,7 @@ def load_latents(train_data_dir: str, train_data_names: list[str],
 
     features, labels = [], []
     for name in train_data_names:
-        data = pd.read_csv(os.path.join(train_data_dir, name + ".csv"))
+        data = pd.read_csv(os.path.join(train_data_dir, name + ".csv"), dtype={"uuid": str})
         # seeded: --random_seed must make the whole run reproducible, and an
         # unseeded shuffle here feeds the (seeded) split different row sets
         data = data.sample(frac=1, random_state=seed).reset_index(drop=True)
