@@ -191,6 +191,12 @@ def label_dataset(
             current / max(1, len(image_files)),
         )
 
+        # optional backend hook: oracle/scripted backends need to know WHICH
+        # image the next show() call displays (ui/backend.OracleBackend — the
+        # closed-loop active-learning evaluation labels by uuid)
+        on_image = getattr(backend, "on_image", None)
+        if on_image is not None:
+            on_image(uuid)
         key = backend.show(frame, current / max(1, len(image_files)))
         if key in "0123456789" and len(key) == 1:
             db.relabel(uuid, int(key) / 10.0)

@@ -75,3 +75,44 @@ class HeadlessBackend(LabelBackend):
         key = self.keys[self._i]
         self._i += 1
         return key
+
+
+class OracleBackend(LabelBackend):
+    """Labels each shown image from a uuid→label mapping, stopping after
+    ``budget`` labels. The labeling loop announces the upcoming image through
+    the optional ``on_image(uuid)`` hook (pipeline/label.py) before ``show``.
+
+    This is the oracle labeler for closed-loop active-learning evaluation
+    (benchmarks/bench_al_loop.py): it plays the human in the reference's
+    label→train→predict→re-sort cycle (/root/reference/README.md:6-20) so the
+    acquisition policies' label efficiency is measurable."""
+
+    def __init__(self, labels: dict[str, float], budget: int,
+                 skip: set[str] | None = None):
+        self.labels = labels
+        self.budget = budget
+        # uuids labeled in EARLIER sessions: navigate past them ('right')
+        # instead of re-labeling — re-labels would silently eat the budget
+        # (the loop stops auto-skipping labeled images after the first show,
+        # mirroring the reference's navigation semantics, _3:174-178)
+        self.skip = set(skip or ())
+        self.labeled: list[str] = []
+        self._uuid: str | None = None
+        self._seen_since_label: set[str] = set()
+
+    def on_image(self, uuid: str) -> None:
+        self._uuid = uuid
+
+    def show(self, image: np.ndarray, progress: float) -> str:
+        u = self._uuid
+        if len(self.labeled) >= self.budget or u not in self.labels:
+            return "quit"
+        if u in self._seen_since_label:
+            return "quit"  # wrapped around: nothing left to label
+        self._seen_since_label.add(u)
+        if u in self.skip or u in self.labeled:
+            return "right"
+        key = int(round(self.labels[u] * 10))
+        self.labeled.append(u)
+        self._seen_since_label.clear()
+        return str(min(9, max(0, key)))

@@ -24,6 +24,12 @@ New beyond the reference:
               with their human label, descending |label − predicted_label| —
               a relabeling/QA pass over suspect ground truth (unlabeled rows
               are excluded; needs a prior predict run)
+  diversity_sampled
+              the reference's own 100-candidate sampled farthest-point
+              (_3:147-150) as a distinct strategy: the exact global version
+              ('diversity') chases outliers, which measurably HURTS label
+              efficiency on a closed-loop run (benchmarks/bench_al_loop.py);
+              the sampled variant tempers selection toward dense regions
 """
 from __future__ import annotations
 
@@ -31,7 +37,8 @@ import os
 
 import numpy as np
 
-SORT_OPTIONS = ("uuid", "bad_first", "good_first", "middle", "diversity", "review")
+SORT_OPTIONS = ("uuid", "bad_first", "good_first", "middle", "diversity",
+                "diversity_sampled", "review")
 # reference dialog labels → our names, for drop-in familiarity
 SORT_ALIASES = {
     "Predicted bad first": "bad_first",
@@ -41,7 +48,9 @@ SORT_ALIASES = {
 }
 
 
-def _diversity_order(image_files: list[str], root_dir: str, crop: str = "square_padded_crop"):
+def _diversity_order(image_files: list[str], root_dir: str,
+                     crop: str = "square_padded_crop",
+                     candidates: int | None = None):
     from clip_assisted_data_labeling_tpu.ops.diversity import farthest_point_order
     from clip_assisted_data_labeling_tpu.store.columnar import EmbeddingStore
     from clip_assisted_data_labeling_tpu.store.sidecar import read_sidecar, resolve_crop_key
@@ -90,7 +99,8 @@ def _diversity_order(image_files: list[str], root_dir: str, crop: str = "square_
         print("WARNING: diversity sort found <2 usable embeddings "
               "(store/sidecars missing the crop?) — keeping uuid order")
         return image_files
-    order = farthest_point_order(np.stack(embs), n_order=min(500, len(embs)))
+    order = farthest_point_order(np.stack(embs), n_order=min(500, len(embs)),
+                                 candidates=candidates)
     ordered = [image_files[kept_idx[i]] for i in order]
     kept = set(kept_idx)
     missing = [f for i, f in enumerate(image_files) if i not in kept]
@@ -104,6 +114,9 @@ def re_order_images(image_files: list[str], database, root_dir: str, sort: str):
         return image_files
     if sort == "diversity":
         return _diversity_order(image_files, root_dir)
+    if sort == "diversity_sampled":
+        # the reference's candidate count (_3_label_images.py:135)
+        return _diversity_order(image_files, root_dir, candidates=100)
 
     df = database.df
     # uuid → actual discovered path: label.py globs recursively, so nested
