@@ -68,13 +68,20 @@ def main():
         print(f"run {r}: {times[-1]:.1f}s, {len(res.rows)} pairs", flush=True)
     found = set(zip(res.rows.tolist(), res.cols.tolist()))
     assert all(p in found for p in planted), "planted duplicates missed!"
-    print(json.dumps({
+    out = {
         "metric": f"all-pairs dedup over {args.n} embeddings"
                   + f" ({args.wire} wire)",
         "value": round(min(times), 2),
         "unit": "seconds",
         "pairs": len(res.rows),
-    }))
+    }
+    try:  # peak HBM (supported backends only; the ≥4M stress run wants it)
+        stats = jax.devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            out["peak_hbm_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -146,8 +146,12 @@ def test_siglip2_name_parsing():
     ragged = resolve_config("ViT-B-16-SigLIP2-250/webli")
     assert (ragged.image_size, ragged.patch_size) == (250, 16)
     assert ragged.grid == 15
+    # the gopt (giant-opt) family resolves since round 5 (big_vision g-opt
+    # trunk: width 1536, depth 40 — tests/test_name_resolution.py)
+    gopt = resolve_config("ViT-gopt-16-SigLIP2-384/webli")
+    assert (gopt.width, gopt.layers, gopt.image_size) == (1536, 40, 384)
     with pytest.raises(ValueError):  # unknown family stays a loud error
-        resolve_config("ViT-gopt-16-SigLIP2-384/webli")
+        resolve_config("ViT-XQ-16-SigLIP2-384/webli")
 
 
 @pytest.mark.parametrize("mode", ["int8", "int8_static"])
