@@ -8,6 +8,8 @@ Pipeline stages (python -m clip_assisted_data_labeling_tpu.pipeline.<stage>):
   label           interactive labeling UI (opencv or headless)
   train           FC regressor on (embedding -> label) pairs
   predict         score every image, update the CSV database
+  loop            the active-learning cycle as one command:
+                  label -> train -> predict -> re-sort, N laps
   subset          export a score-filtered subset
   predict_simple  standalone per-image scorer
   store           columnar-store management (rebuild from sidecars / info)
