@@ -163,13 +163,14 @@ def convert_open_clip_visual(state_dict: dict, cfg: VitConfig) -> dict:
     out = {
         "patch_kernel": _conv_to_patch_kernel(sd["conv1.weight"]),
         "pos_emb": _t(sd["positional_embedding"]),
-        "ln_pre_scale": _t(sd["ln_pre.weight"]),
-        "ln_pre_bias": _t(sd["ln_pre.bias"]),
         "blocks": {k: np.stack(v) for k, v in blocks.items()},
         "ln_post_scale": _t(sd["ln_post.weight"]),
         "ln_post_bias": _t(sd["ln_post.bias"]),
         "proj": _t(sd["proj"]),
     }
+    if "ln_pre.weight" in sd:  # absent for no_ln_pre towers (CLIPA)
+        out["ln_pre_scale"] = _t(sd["ln_pre.weight"])
+        out["ln_pre_bias"] = _t(sd["ln_pre.bias"])
     if "class_embedding" in sd:  # absent for cls-token-free towers (PE G14)
         out["class_emb"] = _t(sd["class_embedding"])
     return out

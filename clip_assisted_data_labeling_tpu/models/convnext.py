@@ -94,6 +94,21 @@ _CNX_ARCHS = {
                                  image_size=320, embed_dim=768, proj="mlp"),
     "convnext_xxlarge": dict(depths=(3, 4, 30, 3), dims=(384, 768, 1536, 3072),
                              image_size=256, embed_dim=1024, proj="linear"),
+    "convnext_xxlarge_320": dict(depths=(3, 4, 30, 3),
+                                 dims=(384, 768, 1536, 3072),
+                                 image_size=320, embed_dim=1024,
+                                 proj="linear"),
+    # tiers open_clip publishes as configs WITHOUT pretrained tags (the
+    # reference's dispatch still reaches them by name; trunk dims are the
+    # standard timm ConvNeXt ladder). embed_dim re-pins if weights appear.
+    "convnext_tiny": dict(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768),
+                          image_size=224, embed_dim=1024, proj="linear"),
+    "convnext_small": dict(depths=(3, 3, 27, 3), dims=(96, 192, 384, 768),
+                           image_size=224, embed_dim=512, proj="linear"),
+    "convnext_large": dict(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536),
+                           image_size=224, embed_dim=768, proj="linear"),
+    "convnext_xlarge": dict(depths=(3, 3, 27, 3), dims=(256, 512, 1024, 2048),
+                            image_size=224, embed_dim=1024, proj="linear"),
 }
 
 # tiny config for tests / CI (all four stages at toy width, both proj kinds

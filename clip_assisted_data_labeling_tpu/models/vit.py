@@ -72,6 +72,9 @@ class VitConfig:
     # w1/w2 are PACKED into one [w, 2·mlp_hidden] fc1 matmul (MXU-friendly)
     attn_inner_ln: bool = False  # EVA02 sub-LN on the concatenated head
     # outputs, before the attention out-projection
+    block_norm: str = "pre"  # 'post' (EVA02-E enormous, timm
+    # EvaBlockPostNorm): norm1/norm2 apply to the SUBLAYER OUTPUT before the
+    # residual add — x + ln1(attn(x)); x + ln2(mlp(x)) — instead of pre-LN
     # SigLIP2 naflex: variable-aspect tower (models/naflex.py). image_size is
     # set to grid·patch (the full square grid, seq_len == the checkpoint's
     # max_num_patches) so the 4-square-crop pipeline path runs the standard
@@ -186,6 +189,20 @@ _EVA_ARCHS = {
 }
 # open_clip's 'plus' tier only widens the TEXT tower; vision trunk identical
 _EVA_ARCHS["EVA01-g-14-plus"] = _EVA_ARCHS["EVA01-g-14"]
+# EVA02-E 'enormous' (open_clip EVA02-E-14[-plus] → timm
+# eva02_enormous_patch14_clip_224): architecturally EVA01-style — plain GELU
+# MLP, fused qkv, NO rope, NO sub-LNs — but with POST-norm blocks
+# (timm EvaBlockPostNorm: x + norm(sublayer(x)); the stability trick the
+# 4.4B-param trunk trained with). head_width 112 → 16 heads; mlp
+# 15360 (ratio 15360/1792). Joint embed dim 1024 for both tiers ('plus'
+# widens the text tower only — same policy note as EVA01-g-14-plus);
+# re-pins when real checkpoints land (zero egress).
+_EVA_ARCHS["EVA02-E-14"] = dict(width=1792, layers=64, heads=16,
+                                patch_size=14, image_size=224,
+                                embed_dim=1024, mlp_hidden=15360, act="gelu",
+                                use_ln_pre=False, patch_bias=True,
+                                ln_eps=1e-6, block_norm="post")
+_EVA_ARCHS["EVA02-E-14-plus"] = _EVA_ARCHS["EVA02-E-14"]
 
 MODEL_REGISTRY: dict[str, VitConfig] = {
     # tiny configs for tests / multi-chip dry runs (not real pretrained models)
@@ -255,6 +272,14 @@ MODEL_REGISTRY["EVA-Test-Wide/tiny"] = VitConfig(
     mlp_hidden=224, **_EVA02,
 )
 
+# tiny post-norm config (the EVA02-E block structure: plain MLP, no rope,
+# x + ln(sublayer(x)) residuals)
+MODEL_REGISTRY["EVA-Test-Post/tiny"] = VitConfig(
+    width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16,
+    mlp_hidden=112, act="gelu", use_ln_pre=False, patch_bias=True,
+    ln_eps=1e-6, block_norm="post",
+)
+
 
 # open_clip CoCa vision towers (the reference reaches them through the same
 # "Arch/pretrained" dispatch as every other open_clip name, reference
@@ -279,12 +304,52 @@ _COCA_ARCHS = {
 }
 # the RoBERTa-text CoCa shares the B-32 vision trunk + pooler verbatim
 _COCA_ARCHS["coca_roberta-ViT-B-32"] = _COCA_ARCHS["coca_ViT-B-32"]
+# open_clip's from-scratch CoCa config (model_configs/coca_base.json: B-width
+# trunk at patch 18 / 288px, pooler heads 8, joint dim 512). Published without
+# pretrained tags — geometry re-pins if weights ever appear (PE policy).
+_COCA_ARCHS["coca_base"] = dict(width=768, layers=12, heads=12, patch_size=18,
+                                image_size=288, embed_dim=512, act="gelu",
+                                pool="coca", attn_pooler_heads=8,
+                                n_pool_queries=256)
 
 # tiny CoCa config for tests (odd query count catches row-0 selection bugs)
 MODEL_REGISTRY["CoCa-Test/tiny"] = VitConfig(
     width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16,
     mlp_hidden=128, act="gelu", pool="coca", attn_pooler_heads=4,
     n_pool_queries=7,
+)
+
+
+# CLIPA vision towers (open_clip 'ViT-{L,H,bigG}-14-CLIPA[-336]' — the
+# reference reaches them through the same "Arch/pretrained" dispatch,
+# utils/embedder.py:58-63, e.g. 'ViT-L-14-CLIPA/datacomp1b'). Architecture
+# deltas vs the plain CLIP ViT (open_clip model_configs/*-CLIPA*.json):
+# no pre-transformer layernorm (no_ln_pre), and the readout is the MEAN of
+# the patch tokens (pool_type 'avg', cls token present but excluded) with
+# ln_post applied AFTER pooling (final_ln_after_pool) — one [B, w] layernorm
+# instead of a per-token pass, then the usual width→embed_dim projection.
+_CLIPA = dict(act="gelu", use_ln_pre=False, pool="avg")
+_CLIPA_ARCHS = {
+    "ViT-L-14-CLIPA": dict(width=1024, layers=24, heads=16, patch_size=14,
+                           image_size=224, embed_dim=768, **_CLIPA),
+    "ViT-L-14-CLIPA-336": dict(width=1024, layers=24, heads=16, patch_size=14,
+                               image_size=336, embed_dim=768, **_CLIPA),
+    "ViT-H-14-CLIPA": dict(width=1280, layers=32, heads=16, patch_size=14,
+                           image_size=224, embed_dim=1024, **_CLIPA),
+    "ViT-H-14-CLIPA-336": dict(width=1280, layers=32, heads=16, patch_size=14,
+                               image_size=336, embed_dim=1024, **_CLIPA),
+    "ViT-bigG-14-CLIPA": dict(width=1664, layers=48, heads=16, patch_size=14,
+                              image_size=224, embed_dim=1280, mlp_hidden=8192,
+                              **_CLIPA),
+    "ViT-bigG-14-CLIPA-336": dict(width=1664, layers=48, heads=16,
+                                  patch_size=14, image_size=336,
+                                  embed_dim=1280, mlp_hidden=8192, **_CLIPA),
+}
+
+# tiny CLIPA config for tests (avg pool + no ln_pre, cls token present)
+MODEL_REGISTRY["CLIPA-Test/tiny"] = VitConfig(
+    width=64, layers=2, heads=4, patch_size=8, image_size=32, embed_dim=16,
+    **_CLIPA,
 )
 
 
@@ -343,9 +408,14 @@ def _parse_siglip_name(arch: str) -> VitConfig | None:
 # model_configs: heads = width / head_width with head_width 64 except H/g/bigG;
 # g's mlp_ratio is 4.3637 → 6144, bigG's 4.9231 → 8192). 'B-plus' is
 # open_clip's wide-B tier ('ViT-B-16-plus[-240]': width 896, 14 heads of 64).
+# '-alt' is open_clip's narrow-joint-space S/M tier (same trunk, smaller
+# embed_dim); 'e' is open_clip's ViT-e-14 (head_width 112 → 16 heads,
+# mlp_ratio 8.5715 → 15360) — config published without pretrained tags.
 _VIT_FAMS = {
     "S": dict(width=384, layers=12, heads=6, embed_dim=384),
+    "S-alt": dict(width=384, layers=12, heads=6, embed_dim=256),
     "M": dict(width=512, layers=12, heads=8, embed_dim=512),
+    "M-alt": dict(width=512, layers=12, heads=8, embed_dim=384),
     "B": dict(width=768, layers=12, heads=12, embed_dim=512),
     "B-plus": dict(width=896, layers=12, heads=14, embed_dim=640),
     "L": dict(width=1024, layers=24, heads=16, embed_dim=768),
@@ -354,23 +424,29 @@ _VIT_FAMS = {
               mlp_hidden=6144),
     "bigG": dict(width=1664, layers=48, heads=16, embed_dim=1280,
                  mlp_hidden=8192),
+    "e": dict(width=1792, layers=56, heads=16, embed_dim=1280,
+              mlp_hidden=15360),
 }
 
 
 def _parse_vit_name(arch: str) -> VitConfig | None:
-    """'ViT-{fam}[-plus]-{patch}[-{res}]' → config (default res 224).
+    """'ViT-{fam}[-plus|-alt]-{patch}[-{res}]' → config (default res 224).
 
     Generic geometry dispatch for the plain-ViT open_clip name variants the
     per-name table doesn't list — 'ViT-B-32-256', 'ViT-B-16-plus-240',
-    'ViT-L-14-280', 'ViT-H-14-378' — so any name the reference's open_clip
-    pass-through (utils/embedder.py:60-63) accepts resolves here too. Geometry
-    comes from the name; trunk dims from _VIT_FAMS."""
+    'ViT-L-14-280', 'ViT-H-14-378', 'ViT-S-16-alt', 'ViT-e-14' — so any name
+    the reference's open_clip pass-through (utils/embedder.py:60-63) accepts
+    resolves here too. Geometry comes from the name; trunk dims from
+    _VIT_FAMS. Note open_clip's '-alt' names put the suffix after the patch
+    ('ViT-S-32-alt') and never carry a resolution tail."""
     import re
 
-    m = re.fullmatch(r"ViT-(S|M|B|L|H|g|bigG)-(\d+)(-plus)?(?:-(\d+))?", arch)
+    m = re.fullmatch(
+        r"ViT-(S|M|B|L|H|g|bigG|e)-(\d+)(-plus|-alt)?(?:-(\d+))?", arch
+    )
     if m is None:
         return None
-    famkey = m.group(1) + ("-plus" if m.group(3) else "")
+    famkey = m.group(1) + (m.group(3) or "")
     if famkey not in _VIT_FAMS:
         return None
     patch = int(m.group(2))
@@ -394,6 +470,16 @@ def resolve_config(model_name: str):
     if model_name in MODEL_REGISTRY:
         return MODEL_REGISTRY[model_name]
     arch = model_name.split("/", 1)[0]
+    # open_clip's NLLB-CLIP combos pair a standard vision trunk with Meta's
+    # NLLB multilingual text encoder (model_configs/nllb-clip-*.json); the
+    # vision tower — the only side this framework runs — is a stock trunk.
+    _NLLB_VISION = {
+        "nllb-clip-base": "ViT-B-32",
+        "nllb-clip-large": "ViT-H-14",
+        "nllb-clip-base-siglip": "ViT-B-16-SigLIP-384",
+        "nllb-clip-large-siglip": "ViT-SO400M-14-SigLIP-384",
+    }
+    arch = _NLLB_VISION.get(arch, arch)
     force_quick_gelu = False
     if arch.endswith("-quickgelu"):
         arch = arch[: -len("-quickgelu")]
@@ -435,6 +521,8 @@ def resolve_config(model_name: str):
         return _finish(VitConfig(**_EVA_ARCHS[arch]))
     if arch in _COCA_ARCHS:  # any pretrained tag (laion2b_s13b_b90k, mscoco…)
         return _finish(VitConfig(**_COCA_ARCHS[arch]))
+    if arch in _CLIPA_ARCHS:  # any pretrained tag (datacomp1b, laion2b…)
+        return _finish(VitConfig(**_CLIPA_ARCHS[arch]))
     if arch in _ARCHS or _parse_vit_name(arch) is not None:
         act = (
             "quick_gelu"
@@ -449,9 +537,9 @@ def resolve_config(model_name: str):
         return dataclasses.replace(base, act=act)
     raise ValueError(
         f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
-        f"(any '-quickgelu'-suffixed alias or 'ViT-{{S,M,B[-plus],L,H,g,bigG}}-"
-        f"{{patch}}[-{{res}}]' geometry name also resolves) with Arch in "
-        f"{sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_EVA_ARCHS) + sorted(_COCA_ARCHS) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
+        f"(any '-quickgelu'-suffixed alias or 'ViT-{{S,M,B[-plus|-alt],L,H,g,"
+        f"bigG,e}}-{{patch}}[-{{res}}]' geometry name also resolves) with Arch in "
+        f"{sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_EVA_ARCHS) + sorted(_COCA_ARCHS) + sorted(_CLIPA_ARCHS) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
     )
 
 
@@ -974,7 +1062,8 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     # int8 paths have no EVA formulation (encoders.py downgrades dynamic-int8
     # EVA encoders to bf16)
     eva_block = cfg.mlp_type == "swiglu" or cfg.attn_inner_ln
-    if quantized and fused_attention:
+    post = cfg.block_norm == "post"  # EVA02-E: norm on the sublayer output
+    if quantized and fused_attention and not post:
         if (a is not None and "qkv_amax" in p and rope is None
                 and not eva_block):
             # the q8s wire kernel q-row-tiles long sequences (ViT-L-336's 592
@@ -1007,7 +1096,8 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     B, S, w = x.shape
     h, d = cfg.heads, cfg.head_dim
 
-    y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
+    y = x if post else _layernorm(x, p["ln1_scale"], p["ln1_bias"],
+                                  cfg.ln_eps)
     qkv = _linear(y, p, "qkv_kernel", quantized,
                   act_amax=None if a is None else a[0])
     if fused_attention:
@@ -1041,10 +1131,21 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     # (+4 imgs/s), but BOTH the dynamic-path epilogue residuals (-40: XLA
     # materializes a standalone f32 carry convert) and the static attn-out
     # one (-13) lose to XLA's own placement. Only fc2-static rides inside.
-    x = x + _linear(attn, p, "out_kernel", quantized,
-                    act_amax=None if a is None else a[1])
+    attn_out = _linear(attn, p, "out_kernel", quantized,
+                       act_amax=None if a is None else a[1])
+    if post:  # EVA02-E: ln1 normalizes the attention sublayer OUTPUT
+        attn_out = _layernorm(attn_out, p["ln1_scale"], p["ln1_bias"],
+                              cfg.ln_eps)
+    x = x + attn_out
 
-    y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
+    y = x if post else _layernorm(x, p["ln2_scale"], p["ln2_bias"],
+                                  cfg.ln_eps)
+    if post:
+        mlp_out = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act,
+                       quantized=quantized)
+        mlp_out = _linear(mlp_out, p, "fc2_kernel", quantized)
+        return x + _layernorm(mlp_out, p["ln2_scale"], p["ln2_bias"],
+                              cfg.ln_eps)
     if cfg.mlp_type == "swiglu":
         # EVA02 SwiGLU: w1 and w2 ride ONE packed matmul (converter stacks
         # [w1‖w2]); silu(w1·x) ⊙ (w2·x) → ffn sub-LN → w3.
@@ -1234,6 +1335,16 @@ def vit_encode_image(
         if x.shape[1] != cfg.seq_len:
             x = x[:, : cfg.seq_len]
         pooled = _coca_pool(x, params, cfg.attn_pooler_heads, cfg.ln_eps)
+        pooled = _layernorm(pooled, params["ln_post_scale"],
+                            params["ln_post_bias"], cfg.ln_eps)
+    elif cfg.pool == "avg":
+        # CLIPA readout (open_clip pool_type 'avg' + final_ln_after_pool):
+        # mean over the PATCH tokens — the cls row, though computed, is
+        # excluded — then ln_post on the pooled [B, w] vector. Padded
+        # attention rows must drop before the mean.
+        if x.shape[1] != cfg.seq_len:
+            x = x[:, : cfg.seq_len]
+        pooled = jnp.mean(x[:, 1 if cfg.use_cls_token else 0:], axis=1)
         pooled = _layernorm(pooled, params["ln_post_scale"],
                             params["ln_post_bias"], cfg.ln_eps)
     else:

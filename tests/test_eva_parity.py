@@ -312,3 +312,121 @@ def test_eva_encoder_wrapper(rng, caplog):
         enc8 = CLIPImageEncoder("EVA-Test/tiny", compute_dtype="int8")
     assert not enc8.quantized
     assert any("swiglu" in r.message for r in caplog.records)
+
+
+# ---------------------------------------------------------------------------
+# EVA02-E 'enormous' block structure: POST-norm residuals, plain GELU MLP,
+# no rope, no sub-LNs (timm eva02_enormous_patch14_clip_224 /
+# EvaBlockPostNorm: x + norm1(attn(x)); x + norm2(mlp(x))).
+# ---------------------------------------------------------------------------
+
+
+class PostAttention(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.q_proj = nn.Linear(dim, dim, bias=True)
+        self.k_proj = nn.Linear(dim, dim, bias=False)  # EVA: k has no bias
+        self.v_proj = nn.Linear(dim, dim, bias=True)
+        self.proj = nn.Linear(dim, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        B, S, w = x.shape
+        h = self.heads
+        d = w // h
+        rs = lambda t: t.reshape(B, S, h, d).permute(0, 2, 1, 3)  # noqa: E731
+        q, k, v = rs(self.q_proj(x)), rs(self.k_proj(x)), rs(self.v_proj(x))
+        out = F.scaled_dot_product_attention(q, k, v, scale=d ** -0.5)
+        return self.proj(out.permute(0, 2, 1, 3).reshape(B, S, w))
+
+
+class PostMlp(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x)))
+
+
+class EvaPostBlock(nn.Module):
+    def __init__(self, dim, heads, hidden):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = PostAttention(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = PostMlp(dim, hidden)
+
+    def forward(self, x):  # timm EvaBlockPostNorm
+        x = x + self.norm1(self.attn(x))
+        return x + self.norm2(self.mlp(x))
+
+
+class EvaPostMirror(nn.Module):
+    def __init__(self, cfg: VitConfig, seed: int = 0):
+        super().__init__()
+        torch.manual_seed(seed)
+        w, S = cfg.width, cfg.seq_len
+        self.patch_embed = _PatchEmbed(cfg.patch_size, w)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, w) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, S, w) * 0.02)
+        self.blocks = nn.ModuleList([
+            EvaPostBlock(w, cfg.heads, cfg.mlp_dim)
+            for _ in range(cfg.layers)
+        ])
+        self.norm = nn.LayerNorm(w, eps=1e-6)
+        self.head = nn.Linear(w, cfg.embed_dim, bias=False)
+        gen = torch.Generator().manual_seed(seed + 1)
+        with torch.no_grad():
+            for name, t in self.named_parameters():
+                if "norm" in name:
+                    t.copy_(torch.randn(t.shape, generator=gen) * 0.2 + 1.0)
+
+    def forward(self, x):  # x: [B, 3, R, R]
+        x = self.patch_embed(x)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.head(self.norm(x)[:, 0])
+
+
+def test_eva02_e_post_norm_matches_torch(rng):
+    """Tiny EVA02-E geometry: POST-norm residual placement + plain MLP."""
+    cfg = resolve_config("EVA-Test-Post/tiny")
+    assert cfg.block_norm == "post" and cfg.mlp_type == "mlp"
+    model = EvaPostMirror(cfg, seed=2).eval()
+    sd = {"visual." + k: v for k, v in model.state_dict().items()}
+    params = convert_torch_state_dict(sd, cfg)
+    x = rng.normal(0, 1, (3, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+    out = np.asarray(vit_encode_image(
+        params, jnp.asarray(x), cfg, compute_dtype=jnp.float32,
+        fused_attention=False))
+    cos = np.sum(out * ref, axis=-1)
+    assert np.all(1.0 - cos < 1e-5), f"cosine error {1 - cos}"
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_eva02_e_names_resolve():
+    """EVA02-E-14[-plus] (open_clip model_configs) resolve with the enormous
+    trunk geometry and post-norm blocks; int8 requests downgrade honestly."""
+    from clip_assisted_data_labeling_tpu.models.encoders import (
+        CLIPImageEncoder,
+    )
+
+    for name in ("EVA02-E-14/laion2b_s4b_b115k",
+                 "EVA02-E-14-plus/laion2b_s9b_b144k"):
+        cfg = resolve_config(name)
+        assert cfg.width == 1792 and cfg.layers == 64 and cfg.heads == 16
+        assert cfg.mlp_dim == 15360 and cfg.embed_dim == 1024
+        assert cfg.block_norm == "post" and cfg.mlp_type == "mlp"
+        assert not cfg.use_rope2d and not cfg.attn_inner_ln
+
+    # post-norm towers have no int8 formulation — the encoder must fall
+    # back to bf16 rather than calibrate pre-LN activation sites
+    enc = CLIPImageEncoder("EVA-Test-Post/tiny", compute_dtype="int8_static")
+    assert not enc.quantized and not enc.static_quant

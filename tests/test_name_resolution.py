@@ -52,6 +52,14 @@ OPEN_CLIP_NAMES = [
     ("ViT-L-16/anytag", dict(width=1024, patch_size=16)),
     ("ViT-L-14-280/anytag", dict(width=1024, image_size=280)),
     ("ViT-H-16/anytag", dict(width=1280, patch_size=16)),
+    # '-alt' = open_clip's narrow-joint-space S/M tier (same trunk dims)
+    ("ViT-S-32-alt/anytag", dict(width=384, heads=6, embed_dim=256)),
+    ("ViT-S-16-alt/anytag", dict(width=384, patch_size=16, embed_dim=256)),
+    ("ViT-M-32-alt/anytag", dict(width=512, heads=8, embed_dim=384)),
+    ("ViT-M-16-alt/anytag", dict(width=512, patch_size=16, embed_dim=384)),
+    # ViT-e-14 (open_clip config without pretrained tags; head_width 112)
+    ("ViT-e-14/anytag", dict(width=1792, layers=56, heads=16,
+                             mlp_hidden=15360, embed_dim=1280)),
     # ---- -quickgelu arch aliases (act pinned regardless of tag) ----
     ("ViT-B-32-quickgelu/laion400m_e32", dict(width=768, patch_size=32,
                                               act="quick_gelu")),
@@ -70,6 +78,15 @@ OPEN_CLIP_NAMES = [
     ("xlm-roberta-large-ViT-H-14/frozen_laion5b_s13b_b90k",
      dict(width=1280, layers=32, act="gelu")),
     ("mt5-base-ViT-B-32/laion5b_s13b_b90k", dict(width=768, act="gelu")),
+    # ---- NLLB-CLIP combos (NLLB text encoder + a stock vision trunk) ----
+    ("nllb-clip-base/v1", dict(width=768, patch_size=32, embed_dim=512,
+                               act="gelu")),
+    ("nllb-clip-large/v1", dict(width=1280, layers=32, embed_dim=1024,
+                                act="gelu")),
+    ("nllb-clip-base-siglip/v1", dict(width=768, patch_size=16,
+                                      image_size=384, pool="map")),
+    ("nllb-clip-large-siglip/v1", dict(width=1152, layers=27, image_size=384,
+                                       mlp_hidden=4304, pool="map")),
     # ---- modified ResNets (+ quickgelu aliases: vision tower unchanged) ----
     ("RN50/openai", dict(width=64, embed_dim=1024, image_size=224)),
     ("RN50-quickgelu/openai", dict(width=64, embed_dim=1024)),
@@ -117,6 +134,13 @@ OPEN_CLIP_NAMES = [
     ("EVA02-L-14/merged2b_s4b_b131k", dict(width=1024, mlp_type="swiglu",
                                            embed_dim=768)),
     ("EVA02-L-14-336/merged2b_s6b_b61k", dict(image_size=336)),
+    # 'enormous' tier: post-norm blocks, plain MLP (tests/test_eva_parity.py)
+    ("EVA02-E-14/laion2b_s4b_b115k", dict(width=1792, layers=64,
+                                          mlp_hidden=15360, embed_dim=1024,
+                                          block_norm="post",
+                                          mlp_type="mlp")),
+    ("EVA02-E-14-plus/laion2b_s9b_b144k", dict(width=1792, layers=64,
+                                               block_norm="post")),
     # ---- CoCa ----
     ("coca_ViT-B-32/laion2b_s13b_b90k", dict(width=768, patch_size=32,
                                              pool="coca", embed_dim=512)),
@@ -124,6 +148,16 @@ OPEN_CLIP_NAMES = [
                                              embed_dim=768)),
     ("coca_roberta-ViT-B-32/laion2b_s13b_b90k", dict(width=768, pool="coca",
                                                      embed_dim=512)),
+    ("coca_base/anytag", dict(width=768, patch_size=18, image_size=288,
+                              pool="coca", embed_dim=512)),
+    # ---- CLIPA (avg-pool readout, no ln_pre; tested in depth in
+    # tests/test_clipa_parity.py) ----
+    ("ViT-L-14-CLIPA/datacomp1b", dict(width=1024, pool="avg",
+                                       embed_dim=768)),
+    ("ViT-H-14-CLIPA-336/datacomp1b", dict(width=1280, image_size=336,
+                                           pool="avg")),
+    ("ViT-bigG-14-CLIPA/datacomp1b", dict(width=1664, mlp_hidden=8192,
+                                          pool="avg", embed_dim=1280)),
     # ---- ConvNeXt ----
     ("convnext_base/laion400m_s13b_b51k", dict(image_size=224,
                                                embed_dim=512)),
@@ -135,6 +169,17 @@ OPEN_CLIP_NAMES = [
     ("convnext_large_d_320/laion2b_s29b_b131k_ft", dict(image_size=320)),
     ("convnext_xxlarge/laion2b_s34b_b82k_augreg", dict(image_size=256,
                                                        embed_dim=1024)),
+    ("convnext_xxlarge_320/anytag", dict(image_size=320, embed_dim=1024)),
+    # tiers open_clip publishes without pretrained tags (trunk dims = the
+    # standard timm ladder; embed_dim re-pins if weights ever appear)
+    ("convnext_tiny/anytag", dict(image_size=224, dims=(96, 192, 384, 768),
+                                  depths=(3, 3, 9, 3))),
+    ("convnext_small/anytag", dict(image_size=224, dims=(96, 192, 384, 768),
+                                   depths=(3, 3, 27, 3))),
+    ("convnext_large/anytag", dict(image_size=224,
+                                   dims=(192, 384, 768, 1536))),
+    ("convnext_xlarge/anytag", dict(image_size=224,
+                                    dims=(256, 512, 1024, 2048))),
 ]
 
 
