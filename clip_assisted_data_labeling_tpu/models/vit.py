@@ -535,6 +535,21 @@ def resolve_config(model_name: str):
             else _parse_vit_name(arch)
         )
         return dataclasses.replace(base, act=act)
+    if arch.startswith(("MobileCLIP", "ViTamin")):
+        # The last open_clip vision-tower families without a from-scratch
+        # implementation here: both wrap timm hybrid conv towers (FastViT
+        # 'MCi' RepMixer trunks / ViTamin MBConv+ViT trunks) whose exact
+        # block-level geometry is defined by timm source, which is not
+        # installable in this environment (zero egress). Pinning those
+        # architectures from memory risks a silently WRONG tower — worse
+        # than this explicit boundary. Implement against timm the day it is
+        # on disk (ROADMAP 'Name-surface tail').
+        raise ValueError(
+            f"{model_name}: recognized open_clip family "
+            f"'{arch.split('-')[0]}' is not implemented (timm-wrapped "
+            f"hybrid conv tower; see ROADMAP.md). Every other published "
+            f"open_clip vision tower resolves."
+        )
     raise ValueError(
         f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
         f"(any '-quickgelu'-suffixed alias or 'ViT-{{S,M,B[-plus|-alt],L,H,g,"

@@ -40,6 +40,8 @@ FAMILIES = [
     ("CNX-Test/tiny", 16),            # ConvNeXt-CLIP
     ("EVA-Test-Wide/tiny", 16),       # EVA02 (swiglu + sub-LNs + rope)
     ("CoCa-Test/tiny", 16),           # CoCa (attentional-pooler readout)
+    ("CLIPA-Test/tiny", 16),          # CLIPA (avg-pool readout, no ln_pre)
+    ("EVA-Test-Post/tiny", 16),       # EVA02-E structure (post-norm blocks)
 ]
 
 

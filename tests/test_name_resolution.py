@@ -215,3 +215,16 @@ def test_unknown_name_still_rejected():
         resolve_config("ViT-Q-99/nope")
     with pytest.raises(ValueError, match="Unknown model format"):
         resolve_config("not-a-model")
+
+
+def test_unimplemented_timm_hybrid_families_fail_explicitly():
+    """MobileCLIP/ViTamin (timm-wrapped hybrid conv towers) are the one
+    documented boundary of the name surface: they must fail with a
+    recognized-family message pointing at ROADMAP, not a generic
+    'Unknown model format'."""
+    import pytest as _p
+
+    for name in ("MobileCLIP-S1/datacompdr", "MobileCLIP-B/datacompdr",
+                 "ViTamin-L-336/datacomp1b"):
+        with _p.raises(ValueError, match="recognized open_clip family"):
+            resolve_config(name)
