@@ -88,6 +88,13 @@ def main():
     if "evae" in which:
         routing_report("EVA02-E-14/laion2b_s4b_b115k")
         bench_lowmem("EVA02-E-14/laion2b_s4b_b115k", 8, "bfloat16", steps=5)
+    if "evae-int8" in which:
+        # post-norm int8_static (generic static block path; W8A8 weights
+        # also halve the resident params: 4.4 GB int8 vs 8.8 GB bf16)
+        bench_lowmem("EVA02-E-14/laion2b_s4b_b115k", 8, "int8_static",
+                     steps=5)
+        bench_lowmem("EVA02-E-14/laion2b_s4b_b115k", 16, "int8_static",
+                     steps=5)
 
 
 if __name__ == "__main__":

@@ -240,17 +240,11 @@ class CLIPImageEncoder:
                 "bfloat16", model_name,
             )
             compute_dtype = "bfloat16"
-        elif (compute_dtype in ("int8", "int8_static")
-              and getattr(self.cfg, "block_norm", "pre") == "post"):
-            # post-norm blocks (EVA02-E): the int8 paths and the calibration
-            # forward (vit_act_amax) assume pre-LN activation sites; no int8
-            # formulation yet — run bf16 (honest fallback, same policy as the
-            # conv-tower dynamic-int8 downgrades)
-            log.warning(
-                "%s (post-norm blocks) has no int8 formulation; running "
-                "bfloat16", model_name,
-            )
-            compute_dtype = "bfloat16"
+        # post-norm towers (EVA02-E) run both int8 modes through the generic
+        # block path: vit_act_amax mirrors the post-norm sites (a[0]/a[2]
+        # quantize the raw residual stream — per-LAYER scales absorb the
+        # depth-wise magnitude growth; accuracy pinned in
+        # tests/test_eva_parity.py::test_eva02_e_int8_static_accuracy)
         # compute_dtype "int8" selects the W8A8 fast mode: matmul weights are
         # quantized once here, activations dynamically per token (ops/quant.py);
         # non-matmul compute stays bf16. "int8_static" additionally calibrates

@@ -1156,9 +1156,11 @@ def _block(x, p, cfg: VitConfig, fused_attention: bool, quantized: bool,
     y = x if post else _layernorm(x, p["ln2_scale"], p["ln2_bias"],
                                   cfg.ln_eps)
     if post:
-        mlp_out = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act,
-                       quantized=quantized)
-        mlp_out = _linear(mlp_out, p, "fc2_kernel", quantized)
+        mlp_out = _act(_linear(y, p, "fc1_kernel", quantized,
+                               act_amax=None if a is None else a[2]),
+                       cfg.act, quantized=quantized)
+        mlp_out = _linear(mlp_out, p, "fc2_kernel", quantized,
+                          act_amax=None if a is None else a[3])
         return x + _layernorm(mlp_out, p["ln2_scale"], p["ln2_bias"],
                               cfg.ln_eps)
     if cfg.mlp_type == "swiglu":
@@ -1397,12 +1399,16 @@ def vit_act_amax(
     x, rope = _stem(params, images, cfg, compute_dtype, quantized)
     B, S, w = x.shape
     h, d = cfg.heads, cfg.head_dim
+    post = cfg.block_norm == "post"  # EVA02-E: calibration sites mirror the
+    # post-norm _block — a[0]/a[2] quantize the RAW residual stream (no
+    # pre-LN exists), the sublayer-output LNs sit before the residual adds
 
     def body(carry, p):
         from clip_assisted_data_labeling_tpu.ops.attention import attention_xla
 
         x = carry
-        y = _layernorm(x, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps)
+        y = x if post else _layernorm(x, p["ln1_scale"], p["ln1_bias"],
+                                      cfg.ln_eps)
         s_qkv = jnp.max(jnp.abs(y.astype(jnp.float32)))
         qkv = _linear(y, p, "qkv_kernel", quantized)
         s_qkv_ch = jnp.max(jnp.abs(qkv.astype(jnp.float32)), axis=(0, 1))
@@ -1419,8 +1425,13 @@ def vit_act_amax(
             attn = _layernorm(attn, p["attn_ln_scale"], p["attn_ln_bias"],
                               cfg.ln_eps)
         s_attn = jnp.max(jnp.abs(attn.astype(jnp.float32)))
-        x = x + _linear(attn, p, "out_kernel", quantized)
-        y = _layernorm(x, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps)
+        attn_out = _linear(attn, p, "out_kernel", quantized)
+        if post:
+            attn_out = _layernorm(attn_out, p["ln1_scale"], p["ln1_bias"],
+                                  cfg.ln_eps)
+        x = x + attn_out
+        y = x if post else _layernorm(x, p["ln2_scale"], p["ln2_bias"],
+                                      cfg.ln_eps)
         s_fc1 = jnp.max(jnp.abs(y.astype(jnp.float32)))
         if cfg.mlp_type == "swiglu":  # EVA02: a[3] quantizes post-ffn-LN
             h1, h2 = jnp.split(_linear(y, p, "fc1_kernel", quantized), 2,
@@ -1431,7 +1442,11 @@ def vit_act_amax(
             g = _act(_linear(y, p, "fc1_kernel", quantized), cfg.act,
                      quantized=quantized)
         s_act = jnp.max(jnp.abs(g.astype(jnp.float32)))
-        x = x + _linear(g, p, "fc2_kernel", quantized)
+        mlp_out = _linear(g, p, "fc2_kernel", quantized)
+        if post:
+            mlp_out = _layernorm(mlp_out, p["ln2_scale"], p["ln2_bias"],
+                                 cfg.ln_eps)
+        x = x + mlp_out
         return x, {
             "act_amax": jnp.stack([s_qkv, s_attn, s_fc1, s_act]),
             "qkv_amax": s_qkv_ch,

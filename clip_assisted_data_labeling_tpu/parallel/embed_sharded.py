@@ -177,6 +177,17 @@ class ShardedEmbedder:
             int8_wire_enabled,
         )
 
+        if (getattr(self.cfg, "block_norm", "pre") == "post"
+                and not self._dp_only):
+            # tp_static's explicit-collective blocks are pre-norm
+            # formulations; a post-norm tower (EVA02-E) would silently
+            # compute the wrong network under them
+            raise ValueError(
+                "int8_static for post-norm towers has no tensor-parallel "
+                "formulation (parallel/tp_static.py) — use a 1-D data mesh "
+                "or --compute_dtype bfloat16"
+            )
+
         # per-shape auto wire resolution uses the GLOBAL tower shape; on 2-D
         # meshes tp_static re-gates per LOCAL shard geometry (a shard whose
         # non-wire route would be the bf16 whole-block kernel still runs the

@@ -413,11 +413,7 @@ def test_eva02_e_post_norm_matches_torch(rng):
 
 def test_eva02_e_names_resolve():
     """EVA02-E-14[-plus] (open_clip model_configs) resolve with the enormous
-    trunk geometry and post-norm blocks; int8 requests downgrade honestly."""
-    from clip_assisted_data_labeling_tpu.models.encoders import (
-        CLIPImageEncoder,
-    )
-
+    trunk geometry and post-norm blocks."""
     for name in ("EVA02-E-14/laion2b_s4b_b115k",
                  "EVA02-E-14-plus/laion2b_s9b_b144k"):
         cfg = resolve_config(name)
@@ -426,7 +422,61 @@ def test_eva02_e_names_resolve():
         assert cfg.block_norm == "post" and cfg.mlp_type == "mlp"
         assert not cfg.use_rope2d and not cfg.attn_inner_ln
 
-    # post-norm towers have no int8 formulation — the encoder must fall
-    # back to bf16 rather than calibrate pre-LN activation sites
-    enc = CLIPImageEncoder("EVA-Test-Post/tiny", compute_dtype="int8_static")
-    assert not enc.quantized and not enc.static_quant
+
+def test_eva02_e_int8_static_accuracy(rng):
+    """Post-norm towers run int8_static through the generic block path: the
+    calibration forward (vit_act_amax) mirrors the post-norm sites — a[0]
+    and a[2] quantize the RAW residual stream (no pre-LN exists), with
+    per-layer scales absorbing depth-wise magnitude growth. Embeddings must
+    stay close to the f32 path, and dynamic int8 must work too."""
+    import numpy as np
+
+    from clip_assisted_data_labeling_tpu.models.encoders import (
+        CLIPImageEncoder,
+    )
+
+    x = rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    enc_f32 = CLIPImageEncoder("EVA-Test-Post/tiny",
+                               compute_dtype=jnp.float32)
+    ref = np.asarray(enc_f32.encode(jnp.asarray(x)))
+
+    enc_s = CLIPImageEncoder("EVA-Test-Post/tiny",
+                             compute_dtype="int8_static")
+    assert enc_s.quantized and enc_s.static_quant
+    emb_s = np.asarray(enc_s.encode(jnp.asarray(x)))
+    assert "act_amax" in enc_s.params["blocks"]  # calibrated on first batch
+    cos = np.sum(ref * emb_s, axis=-1)
+    assert np.all(cos > 0.99), f"post-norm int8_static cosine {cos}"
+
+    enc_d = CLIPImageEncoder("EVA-Test-Post/tiny", compute_dtype="int8")
+    assert enc_d.quantized and not enc_d.static_quant
+    emb_d = np.asarray(enc_d.encode(jnp.asarray(x)))
+    cos_d = np.sum(ref * emb_d, axis=-1)
+    assert np.all(cos_d > 0.99), f"post-norm dynamic-int8 cosine {cos_d}"
+
+
+def test_eva02_e_int8_static_rejects_tp_mesh():
+    """tp_static's explicit-collective blocks are pre-norm formulations —
+    a 2-D mesh calibrate_static on a post-norm tower must refuse loudly
+    instead of computing the wrong network."""
+    import numpy as np
+
+    import jax
+
+    from __graft_entry__ import _example_batch
+    from clip_assisted_data_labeling_tpu.models.vit import init_vit_params
+    from clip_assisted_data_labeling_tpu.ops.quant import quantize_vit_params
+    from clip_assisted_data_labeling_tpu.parallel.embed_sharded import (
+        ShardedEmbedder,
+    )
+    from clip_assisted_data_labeling_tpu.parallel.mesh import get_mesh_2d
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    cfg = resolve_config("EVA-Test-Post/tiny")
+    params = quantize_vit_params(
+        init_vit_params(cfg, jax.random.key(0)))
+    emb = ShardedEmbedder(params, cfg, get_mesh_2d(2, 2))
+    canvas, cp = _example_batch(4, 64, cfg.image_size, seed=2)
+    with pytest.raises(ValueError, match="post-norm"):
+        emb.calibrate_static(canvas, cp)
