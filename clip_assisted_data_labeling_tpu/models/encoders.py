@@ -359,7 +359,14 @@ class CLIPImageEncoder:
             self.model_name,
         )
         init = _init_fn(self.cfg)
-        return init(self.cfg, jax.random.key(_stable_seed(self.model_name)))
+        # jit the init: ONE device program instead of hundreds of eager
+        # per-leaf dispatches (870 s → 16 s for the billion-param towers on
+        # the tunnel), and XLA fuses each leaf's f32 normal → target-dtype
+        # convert so no f32 temporary materializes (EVA02-E's 7 GB fc1 f32
+        # intermediate OOM'd the eager path — BENCH_NOTES round-13). RNG
+        # values are identical jitted or eager (threefry is deterministic).
+        return jax.jit(lambda k: init(self.cfg, k))(
+            jax.random.key(_stable_seed(self.model_name)))
 
     def _convert_torch_file(self, path: str) -> dict:
         if path.endswith(".safetensors"):
