@@ -469,6 +469,17 @@ def resolve_config(model_name: str):
     so the vision config is unchanged."""
     if model_name in MODEL_REGISTRY:
         return MODEL_REGISTRY[model_name]
+    if model_name.startswith("hf-hub:"):
+        # open_clip also accepts 'hf-hub:org/repo' strings and downloads the
+        # checkpoint (the reference inherits this through its pass-through,
+        # utils/embedder.py:60-63). This framework never downloads
+        # (zero-egress policy): point the user at the equivalent local flow.
+        raise ValueError(
+            f"{model_name}: hf-hub references download weights, which this "
+            "framework never does. Use the architecture name (e.g. "
+            "'ViT-L-14/openai') plus --model_path <dir-with-local-checkpoint>"
+            " — the converter accepts HF and open_clip layouts."
+        )
     arch = model_name.split("/", 1)[0]
     # open_clip's NLLB-CLIP combos pair a standard vision trunk with Meta's
     # NLLB multilingual text encoder (model_configs/nllb-clip-*.json); the

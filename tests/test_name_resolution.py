@@ -228,3 +228,11 @@ def test_unimplemented_timm_hybrid_families_fail_explicitly():
                  "ViTamin-L-336/datacomp1b"):
         with _p.raises(ValueError, match="recognized open_clip family"):
             resolve_config(name)
+
+
+def test_hf_hub_names_fail_with_local_path_guidance():
+    """open_clip also accepts 'hf-hub:org/repo' strings (the reference
+    inherits this); zero-egress means we must refuse with the local-checkpoint
+    recipe, not a generic unknown-name error."""
+    with pytest.raises(ValueError, match="--model_path"):
+        resolve_config("hf-hub:laion/CLIP-ViT-L-14-laion2B-s32B-b82K")
