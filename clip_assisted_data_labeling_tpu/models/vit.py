@@ -353,6 +353,17 @@ MODEL_REGISTRY["CLIPA-Test/tiny"] = VitConfig(
 )
 
 
+# open_clip's NLLB-CLIP combos pair a standard vision trunk with Meta's
+# NLLB multilingual text encoder (model_configs/nllb-clip-*.json); the
+# vision tower — the only side this framework runs — is a stock trunk.
+_NLLB_VISION = {
+    "nllb-clip-base": "ViT-B-32",
+    "nllb-clip-large": "ViT-H-14",
+    "nllb-clip-base-siglip": "ViT-B-16-SigLIP-384",
+    "nllb-clip-large-siglip": "ViT-SO400M-14-SigLIP-384",
+}
+
+
 # trunk dims shared by every SigLIP/SigLIP2 tower of a size family (the
 # SigLIP2 releases reuse the SigLIP vision architecture; only training and
 # the text side changed). naflex variable-aspect variants resolve here too
@@ -481,16 +492,7 @@ def resolve_config(model_name: str):
             " — the converter accepts HF and open_clip layouts."
         )
     arch = model_name.split("/", 1)[0]
-    # open_clip's NLLB-CLIP combos pair a standard vision trunk with Meta's
-    # NLLB multilingual text encoder (model_configs/nllb-clip-*.json); the
-    # vision tower — the only side this framework runs — is a stock trunk.
-    _NLLB_VISION = {
-        "nllb-clip-base": "ViT-B-32",
-        "nllb-clip-large": "ViT-H-14",
-        "nllb-clip-base-siglip": "ViT-B-16-SigLIP-384",
-        "nllb-clip-large-siglip": "ViT-SO400M-14-SigLIP-384",
-    }
-    arch = _NLLB_VISION.get(arch, arch)
+    arch = _NLLB_VISION.get(arch, arch)  # nllb-clip-* → its stock trunk
     force_quick_gelu = False
     if arch.endswith("-quickgelu"):
         arch = arch[: -len("-quickgelu")]
@@ -565,7 +567,7 @@ def resolve_config(model_name: str):
         f"Unknown model format: {model_name}. Expected 'PE-…' or 'Arch/pretrained' "
         f"(any '-quickgelu'-suffixed alias or 'ViT-{{S,M,B[-plus|-alt],L,H,g,"
         f"bigG,e}}-{{patch}}[-{{res}}]' geometry name also resolves) with Arch in "
-        f"{sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_EVA_ARCHS) + sorted(_COCA_ARCHS) + sorted(_CLIPA_ARCHS) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
+        f"{sorted(_ARCHS) + sorted(_SIGLIP_ARCHS) + sorted(_PE_ARCHS) + sorted(_EVA_ARCHS) + sorted(_COCA_ARCHS) + sorted(_CLIPA_ARCHS) + sorted(_NLLB_VISION) + sorted(_RN_ARCHS) + sorted(_CNX_ARCHS)}."
     )
 
 

@@ -377,6 +377,16 @@ def _tp_static_fn(mesh: Mesh, cfg: VitConfig, compute_dtype, normalize: bool,
             pooled = _coca_pool(x, params, cfg.attn_pooler_heads, cfg.ln_eps)
             pooled = _layernorm(pooled, params["ln_post_scale"],
                                 params["ln_post_bias"], cfg.ln_eps)
+        elif cfg.pool == "avg":
+            # CLIPA readout (models/vit.vit_encode_image avg branch): mean
+            # over PATCH tokens (cls excluded, padded rows dropped), ln_post
+            # AFTER pooling. x is replicated across the model axis here, so
+            # the mean matches single-device exactly.
+            if x.shape[1] != cfg.seq_len:
+                x = x[:, : cfg.seq_len]
+            pooled = jnp.mean(x[:, 1 if cfg.use_cls_token else 0:], axis=1)
+            pooled = _layernorm(pooled, params["ln_post_scale"],
+                                params["ln_post_bias"], cfg.ln_eps)
         else:
             pooled = _layernorm(x[:, 0], params["ln_post_scale"],
                                 params["ln_post_bias"], cfg.ln_eps)

@@ -294,3 +294,24 @@ def test_sharded_embedder_tp_static_pipeline(rng, tmp_path):
         compute_dtype=jnp.float32, fused_attention=False,
     )).reshape(b, n, -1)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_tp_static_bit_identical_clipa(rng):
+    """CLIPA towers: the avg-pool readout (mean over patch tokens, ln_post
+    after pooling, no ln_pre) through the TP static path. Regression test
+    for the round-5b review finding: tp_static's readout fell through to
+    the cls branch for pool='avg', silently returning ln_post(x[:,0])@proj
+    embeddings (min cosine 0.23 vs single-device) on 2-D meshes."""
+    cfg, sparams = _static_params("CLIPA-Test/tiny", rng)
+    assert cfg.pool == "avg" and not cfg.use_ln_pre
+    x = jnp.asarray(
+        rng.normal(0, 1, (4, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    )
+    single = np.asarray(vit_encode_image(
+        sparams, x, cfg, compute_dtype=jnp.float32, fused_attention=False))
+    mesh = get_mesh_2d(2, 2)
+    placed = place_tp_static(sparams, mesh, cfg)
+    tp = np.asarray(vit_encode_tp_static(
+        placed, x, cfg, mesh, compute_dtype=jnp.float32,
+        fused_attention=False))
+    np.testing.assert_array_equal(tp, single)
