@@ -153,13 +153,16 @@ class SimpleFCRegressor:
         """Batched inference; the chunk size only bounds device memory (the
         network is tiny), so it is large to amortize dispatch/transfer.
 
-        ``wire`` is the host→device dtype for the feature matrix. The default
-        is the exact f32 wire (library callers and parity tests); the predict
-        *stage* passes ``float16``, halving the H2D transfer it is bound by on
-        thin links (BENCH_NOTES: 99.96% of predict wall time is H2D on this
-        tunnel). Matmuls still run f32 on device; scores move ≲1e-4 vs the
-        f32 wire (tests/test_regressor.py). A batch holding values outside
-        fp16 range (or NaN) silently falls back to the f32 wire."""
+        ``wire`` is the host→device format for the feature matrix. The
+        default is the exact f32 wire (library callers and parity tests);
+        the predict *stage* passes ``float16``, halving the H2D transfer it
+        is bound by on thin links (BENCH_NOTES: 99.96% of predict wall time
+        is H2D on this tunnel). ``int8`` halves it again (per-row symmetric
+        quantization, F + 4 bytes/row): scores move ~1e-3 in [0,1] score
+        space on CLIP-feature inputs (tests/test_regressor.py) — opt-in
+        where transfer dominates. Matmuls still run f32 on device. A batch
+        holding values outside fp16 range / non-finite values silently falls
+        back to the f32 wire."""
         if len(features) == 0:
             return np.zeros((0,), np.float32)
         cvals = self.meta.class_values
@@ -167,6 +170,16 @@ class SimpleFCRegressor:
         outs = []
         for i in range(0, len(features), batch_size):
             x_host = np.asarray(features[i : i + batch_size], np.float32)
+            q8 = quantize_feature_rows(x_host) if wire == "int8" else None
+            if q8 is not None:
+                xq, scale = jnp.asarray(q8[0]), jnp.asarray(q8[1])
+                if cvals_dev is None:
+                    outs.append(np.asarray(
+                        _predict_q8_jit(_as_tuple(self.params), xq, scale)))
+                else:
+                    outs.append(np.asarray(_predict_expected_q8_jit(
+                        _as_tuple(self.params), xq, scale, cvals_dev)))
+                continue
             if wire == "float16" and np.abs(x_host).max(initial=0.0) <= 6.0e4:
                 x = jnp.asarray(x_host.astype(np.float16))
             else:  # exact wire; also the NaN path (NaN fails the <= check)
@@ -342,6 +355,35 @@ def _predict_jit(param_tuple, x):
     params = [{"kernel": k, "bias": b} for k, b in param_tuple]
     # upcast on device: the wire may be fp16 (predict's transfer-bound default)
     return regressor_apply(params, x.astype(jnp.float32))
+
+
+def quantize_feature_rows(x_host: np.ndarray):
+    """Per-row symmetric int8 quantization of a feature matrix (the int8
+    H2D wire): returns (int8 [N, F], f32 row scales [N, 1]), or None when
+    the batch holds non-finite values (caller falls back to the f32 wire).
+    Wire bytes per row: F + 4 vs 2·F for fp16 — another ~2× on the
+    transfer-bound predict stage."""
+    amax = np.abs(x_host).max(axis=1, keepdims=True)
+    if not np.isfinite(amax).all():
+        return None
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    xq = np.clip(np.rint(x_host / scale), -127, 127).astype(np.int8)
+    return xq, scale
+
+
+@jax.jit
+def _predict_q8_jit(param_tuple, xq, scale):
+    params = [{"kernel": k, "bias": b} for k, b in param_tuple]
+    return regressor_apply(params, xq.astype(jnp.float32) * scale)
+
+
+@jax.jit
+def _predict_expected_q8_jit(param_tuple, xq, scale, class_values):
+    params = [{"kernel": k, "bias": b} for k, b in param_tuple]
+    logits = regressor_apply(params, xq.astype(jnp.float32) * scale,
+                             head="linear")
+    probs = jax.nn.softmax(logits, axis=-1)
+    return (probs @ class_values)[:, None]
 
 
 @jax.jit

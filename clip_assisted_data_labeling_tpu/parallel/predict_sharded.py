@@ -25,25 +25,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clip_assisted_data_labeling_tpu.models.regressor import (
     _as_tuple,
+    quantize_feature_rows,
     regressor_apply,
 )
 
 
 @functools.lru_cache(maxsize=8)
-def _predict_dp(mesh: Mesh, classification: bool = False):
+def _predict_dp(mesh: Mesh, classification: bool = False, q8: bool = False):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
-    def fwd(param_tuple, x, cvals):
+    def fwd(param_tuple, x, scale, cvals):
         params = [{"kernel": k, "bias": b} for k, b in param_tuple]
-        # upcast on device: the wire may be fp16 (transfer-bound stage)
+        # upcast on device: the wire may be fp16 or per-row int8
+        # (transfer-bound stage); `scale` is the int8 wire's row scales
+        # ([N, 1], batch-sharded like x) and all-ones otherwise
         x32 = x.astype(jnp.float32)
+        if q8:
+            x32 = x32 * scale
         if classification:  # softmax-expected label value (models/regressor)
             logits = regressor_apply(params, x32, head="linear")
             return (jax.nn.softmax(logits, axis=-1) @ cvals)[:, None]
         return regressor_apply(params, x32)
 
-    return jax.jit(fwd, in_shardings=(repl, data, repl),
+    return jax.jit(fwd, in_shardings=(repl, data, data, repl),
                    out_shardings=data), data
 
 
@@ -64,10 +69,10 @@ def predict_sharded(
     :meth:`SimpleFCRegressor.predict`: fp16 halves the H2D transfer the stage
     is bound by; batches holding values outside fp16 range fall back to f32.
     """
-    if wire not in ("float16", "float32"):
-        raise ValueError(f"wire must be 'float16' or 'float32', got {wire!r}")
+    if wire not in ("float16", "float32", "int8"):
+        raise ValueError(
+            f"wire must be 'float16', 'float32' or 'int8', got {wire!r}")
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    fwd, data_sharding = _predict_dp(mesh, class_values is not None)
     cvals = jnp.asarray(class_values if class_values is not None else [0.0],
                         jnp.float32)
     # chunk size aligned to the mesh so every shard is equal
@@ -78,10 +83,19 @@ def predict_sharded(
         pad = (-len(x_host)) % n_dev
         if pad:
             x_host = np.pad(x_host, [(0, pad), (0, 0)])
-        if wire == "float16" and np.abs(x_host).max(initial=0.0) <= 6.0e4:
-            x_host = x_host.astype(np.float16)
+        q8 = quantize_feature_rows(x_host) if wire == "int8" else None
+        fwd, data_sharding = _predict_dp(mesh, class_values is not None,
+                                         q8 is not None)
+        if q8 is not None:
+            x_host, scale_host = q8
+        else:
+            scale_host = np.ones((len(x_host), 1), np.float32)
+            if (wire == "float16"
+                    and np.abs(x_host).max(initial=0.0) <= 6.0e4):
+                x_host = x_host.astype(np.float16)
         x = jax.device_put(x_host, data_sharding)
-        out = np.asarray(fwd(_as_tuple(params), x, cvals))
+        scale = jax.device_put(scale_host, data_sharding)
+        out = np.asarray(fwd(_as_tuple(params), x, scale, cvals))
         outs.append(out[: len(out) - pad] if pad else out)
     if not outs:
         return np.zeros((0,), np.float32)

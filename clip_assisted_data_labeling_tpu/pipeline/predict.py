@@ -284,10 +284,12 @@ def main(argv=None):
     parser.add_argument("--num_workers", type=int, default=4,
                         help="accepted for reference-CLI compatibility")
     parser.add_argument("--wire", default="float16",
-                        choices=["float16", "float32"],
-                        help="host->device dtype for the feature matrix; the "
-                        "fp16 default halves the H2D transfer this stage is "
-                        "bound by (scores move <~1e-4; f32 is the exact wire)")
+                        choices=["float16", "float32", "int8"],
+                        help="host->device format for the feature matrix; "
+                        "the fp16 default halves the H2D transfer this stage "
+                        "is bound by (scores move <~1e-4); int8 halves it "
+                        "again via per-row quantization (scores move ~1e-3 — "
+                        "opt-in for thin links); f32 is the exact wire")
     parser.add_argument("--sharded", action="store_true",
                         help="shard inference over all local devices "
                         "(data-parallel; single device runs unchanged)")

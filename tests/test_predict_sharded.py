@@ -50,3 +50,16 @@ def test_predict_sharded_fp16_wire_and_chunking(rng):
     np.testing.assert_allclose(got, exact, atol=2e-3)
 
     assert predict_sharded(model.params, x[:0], mesh).shape == (0,)
+
+
+def test_predict_sharded_int8_wire(rng):
+    """The int8 wire shards its per-row scales alongside the features and
+    stays within the documented budget; padded rows (all-zero) ride the
+    zero-scale guard."""
+    model = _model()
+    mesh = get_mesh()
+    x = rng.normal(0, 1, (67, 24)).astype(np.float32)
+    exact = model.predict(x, wire="float32")
+    got = predict_sharded(model.params, x, mesh, batch_size=16, wire="int8")
+    np.testing.assert_allclose(got, exact, atol=1e-2)
+    assert np.abs(got - exact).mean() < 2e-3

@@ -203,3 +203,37 @@ def test_describe_network_layout():
     assert "Sigmoid()" in text
     # 1536*264+264 + 264*128+128 + 128*64+64 + 64*1+1
     assert "448,009" in text
+
+
+def test_predict_int8_wire(rng):
+    """The opt-in int8 H2D wire (per-row symmetric quantization — another
+    ~2x on the transfer-bound stage) stays within 1e-2 of the exact f32
+    wire on CLIP-feature-scale inputs, and a batch holding non-finite
+    values falls back to the exact wire."""
+    meta = RegressorMeta(
+        clip_models=("ViT-B-32/openai",),
+        crop_names=("centre_crop",),
+        input_size=24,
+        hidden_sizes=(8,),
+        data_min=0.0,
+        data_max=1.0,
+    )
+    model = SimpleFCRegressor.create(jax.random.key(3), meta)
+    x = rng.normal(0, 1, (64, 24)).astype(np.float32)
+    exact = model.predict(x, wire="float32")
+    fast = model.predict(x, wire="int8")
+    np.testing.assert_allclose(fast, exact, atol=1e-2)
+    assert not np.array_equal(fast, exact)  # the int8 wire really engaged
+    # typical drift is ~1e-3 in score space; 1e-2 is the hard ceiling
+    assert np.abs(fast - exact).mean() < 2e-3
+
+    x[0, 0] = np.nan
+    nan_scores = model.predict(x, wire="int8")
+    ref_scores = model.predict(x, wire="float32")
+    np.testing.assert_array_equal(nan_scores[1:], ref_scores[1:])
+
+    # all-zero rows must not divide by zero
+    z = np.zeros((4, 24), np.float32)
+    np.testing.assert_allclose(
+        model.predict(z, wire="int8"), model.predict(z, wire="float32"),
+        atol=1e-6)
