@@ -39,7 +39,9 @@ def _predict_dp(mesh: Mesh, classification: bool = False, q8: bool = False):
         params = [{"kernel": k, "bias": b} for k, b in param_tuple]
         # upcast on device: the wire may be fp16 or per-row int8
         # (transfer-bound stage); `scale` is the int8 wire's row scales
-        # ([N, 1], batch-sharded like x) and all-ones otherwise
+        # ([N, 1], batch-sharded like x) — on the fp16/f32 wires it is a
+        # replicated (1, 1) dummy that never touches the data path (no
+        # per-row bytes ride the H2D wire for nothing)
         x32 = x.astype(jnp.float32)
         if q8:
             x32 = x32 * scale
@@ -48,7 +50,8 @@ def _predict_dp(mesh: Mesh, classification: bool = False, q8: bool = False):
             return (jax.nn.softmax(logits, axis=-1) @ cvals)[:, None]
         return regressor_apply(params, x32)
 
-    return jax.jit(fwd, in_shardings=(repl, data, data, repl),
+    return jax.jit(fwd, in_shardings=(repl, data, data if q8 else repl,
+                                      repl),
                    out_shardings=data), data
 
 
@@ -88,13 +91,13 @@ def predict_sharded(
                                          q8 is not None)
         if q8 is not None:
             x_host, scale_host = q8
+            scale = jax.device_put(scale_host, data_sharding)
         else:
-            scale_host = np.ones((len(x_host), 1), np.float32)
+            scale = jnp.ones((1, 1), jnp.float32)  # replicated dummy
             if (wire == "float16"
                     and np.abs(x_host).max(initial=0.0) <= 6.0e4):
                 x_host = x_host.astype(np.float16)
         x = jax.device_put(x_host, data_sharding)
-        scale = jax.device_put(scale_host, data_sharding)
         out = np.asarray(fwd(_as_tuple(params), x, scale, cvals))
         outs.append(out[: len(out) - pad] if pad else out)
     if not outs:
