@@ -184,12 +184,21 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
                         )
                     _time.sleep(min(5.0, CALIB_WAIT_S / 10))
 
+    compute = cfg.compute_dtype
+    if cfg.aspect == "native" and compute.startswith("int8"):
+        # same honest-downgrade contract as the conv-tower/unsupported-int8
+        # cases in models/encoders.py: the masked variable-patch-grid path
+        # has no int8 formulation, so the stage default (int8_static) must
+        # not make --aspect native unusable
+        print("--aspect native has no int8 formulation; running bfloat16 "
+              "(pass --compute_dtype float32 for the strict-parity path)")
+        compute = "bfloat16"
     encoder = create_encoder(
         model_name,
         model_path=cfg.model_path,
         # "int8"/"int8_static" are mode strings, not numpy dtypes
-        compute_dtype=(cfg.compute_dtype if cfg.compute_dtype.startswith("int8")
-                       else jnp.dtype(cfg.compute_dtype)),
+        compute_dtype=(compute if compute.startswith("int8")
+                       else jnp.dtype(compute)),
         calibration_path=calibration_path,
     )
 
@@ -199,17 +208,11 @@ def _embed_one_model(root_dir, img_paths, model_name, cfg: EmbedConfig):
     # for the variable-aspect capability). The reference has no analog — its
     # open_clip towers are fixed-square-resolution only.
     native_aspect = cfg.aspect == "native"
-    if native_aspect:
-        if not getattr(encoder.cfg, "naflex", False):
-            raise ValueError(
-                f"--aspect native requires a naflex tower; {model_name} is "
-                "fixed-resolution (use a '…-naflex' SigLIP2 model name)"
-            )
-        if encoder.quantized:
-            raise ValueError(
-                "--aspect native has no int8 formulation — pass "
-                "--compute_dtype bfloat16 (or float32)"
-            )
+    if native_aspect and not getattr(encoder.cfg, "naflex", False):
+        raise ValueError(
+            f"--aspect native requires a naflex tower; {model_name} is "
+            "fixed-resolution (use a '…-naflex' SigLIP2 model name)"
+        )
     crop_names_out = list(cfg.crop_names) + (
         ["native_aspect"] if native_aspect else []
     )

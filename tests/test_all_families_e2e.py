@@ -186,3 +186,19 @@ def test_native_aspect_rejects_non_naflex(family_dirs, tmp_path):
         embed_dataset(str(root), EmbedConfig(
             models_to_use=(model,), compute_dtype="bfloat16", aspect="native",
         ))
+
+
+def test_aspect_native_int8_downgrades_to_bf16(family_dirs, capsys):
+    """The embed stage's int8_static DEFAULT must not make --aspect native
+    unusable: int8 requests downgrade to bf16 with a message (same contract
+    as the conv-tower downgrades), not a hard error."""
+    base, root = family_dirs
+    model = "SigLIP2-Naflex-Test/tiny"
+    ecfg = EmbedConfig(
+        models_to_use=(model,), batch_size=4, num_workers=2, canvas_size=256,
+        compute_dtype="int8_static", shuffle_filenames=False, aspect="native",
+        force_reencode=True,
+    )
+    stores = embed_dataset(str(root), ecfg)
+    assert "native_aspect" in stores[model].meta["crop_names"]
+    assert "no int8 formulation" in capsys.readouterr().out
